@@ -1,0 +1,126 @@
+"""Catalog: named tables over Parquet + identifier validation.
+
+Replaces two reference components with strictly stronger Spark-native
+equivalents (SURVEY.md §1.5, §7.3):
+
+- the per-database connection map / table namespace
+  (`/root/reference/index.js:52,93-128`, `config.json:11-40`) becomes
+  a set of named DataFrames over Parquet registered as temp views;
+- the regex-based identifier defense
+  (`/root/reference/lib/examiner.js:37-41,70-80,162-196`) becomes
+  validation against the actual catalog schema: an identifier is legal
+  iff it names a known table/column. No string splicing ever reaches
+  SQL (the reference's `util.format('select * from %s …')` at
+  `index.js:482` is the anti-pattern this replaces).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from data_wrangler_spark.session import apply_runtime_confs
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Primary key per table — the unique tiebreaker appended to every
+# ordered/paginated query (SURVEY.md §7.3: Spark guarantees nothing
+# about LIMIT/OFFSET determinism without a total order).
+PRIMARY_KEYS: dict[str, str] = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",  # composite with l_linenumber; see pk_cols
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+# Parent→child foreign-key conventions, the engine-level analog of the
+# reference's `<parent>_id` naming convention (`index.js:575`).
+FK_CONVENTIONS: dict[tuple[str, str], str] = {
+    ("orders", "lineitem"): "l_orderkey",
+    ("customer", "orders"): "o_custkey",
+    ("nation", "supplier"): "s_nationkey",
+    ("nation", "customer"): "c_nationkey",
+    ("region", "nation"): "n_regionkey",
+    ("part", "lineitem"): "l_partkey",
+    ("supplier", "lineitem"): "l_suppkey",
+}
+
+
+def pk_cols(table: str) -> list[str]:
+    if table == "lineitem":
+        return ["l_orderkey", "l_linenumber"]
+    return [PRIMARY_KEYS[table]]
+
+
+class UnknownIdentifierError(ValueError):
+    """Raised when a dynamic table/column identifier fails validation."""
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one named table from ``{sf_dir}/{name}.parquet``.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    reader rejects; with ``nanosAsLong`` it arrives as raw int64 nanos
+    and is converted here to a microsecond TIMESTAMP — bit-identical
+    to DuckDB's ``CAST(ts AS TIMESTAMP)`` on the same file.
+    """
+    if name not in TABLES:
+        raise UnknownIdentifierError(f"unknown table: {name!r}")
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+class Catalog:
+    """Named-table catalog bound to one (spark, sf_dir) pair."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            self._cache[name] = load_table(self.spark, self.sf_dir, name)
+        return self._cache[name]
+
+    # -- identifier validation (replaces examiner.js regex defense) --
+
+    def validate_table(self, name: str) -> str:
+        if name not in TABLES:
+            raise UnknownIdentifierError(f"unknown table: {name!r}")
+        return name
+
+    def validate_column(self, table: str, column: str) -> str:
+        self.validate_table(table)
+        cols = set(self.table(table).columns)
+        if column not in cols:
+            raise UnknownIdentifierError(
+                f"unknown column {column!r} on table {table!r} (has: {sorted(cols)})"
+            )
+        return column
+
+    def register_views(self, names: tuple[str, ...] = TABLES) -> None:
+        """Register temp views so queries can use ``spark.sql``."""
+        for name in names:
+            self.table(name).createOrReplaceTempView(name)

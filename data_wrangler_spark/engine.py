@@ -1,0 +1,60 @@
+"""Engine facade: the user-facing API of the analytics layer.
+
+The reference exposed its catalog as HTTP routes
+(`/root/reference/index.js:264-325`) with a self-description endpoint
+(`index.js:371-425`). Here the same surface is a Python object:
+
+    eng = Engine(spark, "/root/testdata/sf0.01")
+    eng.names()                      # registered query names
+    eng.run("q_inner_join")          # -> DataFrame
+    eng.run("q_point_lookup", key=7) # parameterized
+    eng.describe("q_inner_join")     # -> StructType (vs. the reference's
+                                     #    regex field-name inference,
+                                     #    lib/examiner.js:139-160)
+    eng.list_records("customer", page=2, perpage=50, sortby="c_name")
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from data_wrangler_spark import registry
+from data_wrangler_spark.catalog import Catalog
+from data_wrangler_spark.plans.pagination import paginate
+from data_wrangler_spark.session import apply_runtime_confs
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = apply_runtime_confs(spark)
+        self.sf_dir = sf_dir
+        self.catalog = Catalog(spark, sf_dir)
+
+    def names(self) -> list[str]:
+        return sorted(registry.REGISTRY)
+
+    def run(self, name: str, **params: Any) -> DataFrame:
+        spec = registry.REGISTRY[name]
+        return spec.run(self.spark, self.sf_dir, **params)
+
+    def describe(self, name: str) -> StructType:
+        """Exact output schema from Catalyst analysis — replaces the
+        reference's name-only regex inference (`examineQuery`)."""
+        return self.run(name).schema
+
+    def list_records(
+        self,
+        table: str,
+        page: int = 1,
+        perpage: int = 20,
+        sortby: str | None = None,
+    ) -> DataFrame:
+        """Generic paged list — the `/db/:db/rel/:relation` analog
+        (`/root/reference/index.js:431-492`) with the same clamps."""
+        self.catalog.validate_table(table)
+        if sortby is not None:
+            self.catalog.validate_column(table, sortby)
+        return paginate(self.catalog.table(table), table, page, perpage, sortby)

@@ -1,0 +1,69 @@
+"""SparkSession construction tuned for this engine.
+
+The reference delegates all execution to a backing RDBMS
+(`/root/reference/index.js:246-252`); here the SparkSession *is* the
+backing engine. Defaults are chosen for local[32] testing but the same
+knobs are the ones that matter on a real cluster: AQE on (runtime
+re-planning, skew-join splitting, partition coalescing), shuffle
+partitions sized to parallelism, UTC session time zone for
+deterministic timestamp semantics, Arrow enabled for the Pandas-UDF
+slow path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime confs every engine entry point applies even when handed a
+# foreign SparkSession (e.g. the driver harness owns the session).
+# All of these are settable at runtime (none are static SQL confs).
+RUNTIME_CONFS: dict[str, str] = {
+    # events.parquet stores timestamp[ns]; Spark's vectorized reader
+    # rejects TIMESTAMP(NANOS) outright, so read as raw nanos and
+    # convert explicitly (catalog.load_table handles the cast).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # DuckDB oracle timestamps are UTC-naive; pin the session TZ.
+    "spark.sql.session.timeZone": "UTC",
+    # Runtime re-planning: coalesce tiny shuffle partitions, split
+    # skewed ones. Critical at 100 TB, harmless at sf0.01.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Best-effort apply engine confs to an externally built session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf locked down — operators degrade gracefully
+    return spark
+
+
+def get_spark(app_name: str = "data_wrangler_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a session with engine defaults.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all cores. Shuffle
+    partitions are sized to the local parallelism — the single most
+    impactful local-mode knob (the 200 default over-schedules tiny
+    data and under-partitions big data).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return apply_runtime_confs(spark)

@@ -1,0 +1,157 @@
+"""Local mimic of the driver's correctness harness.
+
+Runs every registered query at a given SF against its DuckDB oracle:
+row-count + column-name + value comparison (order-insensitive, exact
+first, float-tolerance fallback reported separately). Use while
+iterating so driver-side CORRECTNESS_r{N}.json holds no surprises.
+
+Usage: python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+import traceback
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(rows: list[tuple]) -> list[tuple]:
+    def norm_cell(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return ("f", "nan")
+            return ("f", repr(v))
+        if hasattr(v, "isoformat"):
+            return ("t", v.isoformat())
+        if isinstance(v, (list, tuple)):
+            return ("l", tuple(norm_cell(x) for x in v))
+        if isinstance(v, dict):
+            return ("d", tuple(sorted((k, norm_cell(x)) for k, x in v.items())))
+        if isinstance(v, bytes):
+            return ("b", v.hex())
+        return (type(v).__name__, v)
+
+    return sorted(tuple(norm_cell(c) for c in r) for r in rows)
+
+
+def approx_equal(a: list[tuple], b: list[tuple], rel=1e-9) -> bool:
+    def cell_eq(x, y):
+        if x == y:
+            return True
+        if x[0] == "f" and y[0] == "f":
+            try:
+                xf, yf = float(x[1]), float(y[1])
+            except ValueError:
+                return x[1] == y[1]
+            return math.isclose(xf, yf, rel_tol=rel, abs_tol=1e-9)
+        if x[0] == "l" and y[0] == "l":
+            return len(x[1]) == len(y[1]) and all(cell_eq(i, j) for i, j in zip(x[1], y[1]))
+        return False
+
+    return len(a) == len(b) and all(
+        len(r1) == len(r2) and all(cell_eq(c1, c2) for c1, c2 in zip(r1, r2))
+        for r1, r2 in zip(a, b)
+    )
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from data_wrangler_spark.session import get_spark
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("verify_local")
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    con = duck_con(sf_dir)
+
+    results, n_pass, n_fail, n_rows_only = {}, 0, 0, 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sorted(sdf.columns)
+            srows = [tuple(r[c] for c in scols) for r in sdf.collect()]
+        except Exception:
+            results[name] = {"status": "SPARK_ERROR", "err": traceback.format_exc(limit=3)}
+            n_fail += 1
+            print(f"✗ {name}: SPARK_ERROR")
+            traceback.print_exc(limit=3)
+            continue
+        if name not in oracles:
+            results[name] = {"status": "ROWS_ONLY", "rows": len(srows)}
+            n_rows_only += 1
+            print(f"○ {name}: rows-only ({len(srows)} rows) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols_raw = [d[0] for d in res.description]
+            drows_raw = res.fetchall()
+        except Exception:
+            results[name] = {"status": "ORACLE_ERROR", "err": traceback.format_exc(limit=3)}
+            n_fail += 1
+            print(f"✗ {name}: ORACLE_ERROR")
+            traceback.print_exc(limit=3)
+            continue
+        dorder = sorted(range(len(dcols_raw)), key=lambda i: dcols_raw[i])
+        dcols = [dcols_raw[i] for i in dorder]
+        drows = [tuple(r[i] for i in dorder) for r in drows_raw]
+
+        status, detail = "PASS", ""
+        if scols != dcols:
+            status, detail = "COLS_MISMATCH", f"spark={scols} duck={dcols}"
+        elif len(srows) != len(drows):
+            status, detail = "COUNT_MISMATCH", f"spark={len(srows)} duck={len(drows)}"
+        else:
+            ns, nd = normalize(srows), normalize(drows)
+            if ns == nd:
+                pass
+            elif approx_equal(ns, nd):
+                status = "PASS_APPROX"  # exact hash would fail → investigate
+                for r1, r2 in zip(ns, nd):
+                    if r1 != r2:
+                        detail = f"first diff: {r1} vs {r2}"
+                        break
+            else:
+                status = "VALUES_MISMATCH"
+                for r1, r2 in zip(ns, nd):
+                    if r1 != r2:
+                        detail = f"first diff: {r1} vs {r2}"
+                        break
+        results[name] = {"status": status, "rows": len(srows), "detail": detail}
+        ok = status == "PASS"
+        n_pass += ok
+        n_fail += not ok and status != "PASS_APPROX"
+        mark = "✓" if ok else ("≈" if status == "PASS_APPROX" else "✗")
+        print(f"{mark} {name}: {status} ({len(srows)} rows) [{time.time()-t0:.1f}s] {detail[:300]}")
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only, {len(results)} total")
+    with open("/root/repo/CORRECTNESS_LOCAL.json", "w") as f:
+        json.dump(results, f, indent=1, default=str)
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
