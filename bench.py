@@ -1,0 +1,65 @@
+"""Benchmark harness — driver contract (one JSON line on stdout).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Each query is
+forced with the `noop` sink so the full plan executes (scan → shuffle
+→ agg/join/window) without driver-side collect costs distorting the
+measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_agg_groupby",        # TPC-H Q1 shape: scan-heavy hash agg
+    "q_inner_join",         # filtered fact⋈fact equi-join
+    "q_join_multi",         # 5-table star join + agg
+    "q_join_broadcast",     # fact⋈dim broadcast join
+    "q_window_running_sum", # shuffle+sort window
+    "q_topk",               # TakeOrderedAndProject
+    "q_sort_paginate",      # global sort + offset/limit
+    "q_agg_count_distinct", # distinct aggregation
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from data_wrangler_spark.session import get_spark
+    from data_wrangler_spark import REGISTRY
+
+    spark = get_spark("bench")
+    # Warm the JVM + parquet footer caches so q1 doesn't pay startup.
+    REGISTRY["q_scan_project_all"].run(spark, sf_dir).count()
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = REGISTRY[name].run(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,3 +1,9 @@
 """Operator builders. Importing this package populates the registry."""
 
-from data_wrangler_spark.operators import core  # noqa: F401
+from data_wrangler_spark.operators import (  # noqa: F401
+    aggregates,
+    core,
+    joins,
+    setops,
+    windows,
+)

@@ -1,0 +1,252 @@
+"""Aggregation extensions (SURVEY.md §2.4 "Aggregations EXT").
+
+The reference has zero aggregation (no GROUP BY in any configured or
+emitted SQL — the only SQL strings are config.json:19-24,33-38,57-58
+and index.js:482,524,575). Everything here is north-star surface.
+
+Float determinism: double sums are order-dependent, and Spark's
+partial/final aggregation order differs from DuckDB's scan order. So
+every SUM over a double column casts to DECIMAL first (exact,
+order-independent) and casts the result back to double; averages are
+computed as exact-sum / count in double. This makes Spark and the
+oracle agree bit-for-bit regardless of partitioning — which is also
+the property that makes results reproducible across cluster sizes at
+100 TB.
+
+Scale notes: groupBy plans as partial (map-side) + final hash
+aggregation — the shuffle carries only group keys × partial states.
+rollup/cube expand the grouping sets before the shuffle (Expand
+operator); grouping-set count multiplies shuffle volume, which is the
+knob to watch at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from data_wrangler_spark.catalog import load_table
+from data_wrangler_spark.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def dsum(col: str | Column, scale: str = "decimal(22,6)") -> Column:
+    """Order-independent sum of a double column: exact decimal sum,
+    result cast back to double (matches the oracle's identical cast)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(scale)).cast("double")
+
+
+def davg(col: str | Column, scale: str = "decimal(22,6)") -> Column:
+    """Order-independent mean: exact decimal sum / count, in double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(scale)).cast("double") / F.count(c)
+
+
+# SQL fragment mirrors of dsum/davg for the DuckDB oracles.
+def _osum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(22,6))) AS DOUBLE)"
+
+
+def _oavg(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(22,6))) AS DOUBLE) / COUNT({expr})"
+
+
+@register(
+    "q_agg_global",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {_osum('l_quantity')} AS sum_qty,
+           {_oavg('l_extendedprice')} AS avg_price,
+           MIN(l_shipdate) AS min_ship,
+           MAX(l_shipdate) AS max_ship,
+           MIN(l_discount) AS min_disc,
+           MAX(l_discount) AS max_disc
+    FROM lineitem
+    """,
+    tags=("ext", "agg"),
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped sum/avg/min/max/count over the fact table."""
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.count("*").alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.min("l_discount").alias("min_disc"),
+        F.max("l_discount").alias("max_disc"),
+    )
+
+
+@register(
+    "q_agg_groupby",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_osum('l_quantity')} AS sum_qty,
+           {_osum('l_extendedprice')} AS sum_base_price,
+           {_osum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {_osum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {_oavg('l_quantity')} AS avg_qty,
+           {_oavg('l_extendedprice')} AS avg_price,
+           {_oavg('l_discount')} AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("ext", "agg"),
+)
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical hash aggregate — two grouping
+    columns, eight aggregates, a date filter. Partial aggregation
+    means the shuffle carries ≤ (4 groups × partials) per task no
+    matter how many input rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_agg_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("ext", "agg"),
+)
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts per group. Spark plans multi-distinct via
+    Expand; at 100 TB prefer one distinct per query or approx_*."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register("q_agg_approx_distinct", tags=("ext", "agg", "approx"))  # rows-only: HLL≠exact
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the scale path for distinct
+    counting (no Expand, mergeable sketches, bounded memory). Oracle
+    omitted by contract: DuckDB's approx_count_distinct uses a
+    different sketch; driver records rows-only."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_customers_approx"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+_ROLLUP_ORACLE_BODY = f"""
+    SELECT l_returnflag, l_linestatus,
+           {_osum('l_quantity')} AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY {{sets}} (l_returnflag, l_linestatus)
+"""
+
+
+@register(
+    "q_agg_rollup",
+    oracle=_ROLLUP_ORACLE_BODY.format(sets="ROLLUP"),
+    tags=("ext", "agg"),
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals (flag,status) → (flag) → ()."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n_rows"))
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle=_ROLLUP_ORACLE_BODY.format(sets="CUBE"),
+    tags=("ext", "agg"),
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^2 grouping-set combinations."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n_rows"))
+    )
+
+
+@register(
+    "q_agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_osum('l_quantity')} AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    tags=("ext", "agg"),
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL (the DataFrame API has no
+    direct equivalent — rollup/cube are its fixed special cases)."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@register(
+    "q_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("ext", "sort"),
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K by measure with pk tiebreaker. Spark plans
+    TakeOrderedAndProject: each task keeps a K-row heap, the driver
+    merges — no global sort, no full shuffle, O(K) memory. The right
+    plan at any scale."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )

@@ -1,0 +1,194 @@
+"""Join & richer-filter extensions (SURVEY.md §2.4 "Filters/Joins EXT").
+
+The reference ships exactly one join (inner equi, config.json:36) and
+only equality predicates (config.json:20-23,35-37). These builders
+declare the full relational join surface in DataFrame form and let
+Catalyst/AQE pick physical strategies.
+
+Scale notes (100 TB):
+- equi-joins shuffle on the key; AQE converts to broadcast when a
+  filtered side fits, and splits skewed partitions
+  (`spark.sql.adaptive.skewJoin.enabled`).
+- `q_join_broadcast` pins the broadcast explicitly for dimension
+  tables that are known-small — the planner can't always see that
+  through stats at scale.
+- the non-equi range join is O(n·m) nested-loop; its scale path is
+  bucketizing the range key into an equi-join prefix (documented in
+  SCALE.md) — the declared semantics stay identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from data_wrangler_spark.catalog import load_table
+from data_wrangler_spark.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "q_filter_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_shipdate
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag IN ('A', 'R')
+    """,
+    tags=("ext", "filter"),
+)
+def q_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison / BETWEEN / IN predicates — the superset of the
+    reference's equality-only WHERE surface. All three predicate
+    forms push down to Parquet row-group statistics."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & F.col("l_returnflag").isin("A", "R")
+    ).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate",
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, s.s_suppkey, s.s_name, s.s_acctbal
+    FROM nation n LEFT JOIN supplier s ON n.n_nationkey = s.s_nationkey
+    """,
+    tags=("ext", "join"),
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer equi-join; nations without suppliers surface NULLs."""
+    n = _t(spark, sf_dir, "nation").alias("n")
+    s = _t(spark, sf_dir, "supplier").alias("s")
+    return n.join(s, F.col("n.n_nationkey") == F.col("s.s_nationkey"), "left").select(
+        "n.n_nationkey", "n.n_name", "s.s_suppkey", "s.s_name", "s.s_acctbal"
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT n.* FROM nation n
+    WHERE EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+    """,
+    tags=("ext", "join"),
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: nations having at least one supplier. Plans as
+    a broadcast semi at this size; no row duplication ever."""
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    return n.join(s, n.n_nationkey == s.s_nationkey, "left_semi")
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+    )
+    """,
+    tags=("ext", "join"),
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no in-progress ('P') order —
+    non-empty at every scale factor, unlike nation∖supplier."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, p.p_name, p.p_brand, p.p_size
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size < 10
+    """,
+    tags=("ext", "join"),
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim with an explicit broadcast hint: at 100 TB the fact
+    side never shuffles — the filtered dimension ships to every
+    executor (map-side hash join)."""
+    l = _t(spark, sf_dir, "lineitem").alias("l")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") < 10).alias("p")
+    return l.join(F.broadcast(p), F.col("l.l_partkey") == F.col("p.p_partkey")).select(
+        "l.l_orderkey", "l.l_linenumber", "l.l_quantity",
+        "p.p_name", "p.p_brand", "p.p_size",
+    )
+
+
+@register(
+    "q_join_range",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, c.c_custkey, c.c_acctbal
+    FROM supplier s JOIN customer c
+      ON c.c_acctbal BETWEEN s.s_acctbal - 100 AND s.s_acctbal
+    """,
+    tags=("ext", "join"),
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (range) join — no equality conjunct, so Catalyst plans
+    broadcast-nested-loop with the small side broadcast. Scale path:
+    bucketize `acctbal` to width-100 bins and equi-join on bin±1
+    before the residual BETWEEN filter (see SCALE.md)."""
+    s = _t(spark, sf_dir, "supplier").alias("s")
+    c = _t(spark, sf_dir, "customer").alias("c")
+    cond = F.col("c.c_acctbal").between(F.col("s.s_acctbal") - 100, F.col("s.s_acctbal"))
+    return F.broadcast(s).join(c, cond).select(
+        "s.s_suppkey", "s.s_name", "c.c_custkey", "c.c_acctbal"
+    )
+
+
+@register(
+    "q_join_multi",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    tags=("ext", "join", "agg"),
+)
+def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-table star join: revenue by nation within a
+    region. Declarative star join → Catalyst reorders so the
+    region→nation→customer dimension chain broadcasts and only the
+    fact tables shuffle; the sum is decimal-exact then cast to double
+    so the result is order-independent (oracle-identical)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(22,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )

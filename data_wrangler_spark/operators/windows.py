@@ -1,0 +1,159 @@
+"""Window-function extensions (SURVEY.md §2.4 "Window functions").
+
+The reference has none (the `rank` column in its testdb.sql:9 fixture
+is plain data). All builders order within partitions by a unique
+tiebreaker (o_orderkey) so every windowed value is deterministic —
+Spark guarantees nothing about peer order otherwise (SURVEY §7.3).
+
+Scale notes: a window over `partitionBy(k)` shuffles once on k and
+sorts within partitions; all five queries below share the same
+(o_custkey | o_orderpriority) partitioning, so on a cluster they are
+one shuffle each. Skewed partition keys (one giant customer) are the
+risk at 100 TB — AQE does not split window skew, so the mitigation is
+pre-bucketing the table on the partition key (SCALE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from data_wrangler_spark.catalog import load_table
+from data_wrangler_spark.registry import register
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders")
+
+
+# Shared window: per-customer order history in time order, pk tiebreak.
+def _cust_window() -> Window:
+    return Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+
+
+@register(
+    "q_window_rank",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           CAST(RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS INT) AS price_rank,
+           CAST(DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS INT) AS price_dense_rank
+    FROM orders
+    """,
+    tags=("ext", "window"),
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank within priority class by price. Rank values are
+    deterministic under ties even without a tiebreaker."""
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"))
+    return _orders(spark, sf_dir).select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+    )
+
+
+@register(
+    "q_window_rownum",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS seq
+      FROM orders)
+    WHERE seq <= 3
+    """,
+    tags=("ext", "window"),
+)
+def q_window_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number over a total order — first 3 orders per customer.
+    Also the deterministic-pagination primitive for D8."""
+    return (
+        _orders(spark, sf_dir)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.row_number().over(_cust_window()).alias("seq"),
+        )
+        .filter(F.col("seq") <= 3)
+    )
+
+
+@register(
+    "q_window_lag_lead",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           LAG(o_orderdate)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_date,
+           LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_date,
+           LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+    FROM orders
+    """,
+    tags=("ext", "window"),
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead across each customer's order history."""
+    w = _cust_window()
+    return _orders(spark, sf_dir).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+        F.lead("o_orderdate").over(w).alias("next_date"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+    )
+
+
+@register(
+    "q_window_moving_avg",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(22,6)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg_price
+    FROM orders
+    """,
+    tags=("ext", "window"),
+)
+def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average of order value per customer. Expressed as
+    exact-decimal frame sum / frame count so the double result is
+    frame-order-independent (oracle-identical)."""
+    w = _cust_window().rowsBetween(-2, Window.currentRow)
+    return _orders(spark, sf_dir).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(22,6)")).over(w).cast("double")
+            / F.count("*").over(w)
+        ).alias("moving_avg_price"),
+    )
+
+
+@register(
+    "q_window_running_sum",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(22,6)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+    tags=("ext", "window"),
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running lifetime spend per customer (unbounded-preceding frame),
+    decimal-exact then cast to double."""
+    w = _cust_window().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return _orders(spark, sf_dir).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(22,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
