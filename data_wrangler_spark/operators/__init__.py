@@ -5,5 +5,6 @@ from data_wrangler_spark.operators import (  # noqa: F401
     core,
     joins,
     setops,
+    udx,
     windows,
 )
