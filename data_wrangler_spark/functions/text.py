@@ -1,0 +1,63 @@
+"""Text primitives: tokenization, shingles, counting — built-ins only.
+
+Shared by the text-analysis and dedup operators. Everything here is a
+Column expression (whole-stage codegen); the DuckDB-mirror SQL
+fragments keep oracle arithmetic identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+TOKEN_REGEX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"  # BPE-ish: runs of letters, digits, or single punct
+
+
+def words(col: Column | str) -> Column:
+    """Whitespace tokens of trimmed text (never yields [''])."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles, built with sequence+transform —
+    no explode, no UDF; stays one row per document. Empty array for
+    docs shorter than n words (Spark's sequence() would otherwise
+    generate a *descending* range when start > stop)."""
+    w = words(col)
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + off) for off in range(n)]),
+    )
+    return F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(gram)
+    )
+
+
+def occurrence_count(col: Column | str, needle: str) -> Column:
+    """Non-overlapping occurrence count via replace-length arithmetic —
+    the formulation DuckDB reproduces exactly."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.length(c) - F.length(F.replace(c, F.lit(needle), F.lit("")))) / len(needle)
+
+
+# ---- DuckDB SQL mirrors (for oracle strings) ----
+
+def sql_words(expr: str) -> str:
+    return f"string_split_regex(trim({expr}), '\\s+')"
+
+
+def sql_shingles_of(wvar: str, n: int = 3) -> str:
+    """Shingle list from a words-list variable `wvar` (bind it in a
+    prior CTE). range() stop is exclusive → i ∈ [1, len-n+1]."""
+    concat = " || ' ' || ".join(f"{wvar}[i+{off}]" for off in range(n))
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({wvar}) - {n - 2}, 1)), i -> {concat}))"
+    )
+
+
+def sql_occurrence_count(expr: str, needle: str) -> str:
+    quoted = needle.replace("'", "''")
+    return (
+        f"(length({expr}) - length(replace({expr}, '{quoted}', ''))) / {len(needle)}"
+    )

@@ -3,8 +3,12 @@
 from data_wrangler_spark.operators import (  # noqa: F401
     aggregates,
     core,
+    dedup,
     joins,
+    multimodal,
     setops,
+    similarity,
+    text_analysis,
     udx,
     windows,
 )

@@ -1,0 +1,117 @@
+"""Multimodal-column operators (north star).
+
+Image/audio/video content at 100 TB lives as opaque `binary` columns
+plus typed metadata structs; the decode step runs in Arrow-batched
+Python (`mapInPandas`) so each worker processes partition-sized
+batches. The actual codec libraries aren't in this container, so the
+decode body is a deterministic fake behind `_decode_stub` — the
+Spark-side plumbing (schemas, batching, partitioning) is real and
+oracle-checked where the fake is SQL-expressible.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from data_wrangler_spark.catalog import load_table
+from data_wrangler_spark.registry import register
+
+
+@register(
+    "q_multimodal_cols",
+    oracle="""
+    SELECT d.doc_id, d.text, d.lang,
+           CAST(len(e.embedding) AS INT) AS dim,
+           e.label
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal record assembly: join text + embedding modalities,
+    pack into a typed struct (the storage/transport shape), then
+    project fields back out (what the harness can value-compare).
+    The struct round-trip is the point: schema evolution and columnar
+    pruning both operate on the struct fields at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    rec = (
+        d.join(e, d.doc_id == e.vec_id)
+        .select(
+            F.struct(
+                F.col("doc_id"),
+                F.col("text"),
+                F.col("lang"),
+                F.col("embedding"),
+                F.col("label"),
+            ).alias("record")
+        )
+    )
+    return rec.select(
+        F.col("record.doc_id").alias("doc_id"),
+        F.col("record.text").alias("text"),
+        F.col("record.lang").alias("lang"),
+        F.size("record.embedding").alias("dim"),
+        F.col("record.label").alias("label"),
+    )
+
+
+def _decode_stub(payload: bytes) -> dict:
+    """Deterministic fake decoder. A real deployment swaps this body
+    for PIL/librosa/ffmpeg frame sampling; the signature — bytes in,
+    typed features out — and the surrounding Arrow batching are what
+    the engine guarantees. Raising NotImplementedError here would
+    also be legitimate; a deterministic fake keeps the plumbing
+    testable end-to-end."""
+    return {
+        "byte_len": len(payload),
+        "content_sha": hashlib.sha256(payload).hexdigest(),
+        "n_frames": len(payload) % 10,  # fake "frame count"
+    }
+
+
+@register(
+    "q_mm_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS byte_len,
+           sha256(text)                            AS content_sha,
+           CAST(octet_length(encode(text)) % 10 AS INT) AS n_frames,
+           lang
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode / feature-extract plumbing: text → binary column
+    (standing in for image/audio payloads), then mapInPandas batches
+    run the (stubbed) decoder per payload. Arrow moves binary columns
+    zero-copy; partition count — not row count — bounds Python
+    invocations. The oracle reproduces the fake decoder in SQL, so
+    the full Python path is value-checked."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload"), "lang"
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(_decode_stub)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": feats.map(lambda f: f["byte_len"]),
+                    "content_sha": feats.map(lambda f: f["content_sha"]),
+                    "n_frames": feats.map(lambda f: f["n_frames"]),
+                    "lang": pdf["lang"],
+                }
+            )
+
+    return d.mapInPandas(
+        decode_batches,
+        "doc_id bigint, byte_len int, content_sha string, n_frames int, lang string",
+    )

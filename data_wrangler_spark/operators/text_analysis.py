@@ -1,0 +1,179 @@
+"""Text-analysis operators for training-data pipelines (north star).
+
+Language-ID (marker-word heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting (md5 +
+rolling polynomial hash) over the `documents` table. All pure Column
+expressions — at 100 TB these run as a single scan with no shuffle
+(fingerprint dup-grouping shuffles only the 16-byte digest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from data_wrangler_spark.catalog import load_table
+from data_wrangler_spark.functions.text import (
+    TOKEN_REGEX,
+    occurrence_count,
+    sql_occurrence_count,
+    sql_words,
+    words,
+)
+from data_wrangler_spark.registry import register
+
+
+@register(
+    "q_text_stats",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars,
+           CAST(len({sql_words('text')}) AS INT) AS n_words,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len({sql_words('text')})          AS avg_word_len,
+           CAST({sql_occurrence_count('text', ' a ')} AS DOUBLE)  AS n_article_a,
+           CAST(length(text) - length(replace(text, ' ', '')) AS INT) AS n_spaces,
+           (n_chars >= 100 AND len({sql_words('text')}) >= 20)    AS passes_quality
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality statistics: word count, mean word length,
+    article frequency, whitespace count, and a min-length quality
+    gate — the standard pre-training corpus filters."""
+    d = load_table(spark, sf_dir, "documents")
+    w = words("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(w).alias("n_words"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(w)
+        ).alias("avg_word_len"),
+        occurrence_count("text", " a ").cast("double").alias("n_article_a"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))).alias(
+            "n_spaces"
+        ),
+        ((F.col("n_chars") >= 100) & (F.size(w) >= 20)).alias("passes_quality"),
+    )
+
+
+_MARKERS = {"en": " the ", "fr": " le ", "de": " der ", "es": " el "}
+
+
+def _lang_oracle() -> str:
+    counts = ",\n           ".join(
+        f"CAST({sql_occurrence_count('text', m)} AS DOUBLE) AS cnt_{lang}"
+        for lang, m in _MARKERS.items()
+    )
+    # argmax by count, ties broken by marker order, all-zero → 'und'
+    cond = "CASE "
+    for lang in _MARKERS:
+        others = " AND ".join(
+            f"cnt_{lang} >= cnt_{o}" for o in _MARKERS if o != lang
+        )
+        cond += f"WHEN cnt_{lang} > 0 AND {others} THEN '{lang}' "
+    cond += "ELSE 'und' END"
+    return f"""
+    SELECT doc_id, lang, {cond} AS lang_pred, cnt_en, cnt_fr, cnt_de, cnt_es
+    FROM (SELECT doc_id, lang,
+           {counts}
+          FROM documents)
+    """
+
+
+@register("q_text_lang", oracle=_lang_oracle(), tags=("llm", "text"))
+def q_text_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-style language ID: count per-language marker stopwords,
+    argmax with deterministic tie-breaking ('und' when no marker
+    fires). The marker table extends without code change; at scale
+    this is one scan, zero shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = {
+        lang: occurrence_count("text", m).cast("double")
+        for lang, m in _MARKERS.items()
+    }
+    # CASE chain in marker order: first matching language wins ties
+    chain = None
+    for lang in _MARKERS:
+        cond = (cnt[lang] > 0)
+        for other in _MARKERS:
+            if other != lang:
+                cond = cond & (cnt[lang] >= cnt[other])
+        chain = F.when(cond, F.lit(lang)) if chain is None else chain.when(cond, F.lit(lang))
+    pred = chain.otherwise(F.lit("und"))
+    return d.select(
+        "doc_id",
+        "lang",
+        pred.alias("lang_pred"),
+        *[cnt[lang].alias(f"cnt_{lang}") for lang in _MARKERS],
+    )
+
+
+@register(
+    "q_text_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({sql_words('text')}) AS INT)                         AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS INT)   AS n_bpe_tokens,
+           CAST(len(list_distinct(regexp_extract_all(text, '{TOKEN_REGEX}'))) AS INT)
+                                                                          AS n_unique_tokens,
+           CAST(n_chars AS DOUBLE) / len(regexp_extract_all(text, '{TOKEN_REGEX}'))
+                                                                          AS chars_per_token
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    tokenizer (letter runs / digit runs / single punctuation) — the
+    cheap proxy for LLM token budgeting at corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0)
+    return d.select(
+        "doc_id",
+        F.size(words("text")).alias("n_ws_tokens"),
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        (F.col("n_chars").cast("double") / F.size(toks)).alias("chars_per_token"),
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(lower(trim(text))) AS fingerprint,
+             list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                 list_transform({sql_words('lower(text)')},
+                                w -> CAST(length(w) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_hash
+      FROM documents)
+    SELECT doc_id, fingerprint, rolling_hash,
+           CAST(COUNT(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS n_copies
+    FROM fp
+    """,
+    tags=("llm", "text"),
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of normalized text (exact-dup
+    key) + a rolling polynomial hash folded over word lengths
+    (order-sensitive, modular to avoid bigint overflow — DuckDB
+    raises on overflow where Spark wraps). n_copies counts the
+    fingerprint's cluster size."""
+    d = load_table(spark, sf_dir, "documents")
+    rolling = F.aggregate(
+        words(F.lower(F.col("text"))),
+        F.lit(7).cast("long"),
+        lambda acc, w: (acc * 31 + F.length(w)) % 1000000007,
+    )
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+        rolling.alias("rolling_hash"),
+    ).withColumn(
+        "n_copies", F.count("*").over(Window.partitionBy("fingerprint"))
+    )
