@@ -1,0 +1,262 @@
+"""Streaming operators over the `events` table (SURVEY.md §2.4).
+
+The reference is strictly request/response (socket.io appears in its
+package.json:32 but is never imported). These are north-star surface,
+built on Structured Streaming semantics:
+
+- tumbling / sliding / session windows are declared with the same
+  `F.window` / `F.session_window` expressions in batch and streaming —
+  Spark guarantees identical results for the windowed aggregation, so
+  these run in batch here (oracle-checkable) and
+  tests/test_streaming.py pins batch ≡ readStream parity;
+- `q_stream_watermark` and `q_stream_dedup` run REAL streams (file
+  source → availableNow trigger → memory sink) because their
+  semantics — state eviction, append-mode emission,
+  dedup-within-watermark — only exist in streaming. Deterministic by
+  construction: fixed file splits, fixed watermark delays.
+
+Scale notes: streaming state (session windows, dedup keys) lives in
+the state store — at scale use the RocksDB provider
+(`spark.sql.streaming.stateStore.providerClass`) and watermark delays
+tight enough to bound state; `spark.sql.shuffle.partitions` fixes the
+state-store shard count at the first run of a checkpoint.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from data_wrangler_spark.catalog import load_table
+from data_wrangler_spark.operators.aggregates import dsum
+from data_wrangler_spark.registry import register
+
+SCRATCH = "/root/repo/.scratch"
+
+
+# SQL mirror of Spark's epoch-aligned window start: floor the event
+# epoch to the window grid (offset for sliding-window phases).
+def _sql_bucket(col: str, seconds: int, offset: int = 0) -> str:
+    return (
+        f"make_timestamp((CAST(floor((epoch({col}) - {offset}) / {seconds}) AS BIGINT)"
+        f" * {seconds} + {offset}) * 1000000)"
+    )
+
+
+@register(
+    "q_stream_tumbling",
+    oracle=f"""
+    SELECT {_sql_bucket('ts', 300)} AS w_start,
+           {_sql_bucket('ts', 300)} + INTERVAL 5 MINUTE AS w_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=("stream",),
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling windows per event type. Epoch-aligned starts
+    match the oracle's explicit floor arithmetic; the same expression
+    under readStream is pinned equal in tests/test_streaming.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q_stream_sliding",
+    oracle=f"""
+    WITH expanded AS (
+      SELECT make_timestamp((CAST(floor((epoch(ts) - k) / 600) AS BIGINT) * 600 + k)
+                            * 1000000) AS w_start,
+             value
+      FROM events, (SELECT unnest([0, 300]) AS k) ks)
+    SELECT w_start,
+           w_start + INTERVAL 10 MINUTE AS w_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total_value
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+    tags=("stream",),
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 — each event lands in exactly
+    two windows; the oracle expands the two phase-offsets explicitly."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "q_stream_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT user_id,
+           MIN(ts) AS s_start,
+           MAX(ts) + INTERVAL 5 MINUTE AS s_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total_value
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+    tags=("stream",),
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 5-minute inactivity gap
+    (session end = last event + gap). The oracle derives identical
+    sessions with lag + cumulative-sum — the classic batch
+    sessionization — which doubles as the session_window semantics
+    spec: a gap ≥ 5 min starts a new session."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# True-streaming runs (file source → availableNow → memory sink)
+# ---------------------------------------------------------------------------
+
+def _run_stream(stream_df, query_name: str) -> DataFrame:
+    """Drive a bounded stream to completion synchronously and return
+    the sink contents as a batch DataFrame."""
+    spark = stream_df.sparkSession
+    sink = f"{query_name}_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(SCRATCH, "ckpt", sink)
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+def _staged_events(spark: SparkSession, sf_dir: str, tag: str, n_copies: int = 1,
+                   split_frac: float | None = None) -> tuple[str, DataFrame]:
+    """Stage the events table into scratch parquet files that a file
+    stream will consume as separate micro-batches (one file per
+    trigger, ordered by modification time)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = os.path.join(SCRATCH, "stream_in", f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+
+    parts: list[DataFrame] = []
+    if split_frac is not None:
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+        cut = lo + (hi - lo) * split_frac
+        parts = [ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut)]
+    else:
+        parts = [ev] * n_copies
+
+    for i, p in enumerate(parts):
+        tmp = os.path.join(base, f"_tmp{i}")
+        p.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(
+            os.path.join(tmp, f) for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        dst = os.path.join(base, f"{i:03d}.parquet")
+        shutil.move(src, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        # strictly increasing mtimes → deterministic batch order
+        ts_file = time.time() + i
+        os.utime(dst, (ts_file, ts_file))
+    return base, ev
+
+
+@register("q_stream_watermark", tags=("stream", "stateful"))  # rows-only: append-mode emission
+def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling aggregation under a REAL stream: events
+    split at the 80% time-quantile into two files, streamed one file
+    per micro-batch. The 10-minute watermark advances after batch 1,
+    so append mode emits exactly the windows closed by it; the tail
+    windows stay in state — the late-data-bounding behavior this
+    operator exists to pin. Deterministic, but append-emission
+    semantics aren't SQL-expressible → rows-only + pytest pins."""
+    base, ev = _staged_events(spark, sf_dir, "wm", split_frac=0.8)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_stream(stream, "q_stream_watermark")
+
+
+@register(
+    "q_stream_dedup",
+    oracle="SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events",
+    tags=("stream", "stateful"),
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: the events table staged TWICE (every row a
+    cross-batch duplicate), deduped by event_id with
+    dropDuplicatesWithinWatermark. The 35-day delay exceeds the data's
+    whole time span, so no dedup state is ever evicted and the result
+    is exactly one row per event_id — which is why this streaming-only
+    operator still gets a SQL oracle (SELECT * FROM events)."""
+    base, ev = _staged_events(spark, sf_dir, "dedup", n_copies=2)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+        .withWatermark("ts", "35 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    out = _run_stream(stream, "q_stream_dedup")
+    return out.select("event_id", "ts", "user_id", "event_type", "value", "props")

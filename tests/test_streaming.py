@@ -1,0 +1,73 @@
+"""Streaming pins: batch ≡ streaming parity for windowed aggregation,
+and the append-mode/watermark behaviors the oracle harness can't see."""
+
+from pyspark.sql import functions as F
+
+from data_wrangler_spark import REGISTRY
+from data_wrangler_spark.catalog import load_table
+from data_wrangler_spark.operators.aggregates import dsum
+from data_wrangler_spark.streaming.windows import _run_stream, _staged_events
+
+
+def _rows(df, keys):
+    return sorted(tuple(r[k] for k in keys) for r in df.collect())
+
+
+def test_tumbling_batch_equals_streaming(spark, sf_dir):
+    """The same window expression must produce identical results in
+    batch and under readStream in complete mode — Spark's unified
+    semantics, verified end-to-end."""
+    batch = REGISTRY["q_stream_tumbling"].run(spark, sf_dir)
+
+    base, ev = _staged_events(spark, sf_dir, "parity", n_copies=1)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .parquet(base)
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    import uuid
+
+    sink = f"parity_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.table(sink)
+
+    keys = ["w_start", "w_end", "event_type", "n_events", "total_value"]
+    assert _rows(batch, keys) == _rows(streamed, keys)
+
+
+def test_watermark_emits_only_closed_windows(spark, sf_dir):
+    """Append mode: every emitted window must have closed under the
+    final watermark (end ≤ max event time of the FIRST batch − 10min
+    is the lower bound; nothing may leak past the stream's max ts)."""
+    out = REGISTRY["q_stream_watermark"].run(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    emitted = out.collect()
+    assert emitted, "watermark stream emitted nothing"
+    assert all(r.w_end <= hi for r in emitted)
+    # the tail windows (after the final watermark) must NOT be emitted
+    batch_all = REGISTRY["q_stream_tumbling"].run(spark, sf_dir).count()
+    assert len(emitted) < batch_all
+
+
+def test_stream_dedup_exact(spark, sf_dir):
+    """Duplicated stream → exactly one row per event_id."""
+    out = REGISTRY["q_stream_dedup"].run(spark, sf_dir)
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert out.count() == n_events
+    assert out.select("event_id").distinct().count() == n_events
