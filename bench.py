@@ -25,6 +25,12 @@ HEADLINE = [
     "q_topk",               # TakeOrderedAndProject
     "q_sort_paginate",      # global sort + offset/limit
     "q_agg_count_distinct", # distinct aggregation
+    "q_dedup_minhash",      # MinHash+LSH near-dup candidates
+    "q_dedup_jaccard",      # exact n-gram Jaccard pair join
+    "q_sim_join",           # all-pairs cosine similarity join
+    "q_text_stats",         # text quality scan
+    "q_stream_tumbling",    # windowed aggregation
+    "q_stream_session",     # session windows
 ]
 
 
@@ -36,10 +42,20 @@ def main() -> None:
     from data_wrangler_spark import REGISTRY
 
     spark = get_spark("bench")
-    # Warm the JVM + parquet footer caches so q1 doesn't pay startup.
-    REGISTRY["q_scan_project_all"].run(spark, sf_dir).count()
-
     names = [n for n in HEADLINE if n in REGISTRY]
+
+    # Warm-up: run every headline plan once at the smallest SF so JIT
+    # compilation and parquet-footer caching don't distort the first
+    # measured query (steady-state throughput is the metric).
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in names:
+            try:
+                REGISTRY[name].run(spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()

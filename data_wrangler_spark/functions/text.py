@@ -18,19 +18,28 @@ def words(col: Column | str) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles, built with sequence+transform —
-    no explode, no UDF; stays one row per document. Empty array for
-    docs shorter than n words (Spark's sequence() would otherwise
+def shingles_from_words(wcol: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-BOUND words-array
+    column. Callers must project `words(text)` to a column first:
+    inlining the split() expression here makes every element_at
+    re-evaluate the regex split inside the interpreted lambda
+    (~150× per doc — measured 8.6s vs 0.4s on 5k docs). Empty array
+    for docs shorter than n words (Spark's sequence() would otherwise
     generate a *descending* range when start > stop)."""
-    w = words(col)
     gram = F.transform(
-        F.sequence(F.lit(1), F.size(w) - (n - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(w, i + off) for off in range(n)]),
+        F.sequence(F.lit(1), F.size(wcol) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(wcol, i + off) for off in range(n)]),
     )
-    return F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
+    return F.when(F.size(wcol) < n, F.array().cast("array<string>")).otherwise(
         F.array_distinct(gram)
     )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Shingles straight from a text column — convenience for tests
+    and single-use expressions. Hot paths should bind words() to a
+    column and use shingles_from_words (see that docstring)."""
+    return shingles_from_words(words(col), n)
 
 
 def occurrence_count(col: Column | str, needle: str) -> Column:

@@ -24,8 +24,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from data_wrangler_spark.catalog import load_table
-from data_wrangler_spark.functions.text import sql_shingles_of, sql_words, word_shingles
-from data_wrangler_spark.functions.vectors import cosine, sql_cosine, to_double_array
+from data_wrangler_spark.functions.text import (
+    shingles_from_words,
+    sql_shingles_of,
+    sql_words,
+)
+from data_wrangler_spark.functions.vectors import (
+    sql_dot,
+    sql_norm,
+    sql_round6,
+    to_double_array,
+)
 from data_wrangler_spark.registry import register
 
 N_MINHASH = 16  # minhash signature length
@@ -64,16 +73,22 @@ def _minhash_signatures(d: DataFrame) -> DataFrame:
 
     One row per doc throughout: the k minhashes are computed with
     array_min over transform(shingles, hash(shingle, seed)) — no
-    explode, no shuffle until the band grouping.
+    explode, no shuffle until the band grouping. Words and shingles
+    are bound to columns first so the tokenizer runs once per doc,
+    not once per lambda evaluation.
     """
-    sh = word_shingles("text", 3)
+    from data_wrangler_spark.functions.text import words
+
+    sh = d.select("doc_id", words("text").alias("w")).select(
+        "doc_id", shingles_from_words(F.col("w"), 3).alias("sh")
+    )
     sig = F.array(
         *[
-            F.array_min(F.transform(sh, lambda s: F.hash(s, F.lit(j))))
+            F.array_min(F.transform(F.col("sh"), lambda s: F.hash(s, F.lit(j))))
             for j in range(N_MINHASH)
         ]
     )
-    return d.select("doc_id", sig.alias("sig"))
+    return sh.select("doc_id", sig.alias("sig"))
 
 
 @register("q_dedup_minhash", tags=("llm", "dedup", "approx"))  # rows-only: Spark hash ≠ DuckDB hash
@@ -215,8 +230,21 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inclusion-exclusion. This is the verify stage of MinHash pipelines
     run standalone; the shingle join is an equi-shuffle, never a
     cross-join."""
+    from pyspark import StorageLevel
+
+    from data_wrangler_spark.functions.text import words
+
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", word_shingles("text", 3).alias("shingles"))
+    sh = d.select("doc_id", words("text").alias("w")).select(
+        "doc_id", shingles_from_words(F.col("w"), 3).alias("shingles")
+    )
+    # Materialize the shingle arrays once: Generate (explode) inlines
+    # its child expression into the codegen'd emit loop, re-running
+    # the whole shingle transform PER ELEMENT (~50×; measured 16s vs
+    # 0.3s at sf0.1), and the table feeds three consumers (two join
+    # sides + sizes). ~2 MB per 5k docs; at corpus scale this is a
+    # checkpoint to storage instead.
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     a = ex.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -227,11 +255,13 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
+    # sizes is tiny (one int per doc) — broadcast both lookups so the
+    # 1M-pair intersection table never shuffles again
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     jac = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
@@ -246,28 +276,40 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH n AS (SELECT vec_id, label,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-               FROM embeddings)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-           {sql_cosine('a.e', 'b.e')} AS cos_sim
-    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {sql_cosine('a.e', 'b.e')} >= 0.3
+               FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+             {sql_round6(f"{sql_dot('a.e', 'b.e')} / ({sql_norm('a.e')} * {sql_norm('b.e')})")} AS cos_sim
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, label, cos_sim FROM scored WHERE cos_sim >= 0.3
     """,
     tags=("llm", "dedup"),
 )
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup within label blocks: equi-join on the
-    block key (label) rules out the O(n²) cross-join, then exact
-    cosine ≥ 0.3 inside each block. At 100 TB the block key is an LSH
-    bucket or cluster id; the plan shape is identical."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    block key (label) rules out the O(n²) cross-join, then cosine
+    ≥ 0.3 (at 1e-6 precision) inside each block — norms once per
+    vector JVM-side, dot products Arrow-vectorized (make_dot_udf).
+    At 100 TB the block key is an LSH bucket or cluster id; the plan
+    shape is identical."""
+    from data_wrangler_spark.functions.vectors import make_dot_udf, norm, round6
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = raw.select(
         "vec_id", "label", to_double_array("embedding").alias("e")
-    )
-    a = e.select(F.col("vec_id").alias("vec_a"), "label", F.col("e").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), "label", F.col("e").alias("eb"))
+    ).withColumn("nrm", norm(F.col("e")))
+    a = e.select(F.col("vec_id").alias("vec_a"), "label",
+                 F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), "label",
+                 F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    dot_udf = make_dot_udf()
     return (
         a.join(b, "label")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_sim", cosine(F.col("ea"), F.col("eb")))
+        .withColumn(
+            "cos_sim",
+            round6(dot_udf(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))),
+        )
         .filter(F.col("cos_sim") >= 0.3)
         .select("vec_a", "vec_b", "label", "cos_sim")
     )

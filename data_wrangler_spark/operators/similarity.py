@@ -20,7 +20,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from data_wrangler_spark.catalog import load_table
 from data_wrangler_spark.functions.vectors import (
     cosine,
+    embedding_dim,
+    make_dot_udf,
+    norm,
+    round6,
     sql_cosine,
+    sql_dot,
+    sql_norm,
+    sql_round6,
     to_double_array,
 )
 from data_wrangler_spark.registry import register
@@ -59,14 +66,14 @@ def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10 cosine neighbors of the first vector. Broadcast
     the single query row; cosine is a codegen'd fold; top-k plans as
     TakeOrderedAndProject (per-task heaps, no global sort)."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", to_double_array("embedding").alias("e")
-    )
+    raw = load_table(spark, sf_dir, "embeddings")
+    dim = embedding_dim(raw)
+    e = raw.select("vec_id", "label", to_double_array("embedding").alias("e"))
     qid, q = _query_vec(spark, sf_dir)
     return (
         e.filter(F.col("vec_id") != qid)
         .crossJoin(F.broadcast(q))
-        .withColumn("cos_sim", cosine(F.col("e"), F.col("qe")))
+        .withColumn("cos_sim", cosine(F.col("e"), F.col("qe"), dim))
         .select("vec_id", "label", "cos_sim")
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
@@ -87,18 +94,22 @@ def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # hyperplane p weight for dim i: deterministic pseudo-random ±1
     # from murmur3 — hash(i, p) keeps everything JVM-side.
+    dim = embedding_dim(load_table(spark, sf_dir, "embeddings"))
+
     def plane_proj(vec_col, p: int):
         # projection of vec onto hyperplane p whose per-dim weights
-        # are deterministic ±1 from murmur3(i, p); factory keeps the
-        # zip_with lambda 2-arg (PySpark introspects Python arity).
-        def weight(x, i):
-            return x * (F.hash(i, F.lit(p)).bitwiseAND(F.lit(1)) * 2 - 1).cast("double")
-
-        return F.aggregate(
-            F.zip_with(vec_col, F.sequence(F.lit(0), F.size(vec_col) - 1), weight),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        # are deterministic ±1 from murmur3(i, p) — hash(lit, lit)
+        # constant-folds at plan time, so the unrolled sum is pure
+        # codegen arithmetic with literal weights.
+        terms = [
+            F.element_at(vec_col, i + 1)
+            * (F.hash(F.lit(i), F.lit(p)).bitwiseAND(F.lit(1)) * 2 - 1).cast("double")
+            for i in range(dim)
+        ]
+        expr = terms[0]
+        for t in terms[1:]:
+            expr = expr + t
+        return expr
 
     def signature(vec_col):
         bits = [
@@ -126,7 +137,7 @@ def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["vec_id"])
     )
     return (
-        cand.withColumn("cos_sim", cosine(F.col("e"), F.col("qe")))
+        cand.withColumn("cos_sim", cosine(F.col("e"), F.col("qe"), dim))
         .select("vec_id", "label", "cos_sim")
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
@@ -138,27 +149,58 @@ def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH n AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-               FROM embeddings)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           {sql_cosine('a.e', 'b.e')} AS cos_sim
-    FROM n a JOIN n b ON a.vec_id < b.vec_id
-    WHERE {sql_cosine('a.e', 'b.e')} >= 0.35
+               FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {sql_round6(f"{sql_dot('a.e', 'b.e')} / ({sql_norm('a.e')} * {sql_norm('b.e')})")} AS cos_sim
+      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.35
     """,
     tags=("llm", "similarity"),
 )
 def q_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs similarity join (cosine ≥ 0.35). Correctness
-    baseline for the LSH-blocked variant; the n² pair space is the
-    reason the blocked plan exists — kept exact here so the oracle
-    can verify it."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", to_double_array("embedding").alias("e")
+    """Exact all-pairs similarity join (cosine ≥ 0.35, reported at
+    1e-6 precision). The pair-generation is a cheap id theta-join;
+    vectors re-attach via broadcast equi-joins; the 2M dot products
+    run Arrow-vectorized in numpy (see make_dot_udf for why codegen
+    loses here); norms are computed once per vector JVM-side. The n²
+    pair space is the reason the LSH/blocked variants exist — this is
+    the correctness baseline."""
+    import numpy as np
+    import pandas as pd
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    # Broadcast the embedding matrix (n×d float64 — 1 MB at sf0.1) and
+    # run blocked GEMM over distributed id-pairs: the Arrow traffic is
+    # 16 bytes/pair instead of 2×d×8 — measured 15.4s → ~2s at sf0.1.
+    # At corpus scale the broadcast side is an LSH/cluster block, not
+    # the full matrix (same plan shape as q_dedup_embed's blocking).
+    emb_pdf = raw.select("vec_id", "embedding").toPandas()
+    mat = np.vstack(emb_pdf["embedding"].to_numpy()).astype(np.float64)
+    id_arr = emb_pdf["vec_id"].to_numpy()
+    bc = spark.sparkContext.broadcast((id_arr, mat))
+
+    ids = raw.select("vec_id")
+    pairs = ids.select(F.col("vec_id").alias("vec_a")).join(
+        ids.select(F.col("vec_id").alias("vec_b")), F.col("vec_a") < F.col("vec_b")
     )
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_sim", cosine(F.col("ea"), F.col("eb")))
-        .filter(F.col("cos_sim") >= 0.35)
-        .select("vec_a", "vec_b", "cos_sim")
-    )
+
+    def score(batches):
+        id_a, m = bc.value
+        idx = {int(v): i for i, v in enumerate(id_a)}
+        nrm = np.sqrt(np.einsum("ij,ij->i", m, m))
+        for pdf in batches:
+            ia = pdf["vec_a"].map(idx).to_numpy()
+            ib = pdf["vec_b"].map(idx).to_numpy()
+            cos = np.einsum("ij,ij->i", m[ia], m[ib]) / (nrm[ia] * nrm[ib])
+            cos = np.floor(cos * 1_000_000 + 0.5) / 1_000_000
+            keep = cos >= 0.35
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"][keep],
+                    "vec_b": pdf["vec_b"][keep],
+                    "cos_sim": cos[keep],
+                }
+            )
+
+    return pairs.mapInPandas(score, "vec_a long, vec_b long, cos_sim double")
