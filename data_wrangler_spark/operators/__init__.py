@@ -6,6 +6,7 @@ from data_wrangler_spark.operators import (  # noqa: F401
     dedup,
     joins,
     multimodal,
+    relational_extras,
     setops,
     similarity,
     text_analysis,

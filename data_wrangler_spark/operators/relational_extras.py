@@ -1,0 +1,292 @@
+"""Relational completeness extras: pivot/unpivot, HAVING, percentiles,
+conditional functions, subqueries, as-of join, fuzzy dedup.
+
+None of these exist in the reference (its SQL surface is the eleven
+shapes in SURVEY §2.2); they round out what a user of a general
+analytics engine expects, each with an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from data_wrangler_spark.catalog import load_table
+from data_wrangler_spark.operators.aggregates import dsum
+from data_wrangler_spark.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "q_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+           CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS n_o,
+           CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS n_p,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(22,6))) FILTER (o_orderstatus = 'F') AS DOUBLE) AS total_f
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("ext", "pivot"),
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status into columns per priority. Explicit value
+    list — at scale an unlisted pivot triggers a distinct-scan first;
+    always enumerate when the domain is known."""
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        # pivot aggregates must be bare aggregate calls (no outer
+        # cast/arithmetic) — post-cast in the select below instead
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(22,6)")).alias("total"),
+        )
+    )
+    return p.select(
+        "o_orderpriority",
+        F.col("F_n").alias("n_f"),
+        F.col("O_n").alias("n_o"),
+        F.col("P_n").alias("n_p"),
+        F.col("F_total").cast("double").alias("total_f"),
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+    """,
+    tags=("ext", "pivot"),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) part metrics into long form — zero-shuffle
+    row expansion."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").alias("p_retailprice"),
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
+
+
+@register(
+    "q_agg_having",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(22,6))) AS DOUBLE) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """,
+    tags=("ext", "agg"),
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter): high-frequency
+    customers."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_spend"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@register(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5)       AS median_qty,
+           quantile_cont(l_extendedprice, 0.25) AS p25_price,
+           quantile_cont(l_extendedprice, 0.9)  AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("ext", "agg"),
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (identical linear interpolation in
+    Spark and DuckDB — verified). Exact percentile sorts per group;
+    the 100 TB path is percentile_approx (mergeable KLL-style sketch,
+    bounded memory)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.percentile("l_extendedprice", 0.25).alias("p25_price"),
+        F.percentile("l_extendedprice", 0.9).alias("p90_price"),
+    )
+
+
+@register(
+    "q_cond_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'medium'
+                ELSE 'small' END                          AS size_class,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_display,
+           greatest(o_totalprice, 150000.0)                AS price_floor150k,
+           least(CAST(year(o_orderdate) AS INT), 1996)     AS year_capped,
+           (o_orderstatus = 'F' AND o_totalprice < 50000)  AS small_final
+    FROM orders
+    """,
+    tags=("ext", "scalar"),
+)
+def q_cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: CASE/coalesce/nullif/greatest/least and
+    boolean composition."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 100000, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("PENDING")).alias(
+            "status_display"
+        ),
+        F.greatest("o_totalprice", F.lit(150000.0)).alias("price_floor150k"),
+        F.least(F.year("o_orderdate"), F.lit(1996)).alias("year_capped"),
+        ((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 50000)).alias(
+            "small_final"
+        ),
+    )
+
+
+@register(
+    "q_subquery_in",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+      AND o_orderstatus = 'F'
+    """,
+    tags=("ext", "subquery"),
+)
+def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery — planned as a left-semi join (same physical shape
+    as q_join_semi; IN is the SQL spelling)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select("c_custkey")
+    )
+    return o.join(c, o.o_custkey == c.c_custkey, "left_semi").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@register(
+    "q_subquery_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_quantity > (SELECT SUM(l_quantity) / COUNT(*) FROM lineitem) * 1.5
+    """,
+    tags=("ext", "subquery"),
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery threshold: items 1.5× the mean quantity.
+    Expressed via Spark SQL so Catalyst plans the scalar subquery as
+    a broadcast single-row value (l_quantity is integer-valued, so
+    SUM/COUNT is exact in both engines)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem
+        WHERE l_quantity > (SELECT SUM(l_quantity) / COUNT(*) FROM lineitem) * 1.5
+        """
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    WITH purchases AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+         errors    AS (SELECT user_id, ts FROM events WHERE event_type = 'error')
+    SELECT p.event_id, p.user_id, p.ts, p.value, e.ts AS last_error_ts
+    FROM purchases p ASOF LEFT JOIN errors e
+      ON p.user_id = e.user_id AND p.ts >= e.ts
+    """,
+    tags=("ext", "join", "asof"),
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): for each purchase, the
+    most recent error by the same user at-or-before it. Implemented
+    the scalable way — union both sides tagged, one window pass with
+    last(ignorenulls) over (user, time) — a single shuffle on
+    user_id, no per-group Python, no range explosion. Matches DuckDB
+    ASOF LEFT JOIN (inclusive on equal timestamps: the error sorts
+    before the purchase at the same instant)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value", F.lit(1).alias("is_p"),
+        F.lit(None).cast("timestamp_ntz").alias("err_ts"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("value"),
+        F.lit(0).alias("is_p"),
+        F.col("ts").alias("err_ts"),
+    )
+    # sort key: at equal ts the error (is_p=0) precedes the purchase,
+    # making the join inclusive like DuckDB's `p.ts >= e.ts`
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        purchases.unionByName(errors)
+        .withColumn("last_error_ts", F.last("err_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_p") == 1)
+        .select("event_id", "user_id", "ts", "value", "last_error_ts")
+    )
+
+
+@register(
+    "q_dedup_fuzzy",
+    oracle="""
+    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    tags=("llm", "dedup"),
+)
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity dedup: near-identical names (edit distance ≤ 1)
+    within nation blocks. Levenshtein is identical in both engines;
+    the block key bounds the pair space exactly as in q_dedup_embed —
+    the universal shape of record linkage at scale."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("cust_a"),
+        F.col("c_name").alias("name_a"),
+        "c_nationkey",
+    )
+    b = c.select(
+        F.col("c_custkey").alias("cust_b"),
+        F.col("c_name").alias("name_b"),
+        "c_nationkey",
+    )
+    return (
+        a.join(b, "c_nationkey")
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 1)
+        .select("cust_a", "cust_b", "name_a", "name_b", "edit_dist")
+    )

@@ -1,0 +1,88 @@
+"""Source/sink connector round-trips through scratch files, plus the
+bucketed-join shuffle-elimination proof."""
+
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_wrangler_spark.catalog import load_table
+from data_wrangler_spark.sources.formats import (
+    UnsupportedFormatError,
+    read_table,
+    write_bucketed,
+    write_table,
+)
+
+SCRATCH = "/root/repo/.scratch/sources"
+
+
+@pytest.fixture(scope="module")
+def region(spark, sf_dir):
+    return load_table(spark, sf_dir, "region")
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
+def test_roundtrip(spark, region, fmt):
+    path = f"{SCRATCH}/rt_{fmt}"
+    shutil.rmtree(path, ignore_errors=True)
+    write_table(region, path, fmt)
+    back = read_table(spark, path, fmt, schema=region.schema)
+    assert sorted(r.r_name for r in back.collect()) == sorted(
+        r.r_name for r in region.collect()
+    )
+
+
+def test_csv_requires_schema(spark, region):
+    path = f"{SCRATCH}/rt_csv"
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_table(spark, path, "csv")
+
+
+def test_unknown_format_rejected(spark, region):
+    with pytest.raises(UnsupportedFormatError):
+        write_table(region, f"{SCRATCH}/x", "avro")
+
+
+def test_partitioned_write_prunes(spark, sf_dir):
+    """Partition pruning: a filter on the partition column must read
+    only that directory (PartitionFilters, not data filters)."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = f"{SCRATCH}/orders_by_year"
+    shutil.rmtree(path, ignore_errors=True)
+    write_table(orders, path, partition_by=["order_year"])
+    back = read_table(spark, path).filter(F.col("order_year") == 1995)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(order_year" in plan
+    expected = orders.filter(F.col("order_year") == 1995).count()
+    assert back.count() == expected
+    # pruned scan should list only the matching partition directory
+    years = [d for d in os.listdir(path) if d.startswith("order_year=")]
+    assert len(years) > 1, "fixture spans multiple years"
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir):
+    """Both sides bucketed on the join key → SortMergeJoin with NO
+    Exchange in the plan (the 100 TB co-located-join contract)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        write_bucketed(orders, "b_orders", ["o_orderkey"], 8, ["o_orderkey"])
+        write_bucketed(li, "b_lineitem", ["l_orderkey"], 8, ["l_orderkey"])
+        j = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert j.count() == li.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
