@@ -31,6 +31,9 @@ HEADLINE = [
     "q_text_stats",         # text quality scan
     "q_stream_tumbling",    # windowed aggregation
     "q_stream_session",     # session windows
+    "q_join_asof",          # as-of join via window
+    "q_dedup_embed",        # blocked embedding near-dup
+    "q_text_fingerprint",   # md5 + rolling hash scan
 ]
 
 

@@ -1,3 +1,3 @@
 """Structured-Streaming operators (windows, watermarks, dedup)."""
 
-from data_wrangler_spark.streaming import windows  # noqa: F401
+from data_wrangler_spark.streaming import stateful, windows  # noqa: F401

@@ -159,14 +159,14 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 # True-streaming runs (file source → availableNow → memory sink)
 # ---------------------------------------------------------------------------
 
-def _run_stream(stream_df, query_name: str) -> DataFrame:
+def _run_stream(stream_df, query_name: str, output_mode: str = "append") -> DataFrame:
     """Drive a bounded stream to completion synchronously and return
     the sink contents as a batch DataFrame."""
     spark = stream_df.sparkSession
     sink = f"{query_name}_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(SCRATCH, "ckpt", sink)
     q = (
-        stream_df.writeStream.outputMode("append")
+        stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(sink)
         .option("checkpointLocation", ckpt)
