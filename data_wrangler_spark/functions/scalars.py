@@ -170,6 +170,47 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_array_explode",
+    oracle="""
+    SELECT vec_id, CAST(i - 1 AS INT) AS pos, embedding[i] AS val
+    FROM embeddings, (SELECT unnest([1, 2, 3]) AS i)
+    """,
+    tags=("ext", "scalar", "array"),
+)
+def q_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: array elements to rows with their ordinal — the
+    row-expansion primitive (here bounded to the first 3 dims so the
+    output stays oracle-sized)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", F.posexplode(F.slice("embedding", 1, 3)).alias("pos", "val")
+    )
+
+
+@register(
+    "q_text_scrub",
+    oracle="""
+    SELECT event_id,
+           regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_scrubbed,
+           (regexp_replace(props, '[0-9]+', '<NUM>', 'g') <> props) AS was_scrubbed
+    FROM events
+    """,
+    tags=("llm", "text"),
+)
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing: numeric tokens redacted via regex — the
+    shape of redaction passes over training corpora (Spark
+    regexp_replace is global; DuckDB needs the 'g' flag)."""
+    ev = _t(spark, sf_dir, "events")
+    scrubbed = F.regexp_replace("props", r"[0-9]+", "<NUM>")
+    return ev.select(
+        "event_id",
+        scrubbed.alias("props_scrubbed"),
+        (scrubbed != F.col("props")).alias("was_scrubbed"),
+    )
+
+
+@register(
     "q_map_funcs",
     oracle="""
     SELECT p_partkey,

@@ -230,6 +230,29 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_listagg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    tags=("ext", "agg"),
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (LISTAGG/STRING_AGG): nation names per
+    region, sorted for determinism — collect_list order is
+    partition-dependent, so the sort inside the aggregate is
+    mandatory, not cosmetic."""
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        F.count("*").alias("n_nations"),
+    )
+
+
+@register(
     "q_topk",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
