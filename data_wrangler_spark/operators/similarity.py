@@ -144,6 +144,50 @@ def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_sim_search_ivf", tags=("llm", "similarity", "approx"))  # rows-only: recall<1
+def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate search: k-means coarse
+    quantizer (pyspark.ml, fixed seed) partitions vectors into
+    nlist=16 cells; a query probes its nprobe=4 nearest centroids and
+    exact-ranks only those cells (~25% of the corpus). At 100 TB:
+    train the quantizer on a sample, store the cell id as a partition
+    column — a probe then reads only nprobe partitions (partition
+    pruning does the "index" lookup). Rows-only check; pytest pins
+    recall against the exact top-k."""
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    dim = embedding_dim(raw)
+    e = raw.select(
+        "vec_id", "label", to_double_array("embedding").alias("e")
+    ).withColumn("v", array_to_vector("e"))
+
+    km = KMeans(k=16, seed=42, featuresCol="v", predictionCol="cell")
+    model = km.fit(e)
+    assigned = model.transform(e).select("vec_id", "label", "e", "cell")
+
+    qid, q = _query_vec(spark, sf_dir)
+    qvec = np.array(q.collect()[0]["qe"])
+    centers = model.clusterCenters()
+    # nprobe=4 nearest cells to the query (euclidean, like the quantizer)
+    order = np.argsort([float(np.linalg.norm(qvec - c)) for c in centers])
+    probe_cells = [int(c) for c in order[:4]]
+
+    cand = assigned.filter(
+        F.col("cell").isin(probe_cells) & (F.col("vec_id") != qid)
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .withColumn("cos_sim", cosine(F.col("e"), F.col("qe"), dim))
+        .select("vec_id", "label", "cell", "cos_sim")
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 @register(
     "q_sim_join",
     oracle=f"""

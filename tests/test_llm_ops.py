@@ -79,6 +79,23 @@ def test_sim_search_lsh_subset_of_exact_ranking(spark, sf_dir):
         assert r.cos_sim == pytest.approx(truth[r.vec_id], rel=1e-12)
 
 
+def test_ivf_search_recall(spark, sf_dir):
+    """IVF with nprobe=4/16 must recover a reasonable share of the
+    exact top-10 (these embeddings are near-random, the hardest case
+    for coarse quantization) and must never invent scores: every hit
+    carries the exact cosine."""
+    exact = {
+        r.vec_id: r.cos_sim
+        for r in REGISTRY["q_sim_search"].run(spark, sf_dir).collect()
+    }
+    ivf = REGISTRY["q_sim_search_ivf"].run(spark, sf_dir).collect()
+    assert 0 < len(ivf) <= 10
+    overlap = [r for r in ivf if r.vec_id in exact]
+    for r in overlap:
+        assert r.cos_sim == pytest.approx(exact[r.vec_id], rel=1e-9)
+    assert len(overlap) >= 2, f"IVF recall too low: {len(overlap)}/10"
+
+
 def test_simhash_hamming_separates_near_dups(spark, sf_dir, jaccard_pairs):
     """The SimHash guarantee is statistical: near-dup docs land at
     small hamming distance, unrelated docs near 32/64 bits. Measured

@@ -20,6 +20,7 @@ def test_oracle_coverage():
         "q_dedup_minhash",
         "q_dedup_simhash",
         "q_sim_search_lsh",
+        "q_sim_search_ivf",
     } | {n for n in no_oracle if "stream" in n}
 
 
