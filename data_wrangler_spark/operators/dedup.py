@@ -68,39 +68,109 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _md5_long(col, seed: int | None = None):
+    """First 15 hex digits of md5 as a non-negative 60-bit long —
+    the cross-engine hash: Spark `conv(substr(md5(x),1,15),16,10)` ==
+    DuckDB `('0x'||substr(md5(x),1,15))::BIGINT` bit-for-bit, which is
+    what lets MinHash/SimHash carry real SQL oracles (murmur3/xxhash64
+    have no DuckDB counterpart)."""
+    if seed is not None:
+        col = F.concat(col, F.lit(f"#{seed}"))
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _sql_md5_long(expr: str, seed: int | None = None) -> str:
+    if seed is not None:
+        expr = f"({expr} || '#{seed}')"
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
 def _minhash_signatures(d: DataFrame) -> DataFrame:
     """doc_id → N_MINHASH minhash values over word-3-gram shingles.
 
-    One row per doc throughout: the k minhashes are computed with
-    array_min over transform(shingles, hash(shingle, seed)) — no
-    explode, no shuffle until the band grouping. Words and shingles
-    are bound to columns first so the tokenizer runs once per doc,
-    not once per lambda evaluation.
+    One md5 per shingle, split into two independent components
+    (h1: 48 bits, h2: 44 bits — h1 + 15·h2 < 2^49, no overflow in
+    either engine); the k hash functions are g_j = h1 + j·h2
+    (Kirsch–Mitzenmacher double hashing — 16 separate md5s cost 2×,
+    measured). The (h1,h2) array is persisted before the 16
+    array_min folds: CollapseProject would otherwise inline the md5
+    transform into every fold.
     """
+    from pyspark import StorageLevel
+
     from data_wrangler_spark.functions.text import words
 
     sh = d.select("doc_id", words("text").alias("w")).select(
         "doc_id", shingles_from_words(F.col("w"), 3).alias("sh")
     )
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("sh"), lambda s: F.hash(s, F.lit(j))))
-            for j in range(N_MINHASH)
-        ]
+    hs = F.transform(
+        F.col("sh"),
+        lambda s: F.struct(
+            F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(F.md5(s), 13, 11), 16, 10).cast("long").alias("h2"),
+        ),
     )
-    return sh.select("doc_id", sig.alias("sig"))
+    base = sh.select("doc_id", hs.alias("hs")).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def g(j: int):
+        # factory keeps the transform lambda 1-arg (a j=j default
+        # would make PySpark treat it as an (element, index) lambda)
+        return lambda p: p.h1 + j * p.h2
+
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("hs"), g(j))) for j in range(N_MINHASH)]
+    )
+    return base.select("doc_id", sig.alias("sig"))
 
 
-@register("q_dedup_minhash", tags=("llm", "dedup", "approx"))  # rows-only: Spark hash ≠ DuckDB hash
+def _minhash_oracle() -> str:
+    rows = N_MINHASH // N_BANDS
+    h1 = "(('0x' || substr(md5(s), 1, 12))::BIGINT)"
+    h2 = "(('0x' || substr(md5(s), 13, 11))::BIGINT)"
+    sigs = ",\n        ".join(
+        f"list_min(list_transform(sh, s -> {h1} + {j} * {h2})) AS m{j}"
+        for j in range(N_MINHASH)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || '|' || ".join(f"m{b * rows + r}::VARCHAR" for r in range(rows))
+        + " AS bucket FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {sql_shingles_of('w', 3)} AS sh
+      FROM (SELECT doc_id, {sql_words('text')} AS w FROM documents)),
+    sig AS (
+      SELECT doc_id,
+        {sigs}
+      FROM sh),
+    bands AS (
+      {band_selects}),
+    guarded AS (
+      SELECT band, bucket, doc_id FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bsize FROM bands)
+      WHERE bsize <= {MAX_BUCKET})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(DISTINCT a.band) AS BIGINT) AS n_bands
+    FROM guarded a JOIN guarded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@register("q_dedup_minhash", oracle=_minhash_oracle(), tags=("llm", "dedup"))
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: 16 minhashes over word
     3-gram shingles, 4 bands × 4 rows; docs sharing any band bucket
     are candidates. Output: candidate pair + how many bands agree
-    (monotone in estimated Jaccard). Deterministic (murmur3 with
-    fixed seeds) but not SQL-expressible in DuckDB → rows-only check;
-    pytest pins its behavior against exact Jaccard instead."""
+    (monotone in estimated Jaccard). The md5-derived hash family
+    (_md5_long) is reproducible in DuckDB, so this LSH pipeline is
+    fully oracle-checked — not rows-only; pytest additionally pins
+    recall against exact Jaccard."""
     d = load_table(spark, sf_dir, "documents")
     sigs = _minhash_signatures(d)
+    rows = N_MINHASH // N_BANDS
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -108,9 +178,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.hash(
-                            *[F.element_at("sig", b * (N_MINHASH // N_BANDS) + r + 1)
-                              for r in range(N_MINHASH // N_BANDS)]
+                        F.concat_ws(
+                            "|",
+                            *[F.element_at("sig", b * rows + r + 1).cast("string")
+                              for r in range(rows)],
                         ).alias("bucket"),
                     )
                     for b in range(N_BANDS)
@@ -132,24 +203,29 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def simhash_signatures(d: DataFrame) -> DataFrame:
-    """doc_id → 64-bit TF-weighted SimHash of the whitespace tokens.
+N_SIMHASH_BITS = 60  # md5-derived hash width (15 hex digits)
+SIMHASH_BAND_BITS = 15  # 4 bands × 15 bits
 
-    bit i of the signature = sign of Σ_tokens (xxhash64(token) bit i
+
+def simhash_signatures(d: DataFrame) -> DataFrame:
+    """doc_id → 60-bit TF-weighted SimHash of the whitespace tokens.
+
+    bit i of the signature = sign of Σ_tokens (md5_long(token) bit i
     ? +1 : -1) — token repeats ARE the term-frequency weighting (on
     this corpus TF-weighting drops near-dup hamming to ~2 bits vs
     ~19 for random pairs; distinct-token hashing was unstable).
-    All array ops, one row per doc, no shuffle.
+    All array ops, one row per doc, no shuffle. The md5-derived word
+    hash keeps the whole pipeline DuckDB-reproducible.
     """
     from data_wrangler_spark.functions.text import words
 
     hashed = d.select(
         "doc_id",
-        F.transform(words("text"), lambda w: F.xxhash64(w)).alias("wh"),
+        F.transform(words("text"), lambda w: _md5_long(w)).alias("wh"),
     )
 
-    # Factory function keeps the lambda 2-arg (PySpark introspects
-    # Python arity; closure-default tricks would make it 3-arg).
+    # Factory function keeps the inner lambda 2-arg (PySpark
+    # introspects Python arity; closure-default tricks break it).
     def bitsum(i: int):
         return F.aggregate(
             F.col("wh"),
@@ -157,24 +233,54 @@ def simhash_signatures(d: DataFrame) -> DataFrame:
             lambda acc, h: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
         )
 
-    # bit 63 is the sign bit: 1<<63 only exists as the min-long value
-    masks = [1 << i for i in range(63)] + [-(1 << 63)]
     simhash_col = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(N_SIMHASH_BITS):
         simhash_col = simhash_col.bitwiseOR(
-            F.when(bitsum(i) > 0, F.lit(masks[i]).cast("long")).otherwise(F.lit(0).cast("long"))
+            F.when(bitsum(i) > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
         )
     return hashed.select("doc_id", simhash_col.alias("simhash"))
 
 
-@register("q_dedup_simhash", tags=("llm", "dedup", "approx"))  # rows-only: xxhash64 ≠ DuckDB hash
+def _simhash_oracle() -> str:
+    terms = ",\n        ".join(
+        f"CASE WHEN SUM(((wh >> {i}) & 1) * 2 - 1) > 0 THEN {1 << i}::BIGINT "
+        f"ELSE 0::BIGINT END AS t{i}"
+        for i in range(N_SIMHASH_BITS)
+    )
+    total = " + ".join(f"t{i}" for i in range(N_SIMHASH_BITS))
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    return f"""
+    WITH w AS (
+      SELECT doc_id, unnest({sql_words('text')}) AS word FROM documents),
+    h AS (SELECT doc_id, {_sql_md5_long('word')} AS wh FROM w),
+    bits AS (
+      SELECT doc_id,
+        {terms}
+      FROM h GROUP BY doc_id),
+    sim AS (SELECT doc_id, ({total}) AS simhash FROM bits),
+    bands AS (
+      SELECT doc_id, simhash, k AS band,
+             (simhash >> (k * {SIMHASH_BAND_BITS})) & {mask} AS bucket
+      FROM sim, (SELECT unnest([0, 1, 2, 3]) AS k))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS sim_a, b.simhash AS sim_b,
+           CAST(COUNT(DISTINCT a.band) AS BIGINT) AS n_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+    """
+
+
+@register("q_dedup_simhash", oracle=_simhash_oracle(), tags=("llm", "dedup"))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: 64-bit signature = sign of the
-    per-bit sum over xxhash64(word) (+1/-1 weighting), bucketed by
-    four 16-bit bands. Output: doc pairs sharing ≥1 band with their
+    """SimHash near-dup candidates: 60-bit signature = sign of the
+    per-bit sum over md5_long(word) (+1/-1 TF weighting), bucketed by
+    four 15-bit bands. Output: doc pairs sharing ≥1 band with their
     signatures. One scan + one small-key shuffle; no explode (the
-    64 bit-sums are array ops on one row)."""
+    60 bit-sums are array ops on one row). md5-derived hashing makes
+    the full pipeline oracle-checked in DuckDB."""
     sim = simhash_signatures(load_table(spark, sf_dir, "documents"))
+    mask = (1 << SIMHASH_BAND_BITS) - 1
     banded = sim.select(
         "doc_id",
         "simhash",
@@ -183,7 +289,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+                        F.shiftright("simhash", b * SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
                     )
                     for b in range(4)
                 ]
