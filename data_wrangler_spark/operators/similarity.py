@@ -80,35 +80,81 @@ def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_sim_search_lsh", tags=("llm", "similarity", "approx"))  # rows-only: recall<1
-def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: random-hyperplane (sign-LSH) signatures from
-    deterministic per-dimension hash weights; candidates = vectors
-    sharing ≥1 of 4 signature bands with the query; exact cosine
-    re-rank of candidates only. At 100 TB the bucket join replaces
-    the full scan — probed partitions ∝ bucket selectivity."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", to_double_array("embedding").alias("e")
-    )
-    qid, q = _query_vec(spark, sf_dir)
+def _plane_weights(dim: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplane weights from md5 of "(i,p)" —
+    computed in Python and embedded as LITERALS in both the Spark
+    plan and the DuckDB oracle, so the two engines run byte-identical
+    arithmetic and the sign decisions cannot diverge."""
+    import hashlib
 
-    # hyperplane p weight for dim i: deterministic pseudo-random ±1
-    # from murmur3 — hash(i, p) keeps everything JVM-side.
-    dim = embedding_dim(load_table(spark, sf_dir, "embeddings"))
-
-    def plane_proj(vec_col, p: int):
-        # projection of vec onto hyperplane p whose per-dim weights
-        # are deterministic ±1 from murmur3(i, p) — hash(lit, lit)
-        # constant-folds at plan time, so the unrolled sum is pure
-        # codegen arithmetic with literal weights.
-        terms = [
-            F.element_at(vec_col, i + 1)
-            * (F.hash(F.lit(i), F.lit(p)).bitwiseAND(F.lit(1)) * 2 - 1).cast("double")
+    return [
+        [
+            1 if hashlib.md5(f"{i},{p}".encode()).digest()[0] & 1 else -1
             for i in range(dim)
         ]
-        expr = terms[0]
-        for t in terms[1:]:
-            expr = expr + t
+        for p in range(N_PLANES)
+    ]
+
+
+def _lsh_oracle(dim: int = 64) -> str:
+    ws = _plane_weights(dim)
+
+    def proj(vec: str, p: int) -> str:
+        terms = " + ".join(
+            f"CAST({vec}[{i + 1}] AS DOUBLE) * ({ws[p][i]})" for i in range(dim)
+        )
+        return f"(CASE WHEN ({terms}) > 0 THEN 1 ELSE 0 END)"
+
+    def band(vec: str, b: int) -> str:
+        return " + ".join(f"{proj(vec, b * 4 + r)} * {1 << r}" for r in range(4))
+
+    bands_n = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, label, e, {b} AS band, {band('e', b)} AS bucket FROM n"
+        for b in range(4)
+    )
+    bands_q = "\n      UNION ALL\n      ".join(
+        f"SELECT qe, {b} AS band, {band('qe', b)} AS bucket FROM q" for b in range(4)
+    )
+    return f"""
+    WITH n AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    q AS (SELECT e AS qe FROM n
+          WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+    bn AS ({bands_n}),
+    bq AS ({bands_q}),
+    cand AS (
+      SELECT DISTINCT bn.vec_id, bn.label, bn.e
+      FROM bn JOIN bq ON bn.band = bq.band AND bn.bucket = bq.bucket
+      WHERE bn.vec_id <> (SELECT min(vec_id) FROM embeddings))
+    SELECT vec_id, label, {sql_round6(sql_cosine('e', 'qe'))} AS cos_sim
+    FROM cand, q
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """
+
+
+@register("q_sim_search_lsh", oracle=_lsh_oracle(), tags=("llm", "similarity"))
+def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: random-hyperplane (sign-LSH) signatures from
+    literal ±1 weights (md5-seeded; identical constants embedded in
+    the DuckDB oracle, so even this approximate index is
+    oracle-checked); candidates = vectors sharing ≥1 of 4 signature
+    bands with the query; cosine re-rank of candidates only (1e-6
+    rounding). At 100 TB the bucket join replaces the full scan —
+    probed partitions ∝ bucket selectivity."""
+    raw = load_table(spark, sf_dir, "embeddings")
+    dim = embedding_dim(raw)
+    e = raw.select("vec_id", "label", to_double_array("embedding").alias("e"))
+    qid, q = _query_vec(spark, sf_dir)
+    ws = _plane_weights(dim)
+
+    def plane_proj(vec_col, p: int):
+        # unrolled literal-weight sum — same left-assoc order as the
+        # oracle's term list (2000 rows, so interpreted eval is fine)
+        expr = F.element_at(vec_col, 1) * F.lit(float(ws[p][0]))
+        for i in range(1, dim):
+            expr = expr + F.element_at(vec_col, i + 1) * F.lit(float(ws[p][i]))
         return expr
 
     def signature(vec_col):
@@ -137,7 +183,7 @@ def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["vec_id"])
     )
     return (
-        cand.withColumn("cos_sim", cosine(F.col("e"), F.col("qe"), dim))
+        cand.withColumn("cos_sim", round6(cosine(F.col("e"), F.col("qe"), dim)))
         .select("vec_id", "label", "cos_sim")
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)

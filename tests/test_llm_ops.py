@@ -76,7 +76,8 @@ def test_sim_search_lsh_subset_of_exact_ranking(spark, sf_dir):
         .collect()
     }
     for r in lsh_rows:
-        assert r.cos_sim == pytest.approx(truth[r.vec_id], rel=1e-12)
+        # LSH reports cosines rounded at 1e-6 (oracle-parity quantum)
+        assert r.cos_sim == pytest.approx(truth[r.vec_id], abs=1.1e-6)
 
 
 def test_ivf_search_recall(spark, sf_dir):

@@ -17,7 +17,6 @@ def test_oracle_coverage():
     }
     assert no_oracle == {
         "q_agg_approx_distinct",
-        "q_sim_search_lsh",
         "q_sim_search_ivf",
     } | {n for n in no_oracle if "stream" in n}
 
