@@ -61,6 +61,54 @@ def q_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_mm_frame_sample",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) % 10 AS INT) AS n_frames,
+             octet_length(encode(text)) AS blen
+      FROM documents),
+    frames AS (
+      SELECT doc_id, n_frames, CAST(f AS INT) AS frame_idx, blen
+      FROM meta, LATERAL unnest(range(0, n_frames)) AS t(f)
+      WHERE f % 2 = 0)
+    SELECT doc_id, n_frames, frame_idx,
+           CAST(blen // greatest(n_frames, 1) AS INT) AS frame_bytes
+    FROM frames
+    """,
+    tags=("llm", "multimodal"),
+)
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: per payload,
+    the (stubbed) container metadata yields n_frames; every 2nd frame
+    index is emitted as its own row with its byte span — the
+    one-payload→many-samples expansion that feeds a training
+    pipeline. The expansion itself is JVM-side (sequence+explode on
+    the Python-extracted metadata); only metadata extraction runs in
+    Arrow batches. A real deployment swaps the stub for ffmpeg
+    keyframe indices; the plan shape is unchanged."""
+    feats = q_mm_decode(spark, sf_dir).select("doc_id", "n_frames", "byte_len")
+    frames = feats.select(
+        "doc_id",
+        "n_frames",
+        F.explode(
+            F.when(F.col("n_frames") > 0,
+                   F.sequence(F.lit(0), F.col("n_frames") - 1))
+            .otherwise(F.array().cast("array<int>"))
+        ).alias("frame_idx"),
+        "byte_len",
+    ).filter(F.col("frame_idx") % 2 == 0)
+    return frames.select(
+        "doc_id",
+        "n_frames",
+        "frame_idx",
+        (F.col("byte_len") / F.greatest(F.col("n_frames"), F.lit(1)))
+        .cast("int")
+        .alias("frame_bytes"),
+    )
+
+
 def _decode_stub(payload: bytes) -> dict:
     """Deterministic fake decoder. A real deployment swaps this body
     for PIL/librosa/ffmpeg frame sampling; the signature — bytes in,
