@@ -124,6 +124,20 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_agg_approx_percentile", tags=("ext", "agg", "approx"))  # rows-only: GK sketch ≠ t-digest
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald–Khanna sketch) — the 100 TB
+    path for q_agg_percentile: mergeable, bounded-memory, no per-group
+    sort. DuckDB's approx_quantile is a different sketch (t-digest),
+    so the check is rows-only; tests/test_approx.py bounds the error
+    against the exact percentiles instead."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("median_qty_approx"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90_price_approx"),
+    )
+
+
 @register(
     "q_cond_funcs",
     oracle="""

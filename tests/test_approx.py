@@ -8,6 +8,21 @@ from data_wrangler_spark import REGISTRY
 from data_wrangler_spark.catalog import load_table
 
 
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    exact = {
+        r.l_returnflag: (r.median_qty, r.p90_price)
+        for r in REGISTRY["q_agg_percentile"].run(spark, sf_dir).collect()
+    }
+    approx = {
+        r.l_returnflag: (r.median_qty_approx, r.p90_price_approx)
+        for r in REGISTRY["q_agg_approx_percentile"].run(spark, sf_dir).collect()
+    }
+    for flag, (med, p90) in exact.items():
+        amed, ap90 = approx[flag]
+        assert abs(amed - med) / max(med, 1) <= 0.05
+        assert abs(ap90 - p90) / max(p90, 1) <= 0.05
+
+
 def test_approx_distinct_within_rsd(spark, sf_dir):
     approx = {
         r.o_orderstatus: r.n_customers_approx

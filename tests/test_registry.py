@@ -17,6 +17,7 @@ def test_oracle_coverage():
     }
     assert no_oracle == {
         "q_agg_approx_distinct",
+        "q_agg_approx_percentile",
         "q_sim_search_ivf",
     } | {n for n in no_oracle if "stream" in n}
 
