@@ -223,6 +223,122 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_null_funcs",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name,
+           (s.s_suppkey IS NULL)                    AS no_supplier,
+           coalesce(s.s_name, '<none>')             AS supplier_display,
+           coalesce(s.s_acctbal, 0.0)               AS acctbal_filled,
+           (s.s_acctbal IS NOT DISTINCT FROM NULL)  AS bal_is_null
+    FROM nation n LEFT JOIN supplier s ON n.n_nationkey = s.s_nationkey
+    """,
+    tags=("ext", "scalar", "null"),
+)
+def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics family over outer-join output: IS NULL,
+    coalesce fills, and null-safe equality (Spark `<=>` ≡ SQL
+    IS NOT DISTINCT FROM). Three-valued logic is where engines
+    quietly disagree — pinned here."""
+    n = _t(spark, sf_dir, "nation").alias("n")
+    s = _t(spark, sf_dir, "supplier").alias("s")
+    j = n.join(s, F.col("n.n_nationkey") == F.col("s.s_nationkey"), "left")
+    return j.select(
+        "n.n_nationkey",
+        "n.n_name",
+        F.col("s.s_suppkey").isNull().alias("no_supplier"),
+        F.coalesce("s.s_name", F.lit("<none>")).alias("supplier_display"),
+        F.coalesce("s.s_acctbal", F.lit(0.0)).alias("acctbal_filled"),
+        F.col("s.s_acctbal").eqNullSafe(F.lit(None).cast("double")).alias("bal_is_null"),
+    )
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(22,6)) * CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) AS s2,
+           (CAST(SUM(CAST(l_quantity AS DECIMAL(22,6)) * CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE)
+             - CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE)
+               * CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) / COUNT(*))
+             / (COUNT(*) - 1) AS var_qty,
+           sqrt((CAST(SUM(CAST(l_quantity AS DECIMAL(22,6)) * CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE)
+             - CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE)
+               * CAST(SUM(CAST(l_quantity AS DECIMAL(22,6))) AS DOUBLE) / COUNT(*))
+             / (COUNT(*) - 1)) AS stddev_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("ext", "agg"),
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev via exact decimal moments. The built-in
+    stddev_samp is Welford-style and partition-order dependent — its
+    last bits differ between engines and across partitionings — so
+    the engine computes (Σx², Σx) exactly in decimal and derives
+    var = (s2 − s1²/n)/(n−1) in identical double arithmetic on both
+    sides. Same mergeability (two partial sums), deterministic
+    result at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(22,6)")
+    s1 = F.sum(q).cast("double")
+    s2 = F.sum(q * q).cast("double")
+    n = F.count("*")
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+        var.alias("var_qty"),
+        F.sqrt(var).alias("stddev_qty"),
+    )
+
+
+@register(
+    "q_date_series",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(date_trunc('day', min(o_orderdate)) AS DATE) AS d0,
+             CAST(date_trunc('day', max(o_orderdate)) AS DATE) AS d1
+      FROM orders),
+    spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds),
+    daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1)
+    SELECT s.day, coalesce(d.n_orders, 0) AS n_orders
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+    tags=("ext", "timeseries"),
+)
+def q_date_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled time series: a generated date spine left-joined to
+    daily order counts, zeros where no orders exist — the canonical
+    reporting/gap-fill operator. The spine is sequence+explode from
+    the data's own min/max (no collect); at scale the spine is tiny
+    and broadcast while the aggregate side shuffles once."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select("day", F.coalesce("n_orders", F.lit(0)).alias("n_orders"))
+    )
+
+
+@register(
     "q_join_asof",
     oracle="""
     WITH purchases AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),

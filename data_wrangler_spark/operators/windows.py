@@ -134,6 +134,29 @@ def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_window_ntile",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
+    FROM orders
+    """,
+    tags=("ext", "window"),
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) spend quartiles over a total order (pk tiebreaker —
+    ntile assigns by position, so without it the bucket of tied rows
+    is nondeterministic). Unpartitioned window = single-task sort;
+    the scale form partitions by a coarse key first or uses
+    percentile-based bucketing."""
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return _orders(spark, sf_dir).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
     "q_window_running_sum",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderdate,
