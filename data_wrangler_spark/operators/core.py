@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from data_wrangler_spark.catalog import FK_CONVENTIONS, Catalog, load_table, pk_cols
+from data_wrangler_spark.catalog import FK_CONVENTIONS, Catalog, load_table
 from data_wrangler_spark.plans.pagination import paginate
 from data_wrangler_spark.registry import register
 

@@ -386,6 +386,75 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             CASE WHEN lag(o_orderstatus) OVER w IS DISTINCT FROM o_orderstatus
+                  THEN 1 ELSE 0 END AS chg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+    runs AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM ordered),
+    intervals AS (
+      SELECT o_custkey, o_orderstatus AS status, run_id,
+             MIN(o_orderdate) AS valid_from,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM runs GROUP BY 1, 2, 3)
+    SELECT o_custkey, status, valid_from,
+           lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run_id)
+             AS valid_to,
+           n_orders,
+           (lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run_id)
+              IS NULL) AS is_current
+    FROM intervals
+    """,
+    tags=("ext", "cdc"),
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build (the CDC fold, emulated without Delta):
+    collapse each customer's consecutive same-status orders into
+    validity intervals [valid_from, valid_to) with an is_current
+    flag — lag-compare → change flag → running-sum run ids → interval
+    aggregation → lead for the closing edge. Two window passes plus
+    one aggregate over the same (custkey, time) partitioning: one
+    shuffle at any scale; this is how dimension history is maintained
+    on plain Parquet."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    runs = o.select(
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderdate",
+        "o_orderkey",
+        F.when(
+            ~F.lag("o_orderstatus").over(w).eqNullSafe(F.col("o_orderstatus")), 1
+        ).otherwise(0).alias("chg"),
+    ).withColumn(
+        "run_id",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    intervals = runs.groupBy(
+        "o_custkey", F.col("o_orderstatus").alias("status"), "run_id"
+    ).agg(
+        F.min("o_orderdate").alias("valid_from"),
+        F.count("*").alias("n_orders"),
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("run_id")
+    return intervals.select(
+        "o_custkey",
+        "status",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_orders",
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )
+
+
+@register(
     "q_dedup_fuzzy",
     oracle="""
     SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
