@@ -6,6 +6,7 @@ from data_wrangler_spark.operators import (  # noqa: F401
     dedup,
     joins,
     multimodal,
+    pipeline_ops,
     relational_extras,
     setops,
     similarity,

