@@ -10,6 +10,7 @@ from data_wrangler_spark.operators import (  # noqa: F401
     relational_extras,
     setops,
     similarity,
+    sketches,
     text_analysis,
     udx,
     windows,
