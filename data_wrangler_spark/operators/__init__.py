@@ -2,6 +2,7 @@
 
 from data_wrangler_spark.operators import (  # noqa: F401
     aggregates,
+    behavioral,
     core,
     dedup,
     joins,

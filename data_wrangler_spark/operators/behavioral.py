@@ -1,0 +1,292 @@
+"""Behavioral / event analytics over the `events` stream table:
+funnels, cohort retention, sessionization, histograms, exact-moment
+correlation.
+
+The reference gateway has no event analytics (no GROUP BY at all —
+SURVEY.md §2.4); these are north-star extensions covering the query
+shapes an events warehouse actually runs. All five carry exact
+DuckDB oracles; the parity tricks are the repo-standard ones:
+truncated-second epoch arithmetic instead of interval comparison,
+integer-cents quantization before second-moment math, DECIMAL(22,6)
+sums for order-independent double totals.
+
+Scale notes: every operator here is one shuffle on its natural key
+(user_id for funnel/retention/sessions, the bin/group key for
+histogram/corr) with partial aggregation map-side. Session windows
+carry O(1) state per user partition; the funnel's step joins are
+broadcastable (per-step survivor sets are strictly shrinking and
+orders of magnitude smaller than the event log)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from data_wrangler_spark.catalog import load_table
+from data_wrangler_spark.operators.aggregates import _osum, dsum
+from data_wrangler_spark.registry import register
+
+SESSION_GAP_SEC = 1800  # 30-minute inactivity closes a session
+HIST_BIN_WIDTH = 5.0
+
+
+@register(
+    "q_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t_view GROUP BY 1),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t_click GROUP BY 1)
+    SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+           CASE WHEN s3.user_id IS NOT NULL THEN 'purchase'
+                WHEN s2.user_id IS NOT NULL THEN 'click'
+                ELSE 'view' END AS stage
+    FROM s1
+    LEFT JOIN s2 ON s2.user_id = s1.user_id
+    LEFT JOIN s3 ON s3.user_id = s1.user_id
+    """,
+    tags=("ext", "behavioral"),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: each step's timestamp
+    is the user's first qualifying event strictly AFTER the previous
+    step (the ordering constraint is what distinguishes a funnel from
+    three independent filters). Three shrinking per-user aggregates;
+    each survivor set is broadcast into the next step's filter so the
+    event log is scanned, never shuffled on user_id more than the
+    aggregates themselves require."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s1), "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s2), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.when(F.col("t_purchase").isNotNull(), "purchase")
+            .when(F.col("t_click").isNotNull(), "click")
+            .otherwise("view")
+            .alias("stage"),
+        )
+    )
+
+
+@register(
+    "q_retention_cohort",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY 1),
+    act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+      FROM events)
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.act_week) / 7 AS INT)
+             AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM act a JOIN first_seen f ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("ext", "behavioral"),
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-seen week;
+    n_active counts cohort members active in each later week (the
+    act set is per-user-week DISTINCT, so a user counts once per
+    week). The distinct + first-seen aggregates share the user_id
+    shuffle; the cohort lookup is a broadcast (one row per user).
+    week_offset arithmetic stays integral — both engines truncate the
+    same exact multiple of 7 days."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("act_week")
+    ).distinct()
+    return (
+        act.join(F.broadcast(first_seen), "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("act_week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+@register(
+    "q_sessionize",
+    oracle=f"""
+    WITH x AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events),
+    b AS (
+      SELECT *,
+             CASE WHEN lag(sec) OVER w IS NULL
+                    OR sec - lag(sec) OVER w > {SESSION_GAP_SEC}
+                  THEN 1 ELSE 0 END AS brk
+      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess_no
+      FROM b)
+    SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {_osum('value')} AS total_value
+    FROM s GROUP BY 1, 2
+    """,
+    tags=("ext", "behavioral"),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a >30-min silence in
+    a user's event sequence closes the session; sessions are numbered
+    by a running sum of break flags and aggregated to one row each.
+    Same one-shuffle shape as the streaming session_window operator
+    (streaming/windows.py) but over the full history — the window and
+    the session aggregate share the user_id partitioning. Gap
+    arithmetic uses truncated epoch seconds, identical across
+    engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value", F.col("ts").cast("long").alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    b = ev.withColumn(
+        "brk",
+        F.when(
+            F.lag("sec").over(w).isNull()
+            | ((F.col("sec") - F.lag("sec").over(w)) > SESSION_GAP_SEC),
+            1,
+        ).otherwise(0),
+    )
+    s = b.withColumn(
+        "sess_no",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return s.groupBy("user_id", "sess_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        dsum("value").alias("total_value"),
+    )
+
+
+@register(
+    "q_hist_value",
+    oracle=f"""
+    SELECT CAST(floor(value / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+           CAST(floor(value / {HIST_BIN_WIDTH}) AS BIGINT)
+             * CAST({HIST_BIN_WIDTH} AS DOUBLE) AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {_osum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("ext", "behavioral"),
+)
+def q_hist_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values: bin by floor-division,
+    count + order-independent decimal sum per bin. The classic
+    numeric-profile query — one partial+final aggregate on a small
+    integer key; bin count (and so shuffle width) is independent of
+    row count."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_col = F.floor(F.col("value") / HIST_BIN_WIDTH)
+    return ev.groupBy(
+        bin_col.alias("bin"), (bin_col * HIST_BIN_WIDTH).alias("bin_lo")
+    ).agg(
+        F.count("*").alias("n"),
+        dsum("value").alias("sum_value"),
+    )
+
+
+@register(
+    "q_agg_corr",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+             CAST(json_extract(props, '$.k') AS INT) AS y
+      FROM events),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT)   AS n,
+             CAST(SUM(x) AS BIGINT)     AS sx,
+             CAST(SUM(y) AS BIGINT)     AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM q GROUP BY 1)
+    SELECT event_type, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+    FROM m
+    """,
+    tags=("ext", "behavioral"),
+)
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + OLS slope between event value and the
+    JSON `k` prop, per event type — via exact integer moments:
+    quantize x to cents, keep all five sums in BIGINT (bit-identical
+    across engines), and only then evaluate the closed-form in
+    double, whose ops (·, −, /, √) are IEEE correctly-rounded and so
+    also bit-identical. This is the corr()/regr_slope() surface
+    without the cross-engine float-accumulation lottery; the same
+    one-pass moment aggregation Spark's own corr() runs, map-side
+    partial."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).alias("x"),
+        F.get_json_object("props", "$.k").cast("int").alias("y"),
+    )
+    m = q.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    numer = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    deny = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return m.select(
+        "event_type",
+        "n",
+        (numer / (denx * deny)).alias("corr"),
+        (
+            numer
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("slope"),
+    )

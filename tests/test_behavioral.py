@@ -1,0 +1,52 @@
+"""Behavioral-operator invariants (behavioral.py). Exact values are
+pinned by the DuckDB oracles; these pin the semantics."""
+
+from data_wrangler_spark.registry import REGISTRY
+
+
+def test_funnel_steps_strictly_ordered(spark, sf_dir):
+    rows = REGISTRY["q_funnel"].run(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.stage == "purchase":
+            assert r.t_view < r.t_click < r.t_purchase
+        elif r.stage == "click":
+            assert r.t_view < r.t_click and r.t_purchase is None
+        else:
+            assert r.stage == "view" and r.t_click is None and r.t_purchase is None
+
+
+def test_retention_offset0_is_full_cohort(spark, sf_dir):
+    rows = REGISTRY["q_retention_cohort"].run(spark, sf_dir).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        assert r.week_offset >= 0
+        by_cohort.setdefault(r.cohort_week, {})[r.week_offset] = r.n_active
+    for cohort, offsets in by_cohort.items():
+        assert 0 in offsets  # every user is active in their own first week
+        assert all(n <= offsets[0] for n in offsets.values())
+
+
+def test_sessions_respect_gap(spark, sf_dir):
+    from data_wrangler_spark.operators.behavioral import SESSION_GAP_SEC
+
+    rows = REGISTRY["q_sessionize"].run(spark, sf_dir).collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        assert r.session_start <= r.session_end and r.n_events >= 1
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, sess in by_user.items():
+        sess.sort(key=lambda r: r.sess_no)
+        for prev, nxt in zip(sess, sess[1:]):
+            gap = (nxt.session_start - prev.session_end).total_seconds()
+            assert gap > SESSION_GAP_SEC  # sessions split only at real gaps
+
+
+def test_corr_bounded(spark, sf_dir):
+    rows = REGISTRY["q_agg_corr"].run(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.corr <= 1.0
+        assert r.n > 0
