@@ -1,0 +1,411 @@
+"""Time-series resampling / gap-fill and data-quality operators:
+hourly resample, LOCF fill, z-score outliers, winsorization, column
+profiling, per-group mode, market-basket pair counting.
+
+The reference gateway exposes none of these (its catalog is point
+lookups and paged lists — SURVEY.md §2.4); they are north-star
+extensions covering the maintenance/QA query shapes a warehouse crew
+runs daily. All seven carry exact DuckDB oracles using the
+repo-standard parity rules (decimal-moment sums, identical double
+arithmetic derived from exact integer/decimal components, row_number
+instead of LIMIT for deterministic top-k).
+
+Scale notes (per operator, 100 TB):
+- resample/LOCF: one shuffle on the (bucket|day, type) key with
+  map-side partial aggregation; the spine side is O(days × types)
+  and broadcast.
+- z-score: per-type moments are a tiny broadcast joined back into a
+  streaming scan of the event log — the big table never shuffles.
+- winsorize: exact per-group percentiles for the oracle; the 100 TB
+  path swaps in percentile_approx (mergeable sketch) with the same
+  clip expression.
+- profile: one full scan, all per-column aggregates computed in a
+  single partial-aggregated pass, then a constant-size unpivot.
+- mode / basket pairs: one shuffle on the group key; basket pairs
+  self-join is co-partitioned on l_orderkey (no extra exchange on
+  the probe side beyond the first) and per-order fanout is bounded
+  by the small per-order line count, so the pair explosion is
+  linear in input, not quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from data_wrangler_spark.catalog import load_table
+from data_wrangler_spark.operators.aggregates import _osum, dsum
+from data_wrangler_spark.registry import register
+
+Z_THRESHOLD = 2.0
+BASKET_TOP_N = 100
+
+
+@register(
+    "q_resample",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS bucket,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {_osum('value')} AS sum_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("ext", "timeseries"),
+)
+def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the event stream to hourly buckets per event type —
+    the hypertable-rollup / `time_bucket` shape. A single hash
+    aggregation on (bucket, type): partial map-side combine collapses
+    each input partition to at most |hours|x|types| rows before the
+    shuffle, so network volume is bounded by the bucket grid, not the
+    event count."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("sum_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "q_fill_locf",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(date_trunc('day', min(ts)) AS DATE) AS d0,
+             CAST(date_trunc('day', max(ts)) AS DATE) AS d1
+      FROM events),
+    spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT s.day, t.event_type FROM spine s CROSS JOIN types t),
+    daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2)
+    SELECT g.day, g.event_type,
+           d.n_events AS n_raw,
+           LAST_VALUE(d.n_events IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_filled
+    FROM grid g LEFT JOIN daily d ON g.day = d.day AND g.event_type = d.event_type
+    """,
+    tags=("ext", "timeseries"),
+)
+def q_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily series with last-observation-carried-forward:
+    a (day x event_type) grid left-joined to daily counts, holes
+    filled by `last(..., ignorenulls=True)` over the per-type day
+    order. The grid is generated from the data's own bounds (no
+    collect) and is tiny at any scale, so it broadcasts; the window
+    partitions by event_type — a handful of bounded, independent
+    partitions — so the fill itself never concentrates on one
+    executor beyond the grid size."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.date_trunc("day", "ts").cast("date")).alias("d0"),
+        F.max(F.date_trunc("day", "ts").cast("date")).alias("d1"),
+    )
+    spine = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(types)
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "event_type",
+    ).agg(F.count("*").alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.col("n_events").alias("n_raw"),
+            F.last("n_events", ignorenulls=True).over(w).alias("n_filled"),
+        )
+    )
+
+
+@register(
+    "q_zscore",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             {_osum('value')} AS s1,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(22,6)) * CAST(value AS DECIMAL(22,6)) AS DECIMAL(38,6))) AS DOUBLE) AS s2
+      FROM events GROUP BY 1)
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - st.s1 / st.n)
+             / sqrt((st.s2 - st.s1 * st.s1 / st.n) / (st.n - 1)) AS z
+    FROM events e JOIN stats st USING (event_type)
+    WHERE abs((e.value - st.s1 / st.n)
+             / sqrt((st.s2 - st.s1 * st.s1 / st.n) / (st.n - 1))) > {Z_THRESHOLD}
+    """,
+    tags=("ext", "quality"),
+)
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier flagging. Moments (n, Σx, Σx²) are
+    computed exactly in decimal per event_type, then mean/stddev and
+    each row's z are derived in identical IEEE double arithmetic on
+    both engines — so even the filter boundary |z| > 2 agrees bit-for
+    bit. The stats side is O(|types|) and broadcast back into a
+    single streaming pass over the event log: the big side is scanned
+    once and never shuffled."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(22,6)")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v).cast("double").alias("s1"),
+        F.sum(v * v).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    std = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1))
+    z = (F.col("value") - mean) / std
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > Z_THRESHOLD)
+    )
+
+
+@register(
+    "q_winsorize",
+    oracle=f"""
+    WITH q AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS p05,
+             quantile_cont(l_extendedprice, 0.95) AS p95
+      FROM lineitem GROUP BY 1)
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN l.l_extendedprice < q.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+           CAST(SUM(CASE WHEN l.l_extendedprice > q.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high,
+           {_osum('LEAST(GREATEST(l.l_extendedprice, q.p05), q.p95)')} AS sum_winsorized,
+           {_osum('l.l_extendedprice')} AS sum_raw
+    FROM lineitem l JOIN q USING (l_returnflag)
+    GROUP BY 1
+    """,
+    tags=("ext", "quality"),
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized totals: clip each value into its group's
+    [p05, p95] band and aggregate clipped vs raw. Exact percentiles
+    (identical interpolation both engines) feed a broadcast join back
+    over the fact scan; the clip is a pure expression, so the whole
+    thing is scan → broadcast-join → one hash aggregate. The 100 TB
+    swap is percentile_approx for the quantile side — the clip and
+    aggregate stages are unchanged."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.05).alias("p05"),
+        F.percentile("l_extendedprice", 0.95).alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95"))
+    return (
+        li.join(F.broadcast(q), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("l_extendedprice") < F.col("p05"), 1).otherwise(0)).alias("n_clip_low"),
+            F.sum(F.when(F.col("l_extendedprice") > F.col("p95"), 1).otherwise(0)).alias("n_clip_high"),
+            dsum(clipped).alias("sum_winsorized"),
+            dsum("l_extendedprice").alias("sum_raw"),
+        )
+    )
+
+
+@register(
+    "q_profile_table",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+    FROM orders
+    """,
+    tags=("ext", "quality"),
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (null counts + distinct cardinality per
+    column) in ONE scan: all per-column aggregates run in a single
+    partial-aggregated pass, then a constant-size stack/unpivot
+    reshapes the 1-row wide result into (col_name, stats) rows. The
+    oracle's 5-scan UNION ALL states the semantics; the engine plan
+    reads the table once. At 100 TB swap COUNT DISTINCT for
+    approx_count_distinct — same shape, sketch-mergeable."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs.append((F.count("*") - F.count(c)).alias(f"null__{c}"))
+        aggs.append(F.count_distinct(c).alias(f"dist__{c}"))
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', null__{c}, dist__{c}" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (col_name, n_null, n_distinct)",
+        "n_rows",
+    ).select("col_name", "n_rows", "n_null", "n_distinct")
+
+
+@register(
+    "q_agg_mode",
+    oracle="""
+    WITH counted AS (
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY COUNT(*) DESC, o_orderpriority) AS rk
+      FROM orders GROUP BY 1, 2)
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+    FROM counted WHERE rk = 1
+    """,
+    tags=("ext", "agg"),
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: count (group, value) pairs, then
+    row_number ordered by (count DESC, value ASC) — the explicit
+    tiebreak is what makes the answer engine-independent (built-in
+    `mode()` breaks ties arbitrarily in both engines). Two shuffles,
+    both on keys whose cardinality is the *value domain*, not the row
+    count, so the second is negligible at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    counted = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("n").desc(), F.col("o_orderpriority"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n")
+    )
+
+
+@register(
+    "q_basket_pairs",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT part_a, part_b, n_orders,
+             ROW_NUMBER() OVER (ORDER BY n_orders DESC, part_a, part_b) AS rk
+      FROM pairs)
+    SELECT part_a, part_b, n_orders FROM ranked WHERE rk <= {BASKET_TOP_N}
+    """,
+    tags=("ext", "behavioral"),
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: top part pairs appearing in the
+    same order. Distinct (order, part) first — that bounds fanout by
+    the per-order item count (small constant in order data), so the
+    self-join is linear, not quadratic, and both join sides hash on
+    l_orderkey (one co-located exchange). Deterministic top-N via
+    row_number with a full tiebreak instead of LIMIT. At 100 TB the
+    final rank is a single-partition pass over pair aggregates only;
+    if the pair domain itself explodes, cut it first with a support
+    floor (HAVING n >= s) — the classic a-priori pruning step."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+    w = Window.orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BASKET_TOP_N)
+        .select("part_a", "part_b", "n_orders")
+    )
+
+
+@register(
+    "q_chi2_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2),
+    expected AS (
+      SELECT event_type, dow, o,
+             CAST(SUM(o) OVER (PARTITION BY event_type) * SUM(o) OVER (PARTITION BY dow) AS DOUBLE)
+               / SUM(o) OVER () AS e
+      FROM cells)
+    SELECT CAST(SUM(CAST((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e AS DECIMAL(22,6))) AS DOUBLE) AS chi2,
+           CAST((COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT dow) - 1) AS BIGINT) AS dof,
+           CAST(SUM(o) AS BIGINT) AS n
+    FROM expected
+    """,
+    tags=("ext", "quality", "stats"),
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event_type and
+    day-of-week. Observed counts are exact integers; expected counts
+    and per-cell terms are derived in identical double arithmetic on
+    both engines; the final reduction quantizes each term to
+    DECIMAL(22,6) so the sum over cells is order-independent (a
+    double Σ over cells would differ by ULPs between engines). The
+    contingency table is |types|x7 rows — everything after the one
+    groupBy shuffle is effectively free, and the groupBy itself
+    map-side combines down to the grid size per partition."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count("*").alias("o"))
+    w_t = Window.partitionBy("event_type")
+    w_d = Window.partitionBy("dow")
+    w_all = Window.partitionBy()
+    e = (F.sum("o").over(w_t) * F.sum("o").over(w_d)).cast("double") / F.sum("o").over(w_all)
+    od = F.col("o").cast("double")
+    term = ((od - e) * (od - e) / e).cast("decimal(22,6)")
+    expected = cells.select("event_type", "dow", "o", term.alias("term"))
+    return expected.agg(
+        F.sum("term").cast("double").alias("chi2"),
+        ((F.count_distinct("event_type") - 1) * (F.count_distinct("dow") - 1)).alias("dof"),
+        F.sum("o").alias("n"),
+    )

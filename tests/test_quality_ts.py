@@ -1,0 +1,82 @@
+"""Invariants for quality_ts.py operators. Exact values are pinned by
+the DuckDB oracles; these pin the semantics."""
+
+from data_wrangler_spark.registry import REGISTRY
+
+
+def test_resample_buckets_are_hour_aligned(spark, sf_dir):
+    rows = REGISTRY["q_resample"].run(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.bucket.minute == 0 and r.bucket.second == 0
+        assert r.n_events >= r.n_users >= 1
+
+
+def test_locf_fills_all_interior_gaps(spark, sf_dir):
+    rows = REGISTRY["q_fill_locf"].run(spark, sf_dir).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for rs in by_type.values():
+        rs.sort(key=lambda r: r.day)
+        seen_obs = False
+        for r in rs:
+            if r.n_raw is not None:
+                seen_obs = True
+                assert r.n_filled == r.n_raw  # observed days pass through
+            elif seen_obs:
+                assert r.n_filled is not None  # gap after first obs is filled
+        # the grid is dense: consecutive days, no holes
+        for prev, nxt in zip(rs, rs[1:]):
+            assert (nxt.day - prev.day).days == 1
+
+
+def test_zscore_only_flags_beyond_threshold(spark, sf_dir):
+    from data_wrangler_spark.operators.quality_ts import Z_THRESHOLD
+
+    rows = REGISTRY["q_zscore"].run(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.z) > Z_THRESHOLD
+
+
+def test_winsorize_tightens_totals(spark, sf_dir):
+    rows = REGISTRY["q_winsorize"].run(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # ~5% clipped each side, never more than ~6%
+        assert 0 < r.n_clip_low <= 0.06 * r.n
+        assert 0 < r.n_clip_high <= 0.06 * r.n
+        assert r.sum_winsorized != r.sum_raw
+
+
+def test_profile_counts_consistent(spark, sf_dir):
+    rows = REGISTRY["q_profile_table"].run(spark, sf_dir).collect()
+    assert len(rows) == 5
+    n_rows = rows[0].n_rows
+    by_col = {r.col_name: r for r in rows}
+    assert by_col["o_orderkey"].n_distinct == n_rows  # primary key
+    assert by_col["o_orderstatus"].n_distinct <= 3
+    for r in rows:
+        assert r.n_rows == n_rows
+        assert 0 <= r.n_null <= n_rows
+        assert 1 <= r.n_distinct <= n_rows
+
+
+def test_mode_is_unique_per_group(spark, sf_dir):
+    rows = REGISTRY["q_agg_mode"].run(spark, sf_dir).collect()
+    assert rows
+    statuses = [r.o_orderstatus for r in rows]
+    assert len(statuses) == len(set(statuses))
+    assert all(r.n >= 1 for r in rows)
+
+
+def test_basket_pairs_canonical_and_ranked(spark, sf_dir):
+    from data_wrangler_spark.operators.quality_ts import BASKET_TOP_N
+
+    rows = REGISTRY["q_basket_pairs"].run(spark, sf_dir).collect()
+    assert 0 < len(rows) <= BASKET_TOP_N
+    assert all(r.part_a < r.part_b for r in rows)
+    counts = [r.n_orders for r in rows]
+    assert counts == sorted(counts, reverse=True)
