@@ -298,3 +298,44 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(10)
     )
+
+
+@register(
+    "q_pct_of_total",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag, l_linestatus,
+             SUM(CAST(l_extendedprice AS DECIMAL(22,6))) AS rev_dec,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1, 2)
+    SELECT l_returnflag, l_linestatus, n,
+           CAST(rev_dec AS DOUBLE) AS revenue,
+           CAST(rev_dec AS DOUBLE) / CAST(SUM(rev_dec) OVER () AS DOUBLE) AS pct_of_total
+    FROM g
+    """,
+    tags=("ext", "agg", "window"),
+)
+def q_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio_to_report): each group's revenue share
+    of the grand total. The grand total is a window SUM over the
+    *decimal* group sums — exact and order-independent — and only the
+    final share division happens in double, so both engines divide
+    identical numerators by identical denominators. The window runs
+    over the aggregated frame (|groups| rows), not the fact table:
+    one real shuffle, then a single-partition pass over a handful of
+    rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(22,6)")).alias("rev_dec"),
+        F.count("*").alias("n"),
+    )
+    total = F.sum("rev_dec").over(Window.partitionBy())
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (F.col("rev_dec").cast("double") / total.cast("double")).alias("pct_of_total"),
+    )

@@ -290,3 +290,38 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
         ).alias("slope"),
     )
+
+
+@register(
+    "q_cum_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS first_day
+      FROM events GROUP BY 1),
+    per_day AS (
+      SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM first_seen GROUP BY 1)
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+    FROM per_day
+    """,
+    tags=("ext", "behavioral", "timeseries"),
+)
+def q_cum_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the audience-growth curve.
+    Windowed COUNT(DISTINCT) is unsupported and would be quadratic
+    anyway; the standard reformulation attributes each user to their
+    first-seen day and takes a running sum of the per-day counts.
+    Two key-bounded shuffles (user_id, then day); the running sum
+    runs over |days| rows only. All-integer arithmetic — exact at
+    any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("day")
+    )
+    per_day = first_seen.groupBy("day").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )

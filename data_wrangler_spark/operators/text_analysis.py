@@ -177,3 +177,35 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "n_copies", F.count("*").over(Window.partitionBy("fingerprint"))
     )
+
+
+@register(
+    "q_regex_extract",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(text, '[a-z]{5,}')) AS token
+      FROM documents),
+    counted AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1)
+    SELECT token, n FROM counted WHERE n >= 10
+    """,
+    tags=("ext", "text"),
+)
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex token mining: extract all ≥5-letter word matches from
+    every document, count occurrences corpus-wide, keep tokens above
+    a support floor. The pattern is anchored to a class both regex
+    engines (Java util.regex, RE2) treat identically — no
+    backreferences, no lookaround — which is also the subset that
+    stays cheap at scale. Plan: scan → generate (explode) → one
+    hash-agg shuffle on token; the support floor cuts the long tail
+    before any further processing."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.regexp_extract_all("text", F.lit("[a-z]{5,}"), 0)).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 10)
+    )

@@ -180,3 +180,46 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("running_spend"),
     )
+
+
+@register(
+    "q_window_range_7d",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS INT) AS day_no,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(22,6))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS INT)
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_7d,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS INT)
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_orders_7d
+    FROM orders
+    """,
+    tags=("ext", "window", "timeseries"),
+)
+def q_window_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE rolling window: per customer, total spend over the
+    trailing 7 calendar days — a RANGE frame over an integer day
+    number, not a ROWS frame, so gaps and same-day multi-orders are
+    handled correctly (every row sees exactly the orders whose day is
+    within 6 of its own). One shuffle on o_custkey; the frame scan is
+    a sliding two-pointer inside each sorted partition, O(1) memory
+    per row at any scale. Decimal frame sums keep the double result
+    frame-order independent."""
+    o = _orders(spark, sf_dir)
+    day_no = F.datediff("o_orderdate", F.lit("1992-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day_no)
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        day_no.alias("day_no"),
+        F.sum(F.col("o_totalprice").cast("decimal(22,6)")).over(w).cast("double").alias("spend_7d"),
+        F.count("*").over(w).alias("n_orders_7d"),
+    )

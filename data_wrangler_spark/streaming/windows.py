@@ -260,3 +260,57 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_stream(stream, "q_stream_dedup")
     return out.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@register(
+    "q_stream_join",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           v.user_id,
+           v.ts AS view_ts, p.ts AS purchase_ts
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("stream", "join"),
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: every purchase within 30 minutes
+    after a view by the same user, as a REAL two-source streaming
+    join (file source, availableNow, cross-batch matches included).
+    Both sides carry a 40-minute watermark; with the interval
+    condition Spark bounds join state to [watermark - 30min, now] per
+    side, so state is O(rate x window), not O(history). The oracle is
+    the exact batch interval self-join — inner stream-stream joins
+    emit precisely that set when no input is later than its side's
+    watermark (guaranteed here: files are staged in time order with a
+    40min > 30min delay). At scale the join shuffles both streams on
+    user_id once; skew on hot users is AQE-salted like any batch
+    join."""
+    base, ev = _staged_events(spark, sf_dir, "sj", split_frac=0.7)
+
+    def side(event_type: str, alias: str) -> DataFrame:
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(base)
+            .filter(F.col("event_type") == event_type)
+            .withWatermark("ts", "40 minutes")
+            .alias(alias)
+        )
+
+    joined = side("view", "v").join(
+        side("purchase", "p"),
+        F.expr(
+            "v.user_id = p.user_id AND "
+            "p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTES"
+        ),
+    ).select(
+        F.col("v.event_id").alias("view_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("v.user_id").alias("user_id"),
+        F.col("v.ts").alias("view_ts"),
+        F.col("p.ts").alias("purchase_ts"),
+    )
+    return _run_stream(joined, "q_stream_join")

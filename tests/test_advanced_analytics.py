@@ -1,0 +1,69 @@
+"""Invariants for the range-window / stats / stream-join batch.
+Exact values are pinned by the DuckDB oracles; these pin semantics."""
+
+from collections import defaultdict
+
+from data_wrangler_spark.registry import REGISTRY
+
+
+def test_range_window_counts_by_day_distance(spark, sf_dir):
+    rows = REGISTRY["q_window_range_7d"].run(spark, sf_dir).collect()
+    assert rows
+    by_cust = defaultdict(list)
+    for r in rows:
+        by_cust[r.o_custkey].append(r)
+    checked = 0
+    for cust, rs in list(by_cust.items())[:50]:
+        days = [r.day_no for r in rs]
+        for r in rs:
+            expect = sum(1 for d in days if r.day_no - 6 <= d <= r.day_no)
+            assert r.n_orders_7d == expect
+            checked += 1
+    assert checked
+
+
+def test_pct_of_total_sums_to_one(spark, sf_dir):
+    rows = REGISTRY["q_pct_of_total"].run(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.pct_of_total for r in rows) - 1.0) < 1e-9
+    assert all(0 < r.pct_of_total < 1 for r in rows)
+
+
+def test_cum_users_monotone_and_totals(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["q_cum_users"].run(spark, sf_dir).collect(), key=lambda r: r.day
+    )
+    assert rows
+    running = 0
+    for r in rows:
+        running += r.new_users
+        assert r.cum_users == running
+    from data_wrangler_spark.catalog import load_table
+
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert rows[-1].cum_users == n_users
+
+
+def test_chi2_nonnegative_with_grid_dof(spark, sf_dir):
+    r = REGISTRY["q_chi2_independence"].run(spark, sf_dir).collect()[0]
+    assert r.chi2 >= 0
+    assert r.dof >= 1
+    assert r.n > 0
+
+
+def test_regex_tokens_match_pattern(spark, sf_dir):
+    import re
+
+    rows = REGISTRY["q_regex_extract"].run(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert re.fullmatch(r"[a-z]{5,}", r.token)
+        assert r.n >= 10
+
+
+def test_stream_join_within_interval(spark, sf_dir):
+    rows = REGISTRY["q_stream_join"].run(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        delta = (r.purchase_ts - r.view_ts).total_seconds()
+        assert 0 <= delta <= 1800
