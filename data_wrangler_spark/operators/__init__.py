@@ -5,9 +5,11 @@ from data_wrangler_spark.operators import (  # noqa: F401
     behavioral,
     core,
     dedup,
+    embeddings_ext,
     joins,
     multimodal,
     pipeline_ops,
+    quality_ts,
     relational_extras,
     setops,
     similarity,

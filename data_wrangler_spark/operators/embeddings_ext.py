@@ -1,0 +1,185 @@
+"""Embedding-column operators beyond similarity search: per-label
+centroids, k-NN classification, L2 normalization.
+
+The reference gateway has no vector support at all (its only typed
+surface is SQL rows — SURVEY.md §2.4); these extend the engine's
+`array<float>` column family (similarity.py) with the aggregate and
+classification shapes an embedding pipeline needs. All exact DuckDB
+oracles: vector arithmetic reuses the fold-parity helpers in
+functions/vectors.py (left-assoc fold ≡ list_reduce), and centroid
+means use decimal sums per dimension so the result is
+partition-order independent.
+
+Scale notes:
+- centroid: posexplode multiplies rows by dim (64×) but the partial
+  hash agg collapses to |labels|·dim per partition before the
+  shuffle — network cost is the centroid grid, not the corpus.
+- knn: |queries| is small and broadcast; the neighbor scan is one
+  pass, per-query top-k via rank-limit pushdown (no global sort).
+- normalize: pure scan-side expression, no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from data_wrangler_spark.catalog import load_table
+from data_wrangler_spark.functions.vectors import (
+    cosine,
+    norm,
+    sql_cosine,
+    sql_norm,
+    to_double_array,
+)
+from data_wrangler_spark.registry import register
+
+KNN_K = 15
+KNN_N_QUERIES = 5
+
+
+@register(
+    "q_embed_centroid",
+    oracle="""
+    WITH ex AS (
+      SELECT label, CAST(i AS INT) AS pos,
+             CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS t(i)),
+    dims AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(val AS DECIMAL(22,6))) AS DOUBLE) / COUNT(*) AS avgv
+      FROM ex GROUP BY 1, 2),
+    cents AS (
+      SELECT label, list(avgv ORDER BY pos) AS centroid
+      FROM dims GROUP BY 1),
+    counts AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY 1)
+    SELECT c.label, n.n_vecs, c.centroid
+    FROM cents c JOIN counts n USING (label)
+    """,
+    tags=("llm", "embedding"),
+)
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vector — the building block of IVF coarse
+    quantizers, k-means steps, and class prototypes. posexplode to
+    (label, pos, val), exact decimal mean per (label, pos), then
+    reassemble ordered arrays. The per-dimension decimal sum makes
+    every centroid component bit-equal regardless of partitioning —
+    the property that lets an iterative k-means converge identically
+    on any cluster layout."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode(to_double_array("embedding")).alias("pos0", "val")
+    ).select("label", (F.col("pos0") + 1).cast("int").alias("pos"), "val")
+    dims = ex.groupBy("label", "pos").agg(
+        (F.sum(F.col("val").cast("decimal(22,6)")).cast("double") / F.count("*")).alias(
+            "avgv"
+        )
+    )
+    cents = (
+        dims.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "avgv"))).alias("pairs"))
+        .select(
+            "label", F.transform("pairs", lambda p: p["avgv"]).alias("centroid")
+        )
+    )
+    counts = e.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    return cents.join(counts, "label").select("label", "n_vecs", "centroid")
+
+
+@register(
+    "q_knn_classify",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings),
+    q AS (
+      SELECT vec_id AS query_id, e AS qe
+      FROM base ORDER BY vec_id LIMIT {KNN_N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, b.vec_id, b.label,
+             {sql_cosine('b.e', 'q.qe')} AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY {sql_cosine('b.e', 'q.qe')} DESC, b.vec_id) AS rk
+      FROM base b, q
+      WHERE b.vec_id NOT IN (SELECT query_id FROM q)),
+    votes AS (
+      SELECT query_id, label, CAST(COUNT(*) AS BIGINT) AS votes
+      FROM scored WHERE rk <= {KNN_K} GROUP BY 1, 2),
+    best AS (
+      SELECT query_id, label AS pred_label, votes,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY votes DESC, label) AS vr
+      FROM votes)
+    SELECT query_id, pred_label, votes FROM best WHERE vr = 1
+    """,
+    tags=("llm", "embedding", "similarity"),
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification: for each of the first
+    {n_q} vectors, find the {k} nearest neighbors by cosine among the
+    rest and vote on the label (ties → smallest label). The query set
+    is broadcast; the corpus is scanned once and each row scores
+    against all queries in-expression; per-query top-k goes through
+    the rank-limit pushdown (per-partition heaps, no global sort).
+    Exactness: the fold-ordered cosine is bit-equal to the oracle's
+    list_reduce, so ranks — and therefore votes — agree exactly."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", "label", to_double_array("embedding").alias("e"))
+    q = (
+        base.orderBy("vec_id")
+        .limit(KNN_N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    )
+    scored = (
+        base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .join(
+            F.broadcast(q.select(F.col("query_id").alias("qid2"))),
+            F.col("vec_id") == F.col("qid2"),
+            "left_anti",
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            cosine(F.col("e"), F.col("qe")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    topk = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= KNN_K)
+    votes = topk.groupBy("query_id", "label").agg(F.count("*").alias("votes"))
+    wv = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), "label")
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+
+
+@register(
+    "q_embed_norm",
+    oracle=f"""
+    SELECT vec_id, label,
+           {sql_norm('embedding')} AS l2_norm,
+           CAST(embedding[1] AS DOUBLE) / {sql_norm('embedding')} AS first_component
+    FROM embeddings
+    """,
+    tags=("llm", "embedding"),
+)
+def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization — the preprocessing step that turns cosine
+    into dot product (what every ANN index assumes). Pure scan-side
+    expression: no shuffle, stays inside whole-stage codegen, and the
+    fold-ordered norm is bit-equal to the oracle. Projecting the
+    first normalized component keeps the harness comparison scalar
+    while the full normalized array is one `transform` away."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ed = to_double_array("embedding")
+    n = norm(ed)
+    return e.select(
+        "vec_id",
+        "label",
+        n.alias("l2_norm"),
+        (F.element_at(ed, 1) / n).alias("first_component"),
+    )

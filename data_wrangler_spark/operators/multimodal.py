@@ -163,3 +163,58 @@ def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_batches,
         "doc_id bigint, byte_len int, content_sha string, n_frames int, lang string",
     )
+
+
+# SQL mirror of one sha256-hex byte → [0,1] feature: value of hex
+# digit pair (2j+1, 2j+2) divided by 255.
+def _sql_hash_feature(j: int) -> str:
+    hi = f"(strpos('0123456789abcdef', substring(sha256(text), {2 * j + 1}, 1)) - 1)"
+    lo = f"(strpos('0123456789abcdef', substring(sha256(text), {2 * j + 2}, 1)) - 1)"
+    return f"CAST({hi} * 16 + {lo} AS DOUBLE) / 255.0"
+
+
+MM_EMBED_DIM = 8
+
+
+@register(
+    "q_mm_embed",
+    oracle=f"""
+    SELECT doc_id, lang,
+           [{', '.join(_sql_hash_feature(j) for j in range(MM_EMBED_DIM))}] AS features
+    FROM documents
+    """,
+    tags=("llm", "multimodal", "embedding"),
+)
+def q_mm_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → fixed-dim feature vector, the
+    feature-extraction leg of a multimodal pipeline (image/audio
+    embedding models slot in here). The Python side runs REAL
+    mapInPandas plumbing — Arrow-batched binary in, fixed-width
+    array<double> out — with a deterministic stand-in extractor
+    (first 8 sha256 digest bytes scaled to [0,1]), so the oracle can
+    restate it in SQL and value-check the whole Python path, batch
+    boundaries included. Swap `_embed_stub` for a model call and
+    the schema, batching, and partition behavior are unchanged; at
+    scale tune batch size via spark.sql.execution.arrow
+    .maxRecordsPerBatch to amortize model invocation."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload"), "lang"
+    )
+
+    def _embed_stub(payload: bytes) -> list[float]:
+        digest = hashlib.sha256(payload).digest()
+        return [b / 255.0 for b in digest[:MM_EMBED_DIM]]
+
+    def embed_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "lang": pdf["lang"],
+                    "features": pdf["payload"].map(_embed_stub),
+                }
+            )
+
+    return d.mapInPandas(
+        embed_batches, "doc_id bigint, lang string, features array<double>"
+    )

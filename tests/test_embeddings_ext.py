@@ -1,0 +1,66 @@
+"""Invariants for embeddings_ext.py + q_mm_embed. Exact values are
+pinned by the DuckDB oracles; these pin semantics."""
+
+import math
+
+from data_wrangler_spark.registry import REGISTRY
+
+
+def test_centroid_matches_brute_force(spark, sf_dir):
+    from data_wrangler_spark.catalog import load_table
+
+    rows = REGISTRY["q_embed_centroid"].run(spark, sf_dir).collect()
+    assert rows
+    raw = load_table(spark, sf_dir, "embeddings").collect()
+    by_label = {}
+    for r in raw:
+        by_label.setdefault(r.label, []).append(r.embedding)
+    for r in rows:
+        vecs = by_label[r.label]
+        assert r.n_vecs == len(vecs)
+        dim = len(vecs[0])
+        assert len(r.centroid) == dim
+        for j in range(dim):
+            expect = sum(v[j] for v in vecs) / len(vecs)
+            assert abs(r.centroid[j] - expect) < 1e-6
+
+
+def test_knn_votes_bounded_by_k(spark, sf_dir):
+    from data_wrangler_spark.operators.embeddings_ext import KNN_K, KNN_N_QUERIES
+
+    rows = REGISTRY["q_knn_classify"].run(spark, sf_dir).collect()
+    assert len(rows) == KNN_N_QUERIES
+    for r in rows:
+        assert 1 <= r.votes <= KNN_K
+        # majority plurality: votes strictly more than k/|labels| floor
+        assert r.pred_label is not None
+
+
+def test_embed_norm_is_unit_scale(spark, sf_dir):
+    rows = REGISTRY["q_embed_norm"].run(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.l2_norm > 0
+        assert abs(r.first_component) <= 1.0 + 1e-12
+
+
+def test_mm_embed_fixed_dim_unit_interval(spark, sf_dir):
+    from data_wrangler_spark.operators.multimodal import MM_EMBED_DIM
+
+    rows = REGISTRY["q_mm_embed"].run(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert len(r.features) == MM_EMBED_DIM
+        assert all(0.0 <= f <= 1.0 for f in r.features)
+    # deterministic: same text → same features
+    import hashlib
+
+    from data_wrangler_spark.catalog import load_table
+
+    doc = load_table(spark, sf_dir, "documents").limit(1).collect()[0]
+    expect = [
+        b / 255.0
+        for b in hashlib.sha256(doc.text.encode()).digest()[:MM_EMBED_DIM]
+    ]
+    got = next(r.features for r in rows if r.doc_id == doc.doc_id)
+    assert got == expect
