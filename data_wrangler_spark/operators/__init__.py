@@ -6,6 +6,7 @@ from data_wrangler_spark.operators import (  # noqa: F401
     core,
     dedup,
     embeddings_ext,
+    graph,
     joins,
     multimodal,
     pipeline_ops,

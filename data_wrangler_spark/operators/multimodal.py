@@ -218,3 +218,55 @@ def q_mm_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         embed_batches, "doc_id bigint, lang string, features array<double>"
     )
+
+
+RESIZE_FACTOR = 4  # fake "downsample by 4" — stands in for a real scaler
+
+
+@register(
+    "q_mm_resize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS in_bytes,
+           CAST(octet_length(encode(text)) // {RESIZE_FACTOR} AS INT) AS out_bytes,
+           CAST(octet_length(encode(text)) % 100 AS INT) AS in_width,
+           CAST(octet_length(encode(text)) % 100 // {RESIZE_FACTOR} AS INT) AS out_width,
+           sha256(substring(text, 1, CAST(octet_length(encode(text)) // {RESIZE_FACTOR} AS INT))) AS out_sha
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/transcode plumbing: binary payload in, smaller binary
+    payload + updated dimension metadata out, through mapInPandas.
+    The stand-in 'scaler' truncates the payload to 1/4 and scales the
+    fake width metadata; a real deployment swaps the body for
+    PIL/ffmpeg. The output payload itself is value-checked through
+    its sha256 (the harness compares the digest, proving the Python
+    path produced exactly the bytes the SQL restatement predicts).
+    Payloads never shuffle — the op is scan → mapInPandas → project,
+    and metadata-only consumers downstream prune the binary column
+    out of the scan entirely."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            out = pdf["payload"].map(lambda p: p[: len(p) // RESIZE_FACTOR])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "in_bytes": n,
+                    "out_bytes": out.map(len),
+                    "in_width": n % 100,
+                    "out_width": (n % 100) // RESIZE_FACTOR,
+                    "out_sha": out.map(lambda p: hashlib.sha256(p).hexdigest()),
+                }
+            )
+
+    return d.mapInPandas(
+        resize_batches,
+        "doc_id bigint, in_bytes int, out_bytes int, in_width int, out_width int, out_sha string",
+    )

@@ -1,0 +1,40 @@
+"""PageRank pinned against an independent numpy power iteration —
+the rows-only oracle contract for iterative algorithms."""
+
+import numpy as np
+
+from data_wrangler_spark.registry import REGISTRY
+
+
+def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
+    from data_wrangler_spark.operators.graph import (
+        PR_DAMPING,
+        PR_ITERATIONS,
+        _edges,
+    )
+
+    edge_rows = _edges(spark, sf_dir).collect()
+    got = {r.node: r.pagerank for r in REGISTRY["q_pagerank"].run(spark, sf_dir).collect()}
+
+    nodes = sorted({r.src for r in edge_rows} | {r.dst for r in edge_rows})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    assert set(got) == set(nodes)
+
+    out_deg = np.zeros(n)
+    for r in edge_rows:
+        out_deg[idx[r.src]] += 1
+    rank = np.full(n, 1.0 / n)
+    for _ in range(PR_ITERATIONS):
+        inflow = np.zeros(n)
+        contrib = np.divide(rank, out_deg, out=np.zeros(n), where=out_deg > 0)
+        for r in edge_rows:
+            inflow[idx[r.dst]] += contrib[idx[r.src]]
+        dangling = rank[out_deg == 0].sum()
+        rank = (1.0 - PR_DAMPING) / n + PR_DAMPING * (inflow + dangling / n)
+
+    assert abs(rank.sum() - 1.0) < 1e-9  # mass conserved
+    spark_total = sum(got.values())
+    assert abs(spark_total - 1.0) < 1e-9
+    for node, i in idx.items():
+        assert abs(got[node] - rank[i]) < 1e-9
