@@ -13,6 +13,7 @@ from data_wrangler_spark.operators import (  # noqa: F401
     quality_ts,
     relational_extras,
     setops,
+    statistics,
     similarity,
     sketches,
     text_analysis,

@@ -1,0 +1,168 @@
+"""Distribution statistics: median absolute deviation, Shannon
+entropy, Gini coefficient.
+
+North-star robust-stats extensions (the reference has no aggregation
+surface at all — SURVEY.md §2.4). All exact DuckDB oracles, using
+three repo parity techniques in combination:
+
+- exact percentiles (interpolation verified identical between
+  engines) for MAD;
+- the float32-cast guard for transcendentals (ln may differ by 1 ULP
+  between the JVM and libm — casting both engines' ln to float32
+  absorbs it) for entropy;
+- exact decimal moments + identical double derivation for Gini, with
+  per-term DECIMAL quantization wherever a sum's order would
+  otherwise leak ULPs.
+
+Scale notes: MAD is two broadcast-joined aggregation passes over the
+fact scan (the 100 TB path swaps exact percentiles for
+percentile_approx). Entropy reduces to |source×lang| counts before
+any float math — the transcendental runs on the tiny aggregated
+frame. Gini's global row_number is the scale hazard: a
+single-partition sort window. At 100 TB replace it with a
+range-partitioned sort + per-partition prefix sums (two passes); the
+algebra — (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) — is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from data_wrangler_spark.catalog import load_table
+from data_wrangler_spark.registry import register
+
+
+@register(
+    "q_mad",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty
+      FROM lineitem GROUP BY 1)
+    SELECT l.l_returnflag,
+           m.median_qty,
+           quantile_cont(abs(l.l_quantity - m.median_qty), 0.5) AS mad_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem l JOIN med m USING (l_returnflag)
+    GROUP BY 1, 2
+    """,
+    tags=("ext", "stats"),
+)
+def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust spread
+    estimator (insensitive to the outliers that wreck stddev). Two
+    aggregation passes: group medians broadcast back over the fact
+    scan, then the median of absolute deviations. Exact percentile
+    interpolation is engine-identical, and |x−m| is exact double
+    arithmetic, so both engines see identical deviation multisets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("median_qty")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag", "median_qty")
+        .agg(
+            F.percentile(F.abs(F.col("l_quantity") - F.col("median_qty")), 0.5).alias(
+                "mad_qty"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "q_entropy",
+    oracle="""
+    WITH counts AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY 1, 2),
+    probs AS (
+      SELECT source, lang, cnt,
+             CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY source) AS p
+      FROM counts)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           CAST(SUM(cnt) AS BIGINT) AS n_docs,
+           -CAST(SUM(CAST(p * CAST(CAST(ln(p) AS FLOAT) AS DOUBLE) AS DECIMAL(22,6))) AS DOUBLE) AS entropy
+    FROM probs
+    GROUP BY 1
+    """,
+    tags=("ext", "stats"),
+)
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the language mix per source — the mixture
+    diagnostic for corpus curation (a source whose entropy collapses
+    is monolingual; one near ln(k) is uniform). All heavy work is the
+    one (source, lang) count shuffle; probabilities and the
+    transcendental run on the aggregated frame. ln is the one
+    operation the engines may disagree on by 1 ULP, so both sides
+    squeeze it through float32 before the (order-independent,
+    decimal-quantized) sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("source")
+    p = F.col("cnt").cast("double") / F.sum("cnt").over(w)
+    probs = counts.select("source", "lang", "cnt", p.alias("p"))
+    term = (F.col("p") * F.log(F.col("p")).cast("float").cast("double")).cast(
+        "decimal(22,6)"
+    )
+    return probs.groupBy("source").agg(
+        F.count("*").alias("n_langs"),
+        F.sum("cnt").alias("n_docs"),
+        (-F.sum(term).cast("double")).alias("entropy"),
+    )
+
+
+@register(
+    "q_gini",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(22,6))) AS x_dec
+      FROM orders GROUP BY 1),
+    ranked AS (
+      SELECT o_custkey, x_dec,
+             ROW_NUMBER() OVER (ORDER BY x_dec, o_custkey) AS i
+      FROM spend),
+    moments AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             -- scale 2 is lossless for price data and keeps the
+             -- scaled integer < 2^53, where DuckDB's decimal→double
+             -- cast stops being correctly rounded
+             CAST(CAST(SUM(i * x_dec) AS DECIMAL(38,2)) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(x_dec) AS DECIMAL(38,2)) AS DOUBLE) AS s0
+      FROM ranked)
+    SELECT n, s0 AS total_spend,
+           (2 * s1 - (n + 1) * s0) / (n * s0) AS gini
+    FROM moments
+    """,
+    tags=("ext", "stats"),
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the inequality measure
+    behind data-mix audits (how concentrated is volume across
+    sources/users?). Per-customer spend in exact decimal, global
+    rank by (spend, custkey), then G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx)
+    from two exact decimal moments — the double division at the end
+    is the only inexact step and runs on identical operands in both
+    engines. The global row_number is a single-partition sort here;
+    at 100 TB it becomes range-partitioned sort + per-partition
+    prefix counts (same algebra)."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(22,6)")).alias("x_dec")
+    )
+    w = Window.orderBy("x_dec", "o_custkey")
+    ranked = spend.withColumn("i", F.row_number().over(w))
+    moments = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("i") * F.col("x_dec")).cast("decimal(38,2)").cast("double").alias("s1"),
+        F.sum("x_dec").cast("decimal(38,2)").cast("double").alias("s0"),
+    )
+    return moments.select(
+        "n",
+        F.col("s0").alias("total_spend"),
+        ((2 * F.col("s1") - (F.col("n") + 1) * F.col("s0")) / (F.col("n") * F.col("s0"))).alias(
+            "gini"
+        ),
+    )
