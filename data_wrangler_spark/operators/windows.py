@@ -223,3 +223,36 @@ def q_window_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(22,6)")).over(w).cast("double").alias("spend_7d"),
         F.count("*").over(w).alias("n_orders_7d"),
     )
+
+
+@register(
+    "q_window_dist",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           first_value(o_orderkey) OVER w AS first_key,
+           nth_value(o_orderkey, 2) OVER w AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("ext", "window"),
+)
+def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window distribution + navigation functions: percent_rank and
+    cume_dist are exact rationals ((rank−1)/(n−1), rows≤current/n) so
+    they compare bit-equal across engines; first/nth_value pin the
+    navigation family (default frame: unbounded preceding → current
+    row, identical in both engines for these). One shuffle on
+    o_custkey shared by all four functions — Catalyst collapses them
+    into a single Window operator."""
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return _orders(spark, sf_dir).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )
