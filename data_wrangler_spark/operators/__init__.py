@@ -17,6 +17,7 @@ from data_wrangler_spark.operators import (  # noqa: F401
     similarity,
     sketches,
     text_analysis,
+    tpch,
     udx,
     windows,
 )

@@ -314,3 +314,83 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.ts").alias("purchase_ts"),
     )
     return _run_stream(joined, "q_stream_join")
+
+
+@register(
+    "q_stream_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type, e.value,
+           c.c_nationkey, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    tags=("stream", "join"),
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to the
+    customer dimension (a plain batch DataFrame) per micro-batch.
+    This is THE canonical streaming-ETL shape — dimension lookup on
+    a moving fact stream. The static side broadcasts into every
+    micro-batch (no state, no watermark needed for an inner
+    non-aggregating join; output is append-mode row-per-match). At
+    scale, refresh the dim by re-resolving the batch DataFrame per
+    trigger (foreachBatch) or use a slowly-changing broadcast; the
+    stream side itself never shuffles."""
+    base, ev = _staged_events(spark, sf_dir, "enrich", split_frac=0.6)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .select(
+            "event_id", "user_id", "event_type", "value",
+            "c_nationkey", "c_mktsegment",
+        )
+    )
+    return _run_stream(stream, "q_stream_enrich")
+
+
+@register(
+    "q_stream_sink_parquet",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events WHERE event_type <> 'view'
+    """,
+    tags=("stream", "sink"),
+)
+def q_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming parquet sink through foreachBatch: each micro-batch
+    appends to a parquet directory under the stream's checkpoint
+    guard — the restart-safe pattern for custom sinks (foreachBatch
+    re-delivers a failed batch; the batchId lets a real sink
+    implement idempotent upsert). The returned DataFrame re-reads
+    the sink files, so the oracle checks bytes-through-the-sink, not
+    just the in-memory stream: filter semantics, append atomicity,
+    and schema fidelity all round-trip. At scale the same pattern
+    fans out to partitioned-by-date layouts; compaction is a
+    downstream concern."""
+    base, ev = _staged_events(spark, sf_dir, "sink", split_frac=0.5)
+    out = os.path.join(SCRATCH, "sink_out", f"pq_{uuid.uuid4().hex[:8]}")
+    ckpt = os.path.join(SCRATCH, "ckpt", f"sink_{uuid.uuid4().hex[:8]}")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.filter(F.col("event_type") != "view")
+            .select("event_id", "user_id", "event_type", "value")
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)

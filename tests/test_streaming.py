@@ -71,3 +71,23 @@ def test_stream_dedup_exact(spark, sf_dir):
     n_events = load_table(spark, sf_dir, "events").count()
     assert out.count() == n_events
     assert out.select("event_id").distinct().count() == n_events
+
+
+def test_stream_enrich_matches_batch_join(spark, sf_dir):
+    """Stream-static enrichment emits exactly the batch join rows."""
+    out = REGISTRY["q_stream_enrich"].run(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    expect = ev.join(cust, ev.user_id == cust.c_custkey).count()
+    assert out.count() == expect
+    assert out.filter(F.col("c_nationkey").isNull()).count() == 0
+
+
+def test_stream_sink_filters_and_roundtrips(spark, sf_dir):
+    """foreachBatch parquet sink: filtered rows absent, rest intact."""
+    out = REGISTRY["q_stream_sink_parquet"].run(spark, sf_dir)
+    assert out.filter(F.col("event_type") == "view").count() == 0
+    ev = load_table(spark, sf_dir, "events")
+    expect = ev.filter(F.col("event_type") != "view").count()
+    assert out.count() == expect
+    assert out.select("event_id").distinct().count() == expect  # no double-writes
