@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis) for the engine's pure-Python
+surfaces: clamp algebra, JDBC option guards, SQL-template rewriting,
+and the cross-engine round-half-up quantizer."""
+
+import math
+
+import duckdb
+from hypothesis import given, settings, strategies as st
+
+from data_wrangler_spark.plans.pagination import (
+    PERPAGE_MAX,
+    PERPAGE_MIN,
+    clamp_perpage,
+)
+from data_wrangler_spark.plans.templates import SQLTemplates
+from data_wrangler_spark.sources.jdbc import JdbcConfigError, jdbc_options
+
+
+@given(st.integers(min_value=-(10**9), max_value=10**9))
+def test_clamp_perpage_bounds_and_idempotence(n):
+    c = clamp_perpage(n)
+    assert PERPAGE_MIN <= c <= PERPAGE_MAX
+    assert clamp_perpage(c) == c  # idempotent
+    if PERPAGE_MIN <= n <= PERPAGE_MAX:
+        assert c == n  # identity inside the band
+
+
+@given(st.integers(), st.integers())
+def test_clamp_perpage_monotone(a, b):
+    if a <= b:
+        assert clamp_perpage(a) <= clamp_perpage(b)
+
+
+_ident = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,20}", fullmatch=True)
+_hostile = st.text(min_size=1, max_size=30).filter(
+    lambda s: not s[0].isalpha() and s[0] != "_"
+)
+
+
+@given(_ident)
+def test_jdbc_accepts_valid_tables(table):
+    opts = jdbc_options(
+        adapter="pg", host="h", database="d", table=table, user="u"
+    )
+    assert opts["dbtable"] == table
+
+
+@given(_hostile)
+def test_jdbc_rejects_hostile_tables(table):
+    try:
+        jdbc_options(adapter="pg", host="h", database="d", table=table, user="u")
+    except JdbcConfigError:
+        return
+    # the only non-rejected strings are real identifiers
+    assert table[0].isalpha() or table[0] == "_"
+
+
+@given(
+    st.lists(
+        st.sampled_from(["SELECT x FROM t WHERE a = ?", "'lit?eral'", "AND b = ?", "'?'"]),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_template_qmark_rewrite_skips_string_literals(parts):
+    sql = " ".join(parts)
+    reg = SQLTemplates(catalog=None)
+    tpl = reg.register("t", sql)
+    # every ? outside a literal became :pN; every literal survived intact
+    outside = sql
+    for lit in ("'lit?eral'", "'?'"):
+        outside = outside.replace(lit, "")
+    assert tpl.n_positional == outside.count("?")
+    assert "'lit?eral'" not in sql or "'lit?eral'" in tpl.sql
+    assert tpl.sql.count("?") == sql.count("?") - tpl.n_positional
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.floats(
+        min_value=-1e6,
+        max_value=1e6,
+        allow_nan=False,
+        allow_infinity=False,
+    )
+)
+def test_round6_quantizer_matches_duckdb(x):
+    """floor(x*1e6 + 0.5)/1e6 must agree bit-for-bit between Python
+    (stand-in for the JVM: same IEEE ops) and DuckDB — this is the
+    quantizer every approximate-cosine oracle relies on."""
+    py = math.floor(x * 1_000_000 + 0.5) / 1_000_000
+    db = duckdb.sql(
+        f"SELECT floor({x!r}::DOUBLE * 1000000 + 0.5) / 1000000"
+    ).fetchone()[0]
+    assert py == db

@@ -86,3 +86,22 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_schema_evolution_merge(spark, sf_dir, tmp_path):
+    """Schema evolution: a column added mid-stream merges into a
+    superset read schema (mergeSchema), with NULLs for pre-evolution
+    files — the contract that lets a 100 TB table grow columns
+    without rewrite."""
+    base = str(tmp_path / "evolving")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    o.limit(10).write.parquet(base + "/batch=0")
+    o.limit(10).withColumn(
+        "o_discounted", F.col("o_totalprice") * 0.9
+    ).write.parquet(base + "/batch=1")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        base + "/batch=0", base + "/batch=1"
+    )
+    assert set(merged.columns) == {"o_orderkey", "o_totalprice", "o_discounted"}
+    assert merged.count() == 20
+    assert merged.filter(F.col("o_discounted").isNull()).count() == 10
