@@ -325,3 +325,61 @@ def q_cum_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_day.select(
         "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
     )
+
+
+@register(
+    "q_rfm",
+    oracle="""
+    WITH anchor AS (SELECT MAX(o_orderdate) AS d1 FROM orders),
+    base AS (
+      SELECT o_custkey,
+             CAST(datediff('day', MAX(o_orderdate), (SELECT d1 FROM anchor)) AS INT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(22,6))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY 1)
+    SELECT o_custkey, recency_days, frequency, monetary,
+           CAST(NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS INT) AS r_score,
+           CAST(NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f_score,
+           CAST(NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS INT) AS m_score
+    FROM base
+    """,
+    tags=("ext", "behavioral"),
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency / frequency / monetary quintiles per
+    customer (1 = best in each dimension: most recent, most orders,
+    highest spend). One shuffle to the per-customer aggregate; the
+    three NTILEs run over that |customers|-row frame with explicit
+    custkey tiebreaks so quintile boundaries are engine-identical.
+    The recency anchor is the data's own max date (broadcast scalar
+    subquery, no collect). At 100 TB the quintiles become
+    approx-percentile cut points applied as expressions."""
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("d1"))
+    base = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            dsum("o_totalprice").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("d1", "last_order").cast("int").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    wr = Window.orderBy("recency_days", "o_custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    wm = Window.orderBy(F.col("monetary").desc(), "o_custkey")
+    return base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(wr).cast("int").alias("r_score"),
+        F.ntile(5).over(wf).cast("int").alias("f_score"),
+        F.ntile(5).over(wm).cast("int").alias("m_score"),
+    )

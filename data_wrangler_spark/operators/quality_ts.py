@@ -409,3 +409,91 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.count_distinct("event_type") - 1) * (F.count_distinct("dow") - 1)).alias("dof"),
         F.sum("o").alias("n"),
     )
+
+
+ZORDER_BITS = 8
+ZORDER_FILES = 32
+
+
+def _z_interleave(x, y):
+    """16-bit Morton code from two 8-bit bucket ids — pure integer
+    arithmetic so both engines compute it identically."""
+    z = F.lit(0)
+    for b in range(ZORDER_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b)
+            + F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        )
+    return z
+
+
+def _sql_z_interleave(x: str, y: str) -> str:
+    terms = []
+    for b in range(ZORDER_BITS):
+        terms.append(f"((({x} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({y} >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "q_zorder_layout",
+    oracle=f"""
+    WITH coded AS (
+      SELECT o_orderkey,
+             CAST(o_custkey % 256 AS BIGINT) AS xdim,
+             CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256 AS BIGINT) AS ydim
+      FROM orders),
+    z AS (
+      SELECT o_orderkey, xdim, ydim,
+             CAST({_sql_z_interleave('xdim', 'ydim')} AS BIGINT) AS zval
+      FROM coded),
+    filed AS (
+      SELECT *, CAST(NTILE({ZORDER_FILES}) OVER (ORDER BY zval, o_orderkey) AS INT) AS file_id
+      FROM z)
+    SELECT file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(xdim) AS x_min, MAX(xdim) AS x_max,
+           MIN(ydim) AS y_min, MAX(ydim) AS y_max,
+           MIN(zval) AS z_min, MAX(zval) AS z_max
+    FROM filed
+    GROUP BY 1
+    """,
+    tags=("ext", "layout"),
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-code) clustering audit: bucket two query
+    dimensions (customer, order day), interleave their bits into a
+    Morton code, split the sorted code range into target files, and
+    report each file's per-dimension min/max envelope. Those
+    envelopes ARE the data-skipping story — parquet row-group stats
+    on a Z-ordered layout stay narrow in BOTH dimensions, so filters
+    on either column prune most files (a single-column sort gives
+    narrow stats in one dimension and useless ones in the other).
+    The Morton code is plain integer bit-math (identical in both
+    engines); file assignment is a deterministic NTILE over the code
+    order. At 100 TB this query IS the layout job's planning step:
+    write with repartitionByRange(zval) and the same envelopes
+    materialize as row-group statistics."""
+    o = load_table(spark, sf_dir, "orders")
+    coded = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).cast("bigint").alias("xdim"),
+        (F.datediff("o_orderdate", F.lit("1992-01-01").cast("date")) % 256)
+        .cast("bigint")
+        .alias("ydim"),
+    )
+    z = coded.withColumn(
+        "zval", _z_interleave(F.col("xdim"), F.col("ydim")).cast("bigint")
+    )
+    w = Window.orderBy("zval", "o_orderkey")
+    filed = z.withColumn("file_id", F.ntile(ZORDER_FILES).over(w).cast("int"))
+    return filed.groupBy("file_id").agg(
+        F.count("*").alias("n_rows"),
+        F.min("xdim").alias("x_min"),
+        F.max("xdim").alias("x_max"),
+        F.min("ydim").alias("y_min"),
+        F.max("ydim").alias("y_max"),
+        F.min("zval").alias("z_min"),
+        F.max("zval").alias("z_max"),
+    )

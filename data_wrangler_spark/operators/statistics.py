@@ -166,3 +166,133 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gini"
         ),
     )
+
+
+@register(
+    "q_ab_test",
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             CASE WHEN event_type = 'purchase'
+                   AND CAST(json_extract(props, '$.k') AS INT) > 95
+                  THEN 1 ELSE 0 END AS converted
+      FROM events),
+    per_user AS (
+      SELECT variant, user_id, CAST(MAX(converted) AS INT) AS converted
+      FROM assigned GROUP BY 1, 2),
+    arms AS (
+      SELECT variant,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(converted) AS BIGINT) AS conv
+      FROM per_user GROUP BY 1),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN variant = 'A' THEN n END) AS n_a,
+        MAX(CASE WHEN variant = 'A' THEN conv END) AS c_a,
+        MAX(CASE WHEN variant = 'B' THEN n END) AS n_b,
+        MAX(CASE WHEN variant = 'B' THEN conv END) AS c_b
+      FROM arms)
+    SELECT n_a, c_a, n_b, c_b,
+           CAST(c_a AS DOUBLE) / n_a AS rate_a,
+           CAST(c_b AS DOUBLE) / n_b AS rate_b,
+           (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+             / sqrt(
+                 (CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                 * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                 * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)
+               ) AS z_stat
+    FROM wide
+    """,
+    tags=("ext", "stats", "behavioral"),
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test: users split into arms by id parity;
+    a user converts on any purchase whose JSON payload has k > 95
+    (get_json_object parses the props column in-plan). Did arm A's
+    user-level conversion differ from B's?
+    Assignment → per-user conversion flag (MAX over events — a user
+    converts once) → two count pairs → pooled z. From the counts on,
+    every value is derived in identical double arithmetic from exact
+    integers, so even z's last bit agrees. One shuffle on
+    (variant, user_id); the z arithmetic runs on a 1-row frame."""
+    ev = load_table(spark, sf_dir, "events")
+    assigned = ev.select(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("variant"),
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.get_json_object("props", "$.k").cast("int") > 95),
+            1,
+        ).otherwise(0).alias("converted"),
+    )
+    per_user = assigned.groupBy("variant", "user_id").agg(
+        F.max("converted").cast("int").alias("converted")
+    )
+    arms = per_user.groupBy("variant").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == "A", F.col("conv"))).alias("c_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == "B", F.col("conv"))).alias("c_b"),
+    )
+    ra = F.col("c_a").cast("double") / F.col("n_a")
+    rb = F.col("c_b").cast("double") / F.col("n_b")
+    pool = (F.col("c_a") + F.col("c_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    z = (ra - rb) / F.sqrt(
+        pool * (1 - pool)
+        * (F.lit(1).cast("double") / F.col("n_a") + F.lit(1).cast("double") / F.col("n_b"))
+    )
+    return wide.select(
+        "n_a", "c_a", "n_b", "c_b",
+        ra.alias("rate_a"), rb.alias("rate_b"), z.alias("z_stat"),
+    )
+
+
+@register(
+    "q_pareto",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(22,6))) AS x_dec
+      FROM orders GROUP BY 1),
+    tiled AS (
+      SELECT o_custkey, x_dec,
+             CAST(NTILE(10) OVER (ORDER BY x_dec DESC, o_custkey) AS INT) AS decile
+      FROM spend)
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(CAST(SUM(x_dec) AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(x_dec) AS DECIMAL(38,2)) AS DOUBLE)
+             / CAST(CAST(SUM(SUM(x_dec)) OVER () AS DECIMAL(38,2)) AS DOUBLE) AS revenue_share
+    FROM tiled
+    GROUP BY 1
+    """,
+    tags=("ext", "stats", "behavioral"),
+)
+def q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: customers split into spend deciles (top
+    decile first), each decile's share of total revenue — the 80/20
+    audit behind data-mix and account decisions. Exact decimal sums
+    end-to-end; the only doubles are the final share divisions on
+    identical operands. The global NTILE is a single-partition sort
+    over the *aggregated* per-customer frame (|customers| rows), not
+    the fact table; at 100 TB pre-bin by range statistics instead."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(22,6)")).alias("x_dec")
+    )
+    w = Window.orderBy(F.col("x_dec").desc(), "o_custkey")
+    tiled = spend.withColumn("decile", F.ntile(10).over(w).cast("int"))
+    g = tiled.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("x_dec").cast("decimal(38,2)").alias("rev_dec"),
+    )
+    total = F.sum("rev_dec").over(Window.partitionBy())
+    return g.select(
+        "decile",
+        "n_customers",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (F.col("rev_dec").cast("double") / total.cast("double")).alias("revenue_share"),
+    )

@@ -80,3 +80,23 @@ def test_basket_pairs_canonical_and_ranked(spark, sf_dir):
     assert all(r.part_a < r.part_b for r in rows)
     counts = [r.n_orders for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_zorder_envelopes_beat_single_sort(spark, sf_dir):
+    """Z-ordered files must have materially tighter 2-D envelopes
+    than a 1-D sort: the y-dimension envelope of a zval layout should
+    cover far less than the full range for most files."""
+    rows = REGISTRY["q_zorder_layout"].run(spark, sf_dir).collect()
+    from data_wrangler_spark.operators.quality_ts import ZORDER_FILES
+
+    assert len(rows) == ZORDER_FILES
+    spans_x = [r.x_max - r.x_min for r in rows]
+    spans_y = [r.y_max - r.y_min for r in rows]
+    # both dimensions stay bounded on average (a 1-D sort leaves the
+    # other dimension spanning ~the full 0..255 range in every file)
+    assert sum(spans_x) / len(spans_x) < 200
+    assert sum(spans_y) / len(spans_y) < 200
+    # file z-ranges are disjoint and ordered
+    zs = sorted(rows, key=lambda r: r.file_id)
+    for a, b in zip(zs, zs[1:]):
+        assert a.z_max <= b.z_min

@@ -29,3 +29,40 @@ def test_gini_in_unit_interval(spark, sf_dir):
     assert 0 <= r.gini < 1
     assert r.total_spend > 0
     assert r.n > 0
+
+
+def test_ab_test_consistent_counts(spark, sf_dir):
+    r = REGISTRY["q_ab_test"].run(spark, sf_dir).collect()[0]
+    assert r.n_a > 0 and r.n_b > 0
+    assert 0 <= r.c_a <= r.n_a and 0 <= r.c_b <= r.n_b
+    assert 0 < r.rate_a < 1 and 0 < r.rate_b < 1  # non-degenerate arms
+    # z sign follows the rate difference
+    assert (r.z_stat > 0) == (r.rate_a > r.rate_b)
+
+
+def test_pareto_shares_sum_to_one_and_decrease(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["q_pareto"].run(spark, sf_dir).collect(), key=lambda r: r.decile
+    )
+    assert len(rows) == 10
+    assert abs(sum(r.revenue_share for r in rows) - 1.0) < 1e-9
+    shares = [r.revenue_share for r in rows]
+    assert shares == sorted(shares, reverse=True)  # decile 1 richest
+    assert shares[0] > 0.1  # top decile over-indexes
+
+
+def test_rfm_scores_are_quintiles(spark, sf_dir):
+    rows = REGISTRY["q_rfm"].run(spark, sf_dir).collect()
+    assert rows
+    n = len(rows)
+    for col in ("r_score", "f_score", "m_score"):
+        vals = [getattr(r, col) for r in rows]
+        assert set(vals) == {1, 2, 3, 4, 5}
+        # quintiles are balanced within one row
+        from collections import Counter
+
+        counts = Counter(vals)
+        assert max(counts.values()) - min(counts.values()) <= 1
+    best_m = [r for r in rows if r.m_score == 1]
+    worst_m = [r for r in rows if r.m_score == 5]
+    assert min(r.monetary for r in best_m) >= max(r.monetary for r in worst_m)
