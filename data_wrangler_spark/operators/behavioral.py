@@ -383,3 +383,103 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(wf).cast("int").alias("f_score"),
         F.ntile(5).over(wm).cast("int").alias("m_score"),
     )
+
+
+@register(
+    "q_funnel_ttc",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s1.t_view GROUP BY 1),
+    d AS (
+      SELECT CAST(datediff('second', s1.t_view, s2.t_purchase) AS BIGINT) AS ttc_sec
+      FROM s1 JOIN s2 USING (user_id))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           quantile_cont(ttc_sec, 0.5) AS p50_sec,
+           quantile_cont(ttc_sec, 0.9) AS p90_sec,
+           MIN(ttc_sec) AS min_sec,
+           MAX(ttc_sec) AS max_sec
+    FROM d
+    """,
+    tags=("ext", "behavioral"),
+)
+def q_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: latency from a user's first view
+    to their first subsequent purchase, summarized as exact
+    percentiles over integer second deltas (integer inputs keep the
+    interpolation identical between engines). Same shrinking
+    broadcast pattern as q_funnel; the percentile runs over one row
+    per converted user."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s1), "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    d = s1.join(s2, "user_id").select(
+        (
+            F.unix_timestamp("t_purchase") - F.unix_timestamp("t_view")
+        ).alias("ttc_sec")
+    )
+    return d.agg(
+        F.count("*").alias("n_converted"),
+        F.percentile("ttc_sec", 0.5).alias("p50_sec"),
+        F.percentile("ttc_sec", 0.9).alias("p90_sec"),
+        F.min("ttc_sec").alias("min_sec"),
+        F.max("ttc_sec").alias("max_sec"),
+    )
+
+
+@register(
+    "q_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events),
+    pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2)
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY from_type) AS p
+    FROM pairs
+    """,
+    tags=("ext", "behavioral"),
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the per-user event
+    sequence: P(next event type | current type). LEAD over
+    (user, time) — one shuffle on user_id — then counts collapse to
+    the |types|² grid before the probability division (exact integers
+    in, identical double division out). The canonical input for
+    next-action models and session-flow sanity checks."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wt)).alias("p"),
+    )

@@ -50,3 +50,22 @@ def test_corr_bounded(spark, sf_dir):
     for r in rows:
         assert -1.0 <= r.corr <= 1.0
         assert r.n > 0
+
+
+def test_funnel_ttc_positive_ordered(spark, sf_dir):
+    r = REGISTRY["q_funnel_ttc"].run(spark, sf_dir).collect()[0]
+    assert r.n_converted > 0
+    assert 0 < r.min_sec <= r.p50_sec <= r.p90_sec <= r.max_sec
+
+
+def test_markov_rows_are_distributions(spark, sf_dir):
+    rows = REGISTRY["q_markov_transitions"].run(spark, sf_dir).collect()
+    assert rows
+    from collections import defaultdict
+
+    by_from = defaultdict(float)
+    for r in rows:
+        assert 0 < r.p <= 1
+        by_from[r.from_type] += r.p
+    for total in by_from.values():
+        assert abs(total - 1.0) < 1e-9
