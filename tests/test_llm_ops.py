@@ -163,3 +163,15 @@ def test_mm_decode_matches_exact_sha(spark, sf_dir):
         .collect()
     }
     assert got == jvm
+
+
+def test_ivf_indexed_matches_inmemory_and_prunes(spark, sf_dir):
+    """Persisted IVF must (a) return the in-memory IVF's results —
+    same seed, same quantizer — and (b) probe via PARTITION pruning,
+    not a full scan."""
+    mem = REGISTRY["q_sim_search_ivf"].run(spark, sf_dir).collect()
+    idx_df = REGISTRY["q_sim_search_ivf_indexed"].run(spark, sf_dir)
+    idx = idx_df.collect()
+    assert [r.vec_id for r in idx] == [r.vec_id for r in mem]
+    plan = idx_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan

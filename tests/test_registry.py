@@ -19,6 +19,7 @@ def test_oracle_coverage():
         "q_agg_approx_distinct",
         "q_agg_approx_percentile",
         "q_sim_search_ivf",
+        "q_sim_search_ivf_indexed",  # persisted index — pinned vs in-memory IVF
         "q_pagerank",  # iterative — numpy-pinned in tests/test_graph.py
     } | {n for n in no_oracle if "stream" in n}
 
