@@ -489,3 +489,80 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 1)
         .select("cust_a", "cust_b", "name_a", "name_b", "edit_dist")
     )
+
+
+@register(
+    "q_subquery_exists",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_acctbal
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+      AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+    tags=("ext", "subquery"),
+)
+def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS: customers with at least one
+    open order and no finished ones. Declared through the SQL path
+    (temp views + spark.sql) so Catalyst's subquery decorrelation is
+    what's on trial: both subqueries rewrite to one left-semi and one
+    left-anti hash join on o_custkey — no per-row re-execution, the
+    classic correlated-subquery trap the reference's backing RDBMSs
+    handle with the same rewrite."""
+    from data_wrangler_spark.catalog import Catalog
+
+    Catalog(spark, sf_dir).register_views(("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, c.c_acctbal
+        FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+          AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        """
+    )
+
+
+@register(
+    "q_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2) t
+    """,
+    tags=("ext", "subquery", "topk"),
+)
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: each customer's top-2 orders by
+    value. Spark executes the LATERAL join via decorrelation into a
+    ranked window over the join — logically per-row subquery, 
+    physically one shuffle — the same plan the window formulation
+    would produce, but exercising the SQL feature surface users
+    migrate with."""
+    from data_wrangler_spark.catalog import Catalog
+
+    Catalog(spark, sf_dir).register_views(("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2) t
+        """
+    )
