@@ -18,6 +18,7 @@ from data_wrangler_spark.operators import (  # noqa: F401
     sketches,
     text_analysis,
     tpch,
+    tpch_more,
     udx,
     windows,
 )
