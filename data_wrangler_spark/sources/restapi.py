@@ -1,0 +1,115 @@
+"""External REST ingestion as a Spark Python DataSource (G9).
+
+The reference proxies parameterized REST endpoints verbatim —
+`/ffi/<name>` routes with handlebars path templates, response piped
+through untouched (`/root/reference/index.js:327-366`). That design
+makes the gateway a single-threaded I/O chokepoint: one Node process
+streams every byte.
+
+The Spark-native re-expression is a custom `DataSource`
+(pyspark.sql.datasource, Spark ≥4.0): each REST *page* becomes an
+input partition, so a 1000-executor cluster fetches 1000 pages
+concurrently, and results land directly in the scan — filterable,
+joinable, and (via `pushFilters`, Spark ≥4.1) *prunable*: predicates
+on the paging key skip whole pages before any request is issued, the
+source-side analog of parquet partition pruning.
+
+Transport is stubbed deterministically (`fetch_page`): this container
+has no network, so the "endpoint" computes the records a paged JSON
+API would return. The stub is the ONLY fake part — schema, options,
+partition planning, filter pushdown, and the per-partition iterator
+protocol are the real production shapes; swapping `fetch_page` for an
+`urllib`/`requests` call is the only change a live deployment needs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+REST_SCHEMA = "id bigint, name string, value double"
+
+
+def fetch_page(endpoint: str, page: int, perpage: int) -> list[dict]:
+    """Deterministic stand-in for `GET {endpoint}?page={page}`.
+
+    Serves records with arithmetic derivable in any SQL engine (the
+    oracle replays it over `range()`): id is the global row number,
+    value = ((id*37) mod 1000) / 4 — exact in binary floating point.
+    """
+    lo = page * perpage
+    return [
+        {"id": i, "name": f"item_{i}", "value": float((i * 37) % 1000) / 4.0}
+        for i in range(lo, lo + perpage)
+    ]
+
+
+@dataclass
+class PagePartition(InputPartition):
+    page: int
+
+
+class RestApiReader(DataSourceReader):
+    """One partition per REST page; id-range predicates prune pages."""
+
+    def __init__(self, options: dict) -> None:
+        self.endpoint = options.get("endpoint", "/ffi/fake")
+        self.pages = int(options.get("pages", 8))
+        self.perpage = int(options.get("perpage", 250))
+        # [id_lo, id_hi) bounds tightened by pushed filters
+        self.id_lo = 0
+        self.id_hi = self.pages * self.perpage
+
+    def pushFilters(self, filters: list[Filter]) -> Sequence[Filter]:
+        """Tighten the page range from id predicates. Every filter is
+        also returned as residual (Spark re-applies it), so pushdown
+        is purely an I/O optimization — it can never change results,
+        only skip requests."""
+        for f in filters:
+            v = getattr(f, "value", None)
+            if getattr(f, "attribute", None) == ("id",) and isinstance(v, int):
+                if isinstance(f, (GreaterThanOrEqual, EqualTo)):
+                    self.id_lo = max(self.id_lo, v)
+                if isinstance(f, GreaterThan):
+                    self.id_lo = max(self.id_lo, v + 1)
+                if isinstance(f, (LessThanOrEqual, EqualTo)):
+                    self.id_hi = min(self.id_hi, v + 1)
+                if isinstance(f, LessThan):
+                    self.id_hi = min(self.id_hi, v)
+        return filters
+
+    def partitions(self) -> Sequence[PagePartition]:
+        return [
+            PagePartition(p)
+            for p in range(self.pages)
+            if p * self.perpage < self.id_hi and (p + 1) * self.perpage > self.id_lo
+        ]
+
+    def read(self, partition: PagePartition) -> Iterator[tuple]:
+        for rec in fetch_page(self.endpoint, partition.page, self.perpage):
+            yield (rec["id"], rec["name"], rec["value"])
+
+
+class RestApiDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "restapi"
+
+    def schema(self) -> str | StructType:
+        return REST_SCHEMA
+
+    def reader(self, schema: StructType) -> RestApiReader:
+        return RestApiReader(self.options)

@@ -105,3 +105,33 @@ def test_schema_evolution_merge(spark, sf_dir, tmp_path):
     assert set(merged.columns) == {"o_orderkey", "o_totalprice", "o_discounted"}
     assert merged.count() == 20
     assert merged.filter(F.col("o_discounted").isNull()).count() == 10
+
+
+def test_restapi_page_pruning_unit():
+    """pushFilters on the paging key prunes whole pages at the source:
+    id >= 500 with 8×250-row pages must plan only pages 2-7, and an
+    equality probe must plan exactly one page. Filters are returned as
+    residual, so pruning can only skip I/O, never change results."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+    from data_wrangler_spark.sources.restapi import RestApiReader
+
+    r = RestApiReader({"pages": "8", "perpage": "250"})
+    residual = list(r.pushFilters([GreaterThanOrEqual(("id",), 500)]))
+    assert len(residual) == 1, "filter must stay residual"
+    assert [p.page for p in r.partitions()] == [2, 3, 4, 5, 6, 7]
+
+    r2 = RestApiReader({"pages": "8", "perpage": "250"})
+    r2.pushFilters([EqualTo(("id",), 1234)])
+    assert [p.page for p in r2.partitions()] == [4]
+
+
+def test_restapi_end_to_end(spark, sf_dir):
+    """The registered source reads through Spark with pushdown on a
+    foreign-conf session and returns the deterministic page data."""
+    from data_wrangler_spark.registry import REGISTRY
+
+    df = REGISTRY["q_rest_ingest"].run(spark, sf_dir)
+    assert df.count() == 1500
+    row = df.filter(F.col("id") == 500).first()
+    assert row.name == "item_500" and row.value == (500 * 37 % 1000) / 4.0
