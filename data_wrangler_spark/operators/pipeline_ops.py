@@ -27,7 +27,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from data_wrangler_spark.catalog import load_table
-from data_wrangler_spark.functions.text import TOKEN_REGEX, sql_shingles_of, sql_words
+from data_wrangler_spark.functions.text import (
+    TOKEN_REGEX,
+    shingles_from_words,
+    sql_shingles_of,
+    sql_words,
+    words,
+)
 from data_wrangler_spark.operators.dedup import _md5_long, _sql_md5_long
 from data_wrangler_spark.registry import register
 
@@ -403,4 +409,88 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
         .withColumn("n_members", F.count("*").over(wc))
         .withColumn("is_canonical", F.col("doc_id") == F.col("component"))
+    )
+
+
+CONTAM_EVAL_SOURCE = "src0"   # the held-out "benchmark" slice
+CONTAM_NGRAM = 5              # word n-gram size for containment
+CONTAM_THRESHOLD = 0.5        # containment fraction that flags a doc
+
+
+@register(
+    "q_contamination",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, {sql_words('text')} AS w FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, source,
+               unnest({sql_shingles_of('w', CONTAM_NGRAM)}) AS g
+        FROM toks
+    ),
+    train AS (
+        SELECT DISTINCT g FROM sh WHERE source <> '{CONTAM_EVAL_SOURCE}'
+    ),
+    ev AS (
+        SELECT doc_id, g FROM sh WHERE source = '{CONTAM_EVAL_SOURCE}'
+    ),
+    tot AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        FROM ev GROUP BY doc_id
+    ),
+    mat AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched
+        FROM ev WHERE g IN (SELECT g FROM train) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           t.n_grams,
+           COALESCE(m.n_matched, 0)             AS n_matched,
+           COALESCE(m.n_matched, 0) / t.n_grams AS containment,
+           COALESCE(m.n_matched, 0) / t.n_grams >= {CONTAM_THRESHOLD}
+                                                AS contaminated
+    FROM tot t LEFT JOIN mat m ON t.doc_id = m.doc_id
+    """,
+    tags=("llm", "quality", "contamination"),
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: for every doc in the held-out
+    eval slice (source = src0), the fraction of its distinct word
+    5-grams that appear anywhere in the training slice (every other
+    source) — the standard n-gram-containment test run before
+    training on a scraped corpus.
+
+    Scale: the only big state is the distinct train-gram set; it is
+    built with partial (map-side) distinct before one hash shuffle on
+    the gram, and the eval side joins it with a left-semi hash join —
+    no row data moves, only grams. At 100 TB, the exact gram set
+    swaps for a Bloom filter built in one pass (the existing
+    q_bloom_prejoin machinery); the containment fractions become
+    upper bounds with a known FP rate while this exact formulation
+    stays the auditable reference."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", words("text").alias("w")
+    )
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.explode(shingles_from_words(F.col("w"), CONTAM_NGRAM)).alias("g"),
+    )
+    train = (
+        sh.filter(F.col("source") != CONTAM_EVAL_SOURCE).select("g").distinct()
+    )
+    ev = sh.filter(F.col("source") == CONTAM_EVAL_SOURCE).select("doc_id", "g")
+    tot = ev.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    mat = (
+        ev.join(train, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matched"))
+    )
+    n_matched = F.coalesce(F.col("n_matched"), F.lit(0).cast("long"))
+    containment = n_matched / F.col("n_grams")
+    return tot.join(mat, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        n_matched.alias("n_matched"),
+        containment.alias("containment"),
+        (containment >= F.lit(CONTAM_THRESHOLD)).alias("contaminated"),
     )

@@ -114,3 +114,29 @@ def test_dedup_cluster_is_a_fixpoint(spark, sf_dir):
         members.setdefault(c, []).append(d)
     for c, docs in members.items():
         assert c == min(docs)
+
+
+def test_contamination_bounds_and_slice(spark, sf_dir):
+    """Containment is a fraction of each eval doc's own distinct
+    grams: 0 <= n_matched <= n_grams, one row per src0 doc with at
+    least 5 words, and the flag is exactly the threshold predicate."""
+    from pyspark.sql import functions as F
+
+    from data_wrangler_spark.catalog import load_table
+    from data_wrangler_spark.operators.pipeline_ops import (
+        CONTAM_EVAL_SOURCE,
+        CONTAM_THRESHOLD,
+    )
+
+    rows = REGISTRY["q_contamination"].run(spark, sf_dir).collect()
+    assert rows
+    d = load_table(spark, sf_dir, "documents")
+    n_eval = d.filter(
+        (F.col("source") == CONTAM_EVAL_SOURCE)
+        & (F.size(F.split(F.trim("text"), r"\s+")) >= 5)
+    ).count()
+    assert len(rows) == n_eval
+    for r in rows:
+        assert 0 <= r.n_matched <= r.n_grams
+        assert abs(r.containment - r.n_matched / r.n_grams) < 1e-12
+        assert r.contaminated == (r.containment >= CONTAM_THRESHOLD)
