@@ -1,0 +1,91 @@
+"""Single-node head-to-head: the headline queries on DuckDB vs Spark.
+
+The reference gateway executes nothing itself — every query is
+delegated to a backing single-node SQL engine
+(`/root/reference/index.js:230-252`). The honest baseline for
+"matches-or-beats the reference's single-node throughput" is therefore
+a state-of-the-art single-node engine running the *same* queries on
+the *same* parquet: DuckDB, which the correctness harness already
+holds us bit-equal to. This script times each headline query's exact
+DuckDB oracle SQL (identical semantics by construction — the harness
+hash-matches the results) and, optionally, the Spark side, emitting a
+comparison table for BASELINE.md.
+
+Usage: python tools/bench_duckdb.py [sf_dir] [--spark]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+from bench import HEADLINE
+
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    with_spark = "--spark" in sys.argv
+
+    from data_wrangler_spark import REGISTRY
+
+    con = duck_con(sf_dir)
+    duck: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY[name]
+        if not spec.oracle:
+            continue
+        con.execute(spec.oracle).fetchall()  # warm (parquet metadata)
+        t0 = time.time()
+        rows = con.execute(spec.oracle).fetchall()
+        duck[name] = round(time.time() - t0, 4)
+        print(f"duckdb {name}: {duck[name]}s ({len(rows)} rows)", file=sys.stderr)
+
+    out: dict = {
+        "sf_dir": sf_dir,
+        "duckdb_total_sec": round(sum(duck.values()), 4),
+        "duckdb": duck,
+    }
+
+    if with_spark:
+        from data_wrangler_spark.session import get_spark
+
+        spark = get_spark("bench_duckdb")
+        sp: dict[str, float] = {}
+        for name in duck:
+            fn = REGISTRY[name]
+            fn.run(spark, sf_dir).collect()  # warm (JIT + file listing)
+            t0 = time.time()
+            fn.run(spark, sf_dir).collect()
+            sp[name] = round(time.time() - t0, 4)
+            print(f"spark  {name}: {sp[name]}s", file=sys.stderr)
+        out["spark_total_sec"] = round(sum(sp.values()), 4)
+        out["spark"] = sp
+        out["ratio_spark_over_duckdb"] = {
+            n: round(sp[n] / duck[n], 2) if duck[n] > 0 else None for n in sp
+        }
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
