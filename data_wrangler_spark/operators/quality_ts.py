@@ -554,3 +554,68 @@ def q_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("n_events"),
         F.sum("sum_dec").cast("double").alias("sum_value"),
     )
+
+
+_COMPACT_SCRATCH = "/root/repo/.scratch/compact"
+COMPACT_TARGET_BYTES = 256 * 1024  # test-scale target; 128-512 MiB in prod
+COMPACT_FRAGMENT_FILES = 64       # simulated small-file debris
+
+
+@register(
+    "q_compact_files",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT)                 AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)             AS sum_chars,
+           CAST(sum(doc_id) AS BIGINT)              AS sum_ids,
+           CAST(sum(doc_id * doc_id) AS BIGINT)     AS sum_ids_sq
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("ext", "layout", "maintenance"),
+)
+def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (the OPTIMIZE / rewrite-data-files
+    maintenance op): a fragmented copy of `documents` (64 debris
+    files, the streaming-ingest failure mode) is rewritten into
+    ceil(bytes/target)-sized files, and the report is computed FROM
+    THE COMPACTED FILES while the oracle reads the original table —
+    passing proves the rewrite lost and duplicated nothing (count +
+    linear + quadratic doc_id checksums per lang).
+
+    Scale: compaction is a pure repartition-write — no shuffle key,
+    so Spark plans a round-robin exchange sized by the byte target;
+    at 100 TB it runs per-partition (compact only partitions whose
+    avg file size is under threshold) and commits atomically via the
+    staging-dir rename the parquet committer already does. File-count
+    expectations are pinned in tests/test_quality_ts.py."""
+    import math as _math
+    import os as _os
+
+    sf_tag = _os.path.basename(sf_dir.rstrip("/"))
+    frag = f"{_COMPACT_SCRATCH}/{sf_tag}/fragmented"
+    comp = f"{_COMPACT_SCRATCH}/{sf_tag}/compacted"
+    if not _os.path.exists(f"{comp}/_SUCCESS"):
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        d.repartition(COMPACT_FRAGMENT_FILES).write.mode("overwrite").parquet(frag)
+        frag_bytes = sum(
+            e.stat().st_size
+            for e in _os.scandir(frag)
+            if e.name.endswith(".parquet")
+        )
+        n_target = max(1, _math.ceil(frag_bytes / COMPACT_TARGET_BYTES))
+        (
+            spark.read.parquet(frag)
+            .repartition(n_target)
+            .write.mode("overwrite")
+            .parquet(comp)
+        )
+    c = spark.read.parquet(comp)
+    return c.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum(F.col("doc_id") * F.col("doc_id")).alias("sum_ids_sq"),
+    )

@@ -100,3 +100,32 @@ def test_zorder_envelopes_beat_single_sort(spark, sf_dir):
     zs = sorted(rows, key=lambda r: r.file_id)
     for a, b in zip(zs, zs[1:]):
         assert a.z_max <= b.z_min
+
+
+def test_compact_files_reduces_file_count(spark, sf_dir):
+    """Compaction must actually merge the debris: 64 fragment files
+    in, ceil(bytes/target) files out — and never more files than it
+    started with."""
+    import math
+    import os
+
+    from data_wrangler_spark.operators.quality_ts import (
+        _COMPACT_SCRATCH,
+        COMPACT_FRAGMENT_FILES,
+        COMPACT_TARGET_BYTES,
+    )
+
+    REGISTRY["q_compact_files"].run(spark, sf_dir).collect()
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    frag = f"{_COMPACT_SCRATCH}/{sf_tag}/fragmented"
+    comp = f"{_COMPACT_SCRATCH}/{sf_tag}/compacted"
+
+    def parquet_files(path):
+        return [e for e in os.scandir(path) if e.name.endswith(".parquet")]
+
+    n_frag = len(parquet_files(frag))
+    n_comp = len(parquet_files(comp))
+    assert n_frag == COMPACT_FRAGMENT_FILES
+    frag_bytes = sum(e.stat().st_size for e in parquet_files(frag))
+    assert n_comp == max(1, math.ceil(frag_bytes / COMPACT_TARGET_BYTES))
+    assert n_comp < n_frag
