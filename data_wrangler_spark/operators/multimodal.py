@@ -270,3 +270,63 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_batches,
         "doc_id bigint, in_bytes int, out_bytes int, in_width int, out_width int, out_sha string",
     )
+
+
+AUDIO_WIN = 400   # fake samples (=bytes) per chunk
+AUDIO_HOP = 200   # hop: 50% overlap, the standard ASR framing
+
+
+@register(
+    "q_mm_audio_chunk",
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len
+      FROM documents),
+    chunks AS (
+      SELECT doc_id, byte_len, CAST(s AS INT) AS start_byte
+      FROM meta, LATERAL unnest(range(0, byte_len, {AUDIO_HOP})) AS t(s))
+    SELECT doc_id,
+           CAST(start_byte // {AUDIO_HOP} AS INT)                  AS chunk_idx,
+           start_byte,
+           CAST(least({AUDIO_WIN}, byte_len - start_byte) AS INT)  AS chunk_bytes,
+           least({AUDIO_WIN}, byte_len - start_byte) < {AUDIO_WIN} AS is_tail
+    FROM chunks
+    """,
+    tags=("llm", "multimodal"),
+)
+def q_mm_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking plumbing: waveform-like payloads segmented into
+    overlapping windows (400-sample window, 200-sample hop — each
+    sample covered by ≤2 chunks), the framing an ASR/embedding
+    pipeline feeds its model. Byte length comes off the real Arrow
+    decode path (q_mm_decode's mapInPandas); the chunk expansion is
+    JVM-side sequence+explode, so the one-payload→many-chunks fan-out
+    costs no Python. A real deployment swaps the length arithmetic
+    for codec frame offsets; schema and plan shape are unchanged.
+
+    Scale: explode multiplies rows ~len/hop ×; the expansion is
+    stateless and partition-local (no shuffle), so output partition
+    sizing is governed by input split size — halve
+    files.maxPartitionBytes to hold post-explode partitions constant."""
+    feats = q_mm_decode(spark, sf_dir).select("doc_id", "byte_len")
+    return (
+        feats.select(
+            "doc_id",
+            "byte_len",
+            F.explode(
+                F.sequence(F.lit(0), F.col("byte_len") - 1, F.lit(AUDIO_HOP))
+            ).alias("start_byte"),
+        )
+        .select(
+            "doc_id",
+            (F.col("start_byte") / AUDIO_HOP).cast("int").alias("chunk_idx"),
+            "start_byte",
+            F.least(F.lit(AUDIO_WIN), F.col("byte_len") - F.col("start_byte"))
+            .cast("int")
+            .alias("chunk_bytes"),
+            (
+                F.least(F.lit(AUDIO_WIN), F.col("byte_len") - F.col("start_byte"))
+                < AUDIO_WIN
+            ).alias("is_tail"),
+        )
+    )

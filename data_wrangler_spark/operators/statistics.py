@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from data_wrangler_spark.catalog import load_table
+from data_wrangler_spark.operators.aggregates import _osum
 from data_wrangler_spark.registry import register
 
 
@@ -295,4 +296,66 @@ def q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_customers",
         F.col("rev_dec").cast("double").alias("revenue"),
         (F.col("rev_dec").cast("double") / total.cast("double")).alias("revenue_share"),
+    )
+
+
+@register(
+    "q_skyline",
+    oracle=f"""
+    WITH agg AS (
+      SELECT c.c_custkey, c.c_name,
+             {_osum('o.o_totalprice')}  AS total_spent,
+             CAST(count(*) AS BIGINT)   AS n_orders
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_name)
+    SELECT a.c_custkey, a.c_name, a.total_spent, a.n_orders
+    FROM agg a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM agg b
+      WHERE b.total_spent >= a.total_spent
+        AND b.n_orders    >= a.n_orders
+        AND (b.total_spent > a.total_spent OR b.n_orders > a.n_orders))
+    """,
+    tags=("ext", "analytics", "skyline"),
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): customers not strictly dominated
+    on (total spend, order count). The oracle states the textbook
+    quadratic NOT-EXISTS definition; the Spark plan is the scalable
+    single-sweep equivalent — per-spend max order count, then a
+    running-max envelope over *distinct* spend values sorted
+    descending: a row survives iff it carries its spend level's max
+    count AND beats the envelope of every strictly-higher spend.
+    Identical results, O(n log n) not O(n²).
+
+    Scale: the quadratic work never happens; the envelope window runs
+    over the distinct-x frame (≤ one row per customer, collapsed
+    from the fact table by the aggregate). That frame's global sort
+    is the only non-partition-local step — at 100 TB it
+    range-partitions (sortWithinPartitions + per-partition prefix
+    max merged in one driver-sized pass of partition maxima)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    agg = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(22,6)"))
+            .cast("double")
+            .alias("total_spent"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    per_x = agg.groupBy("total_spent").agg(F.max("n_orders").alias("max_y"))
+    w = Window.orderBy(F.col("total_spent").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    env = per_x.withColumn("env", F.max("max_y").over(w))
+    return (
+        agg.join(env, "total_spent")
+        .filter(
+            (F.col("n_orders") == F.col("max_y"))
+            & (F.col("env").isNull() | (F.col("n_orders") > F.col("env")))
+        )
+        .select("c_custkey", "c_name", "total_spent", "n_orders")
     )

@@ -175,3 +175,33 @@ def test_ivf_indexed_matches_inmemory_and_prunes(spark, sf_dir):
     assert [r.vec_id for r in idx] == [r.vec_id for r in mem]
     plan = idx_df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_audio_chunks_cover_payload_with_bounded_overlap(spark, sf_dir):
+    """Chunk framing invariants: chunks start every HOP bytes, cover
+    the full payload, never overrun it, and every byte is covered by
+    at most ceil(WIN/HOP) = 2 chunks."""
+    from collections import defaultdict
+
+    from data_wrangler_spark.operators.multimodal import AUDIO_HOP, AUDIO_WIN
+
+    rows = REGISTRY["q_mm_audio_chunk"].run(spark, sf_dir).collect()
+    assert rows
+    by_doc = defaultdict(list)
+    for r in rows:
+        assert r.start_byte == r.chunk_idx * AUDIO_HOP
+        assert 1 <= r.chunk_bytes <= AUDIO_WIN
+        assert r.is_tail == (r.chunk_bytes < AUDIO_WIN)
+        by_doc[r.doc_id].append(r)
+    lens = {
+        r.doc_id: r.byte_len
+        for r in REGISTRY["q_mm_decode"].run(spark, sf_dir).collect()
+    }
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.start_byte)
+        ends = [c.start_byte + c.chunk_bytes for c in chunks]
+        assert max(ends) == lens[doc_id]          # covers the payload
+        assert all(e <= lens[doc_id] for e in ends)  # never overruns
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.start_byte - a.start_byte == AUDIO_HOP
+            assert b.start_byte < a.start_byte + a.chunk_bytes or a.chunk_bytes == AUDIO_HOP

@@ -66,3 +66,39 @@ def test_rfm_scores_are_quintiles(spark, sf_dir):
     best_m = [r for r in rows if r.m_score == 1]
     worst_m = [r for r in rows if r.m_score == 5]
     assert min(r.monetary for r in best_m) >= max(r.monetary for r in worst_m)
+
+
+def test_skyline_is_exactly_the_nondominated_set(spark, sf_dir):
+    """Brute-force check of the window-envelope rewrite: the result
+    must equal the set of non-strictly-dominated (spend, orders)
+    points computed in plain Python over the same aggregate."""
+    from pyspark.sql import functions as F
+
+    from data_wrangler_spark.catalog import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    agg = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(22,6)"))
+            .cast("double")
+            .alias("x"),
+            F.count("*").alias("y"),
+        )
+        .collect()
+    )
+    pts = [(r.c_custkey, r.x, r.y) for r in agg]
+    expected = {
+        k
+        for k, x, y in pts
+        if not any(
+            bx >= x and by >= y and (bx > x or by > y) for _, bx, by in pts
+        )
+    }
+    got = {
+        r.c_custkey
+        for r in REGISTRY["q_skyline"].run(spark, sf_dir).collect()
+    }
+    assert got == expected
