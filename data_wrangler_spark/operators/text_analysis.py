@@ -209,3 +209,86 @@ def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 10)
     )
+
+
+# Gopher-style rule thresholds (Rae et al. 2021, table A1 — the
+# public pre-training quality-filter recipe), adapted to this corpus
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WLEN = 3.0
+GOPHER_MAX_MEAN_WLEN = 10.0
+GOPHER_MAX_SHORT_FRAC = 0.8   # fraction of words with ≤ 3 chars
+GOPHER_MIN_STOPWORD_HITS = 2  # distinct marker stopwords present
+GOPHER_STOPWORDS = ("the", "a", "and", "to", "of", "in", "is", "that")
+
+
+@register(
+    "q_quality_gopher",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {sql_words('text')} AS w FROM documents),
+    m AS (
+      SELECT doc_id, lang,
+             CAST(len(w) AS INT) AS n_words,
+             CAST(len(array_to_string(w, '')) AS DOUBLE) / len(w) AS mean_wlen,
+             CAST(len(list_filter(w, x -> length(x) <= 3)) AS DOUBLE) / len(w)
+               AS short_frac,
+             CAST({' + '.join(f"CAST(list_contains(w, '{s}') AS INT)" for s in GOPHER_STOPWORDS)}
+               AS INT) AS stopword_hits
+      FROM t)
+    SELECT doc_id, lang, n_words, mean_wlen, short_frac, stopword_hits,
+           n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+             AS ok_words,
+           mean_wlen BETWEEN {GOPHER_MIN_MEAN_WLEN} AND {GOPHER_MAX_MEAN_WLEN}
+             AS ok_wlen,
+           short_frac <= {GOPHER_MAX_SHORT_FRAC}        AS ok_short,
+           stopword_hits >= {GOPHER_MIN_STOPWORD_HITS}  AS ok_stop,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+             AND (mean_wlen BETWEEN {GOPHER_MIN_MEAN_WLEN} AND {GOPHER_MAX_MEAN_WLEN})
+             AND short_frac <= {GOPHER_MAX_SHORT_FRAC}
+             AND stopword_hits >= {GOPHER_MIN_STOPWORD_HITS} AS passes
+    FROM m
+    """,
+    tags=("llm", "text", "quality"),
+)
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality filter (Rae et al. 2021): word
+    count bounds, mean word length bounds, short-word-fraction cap,
+    and a stopword-presence floor — each rule reported separately
+    (the audit shape: you tune thresholds by inspecting per-rule
+    failure rates before filtering 100 TB). Pure column expressions
+    over one scan — no shuffle, no Python; at scale this runs fused
+    into the corpus's first projection pass, and `passes` becomes the
+    partition predicate of the filtered write."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.col("w")
+    base = d.select("doc_id", "lang", words("text").alias("w"))
+    mean_wlen = (
+        F.length(F.array_join(w, "")).cast("double") / F.size(w)
+    )
+    short_frac = (
+        F.size(F.filter(w, lambda x: F.length(x) <= 3)).cast("double") / F.size(w)
+    )
+    stopword_hits = sum(
+        F.array_contains(w, s).cast("int") for s in GOPHER_STOPWORDS
+    ).cast("int")
+    m = base.select(
+        "doc_id",
+        "lang",
+        F.size(w).alias("n_words"),
+        mean_wlen.alias("mean_wlen"),
+        short_frac.alias("short_frac"),
+        stopword_hits.alias("stopword_hits"),
+    )
+    ok_words = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    ok_wlen = F.col("mean_wlen").between(GOPHER_MIN_MEAN_WLEN, GOPHER_MAX_MEAN_WLEN)
+    ok_short = F.col("short_frac") <= GOPHER_MAX_SHORT_FRAC
+    ok_stop = F.col("stopword_hits") >= GOPHER_MIN_STOPWORD_HITS
+    return m.select(
+        "*",
+        ok_words.alias("ok_words"),
+        ok_wlen.alias("ok_wlen"),
+        ok_short.alias("ok_short"),
+        ok_stop.alias("ok_stop"),
+        (ok_words & ok_wlen & ok_short & ok_stop).alias("passes"),
+    )
