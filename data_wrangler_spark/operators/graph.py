@@ -101,3 +101,116 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return ranks.select("node", F.col("rank").alias("pagerank"))
+
+
+@register(
+    "q_triangles",
+    oracle="""
+    WITH po AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT u AS node FROM edges
+            UNION ALL SELECT v AS node FROM edges)
+      GROUP BY node),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.v
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+    wed AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS w FROM deg)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           wed.w                                        AS n_wedges,
+           tri.c                                        AS n_triangles,
+           CAST(3 * tri.c AS DOUBLE) / wed.w            AS global_clustering
+    FROM tri, wed
+    """,
+    tags=("ext", "graph"),
+)
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the
+    co-purchase graph (parts appearing in the same order). The Spark
+    plan uses DEGREE-ORDERED ORIENTATION (each undirected edge stored
+    low-degree endpoint → high-degree endpoint): every triangle is
+    still produced exactly once, but wedge enumeration fans out from
+    the LOW-degree side, bounding the join's per-key skew by sqrt of
+    edge count — the standard distributed-triangle trick. The oracle
+    counts the same triangles with plain id-ordered orientation; the
+    equality proves orientation-invariance.
+
+    Scale: the wedge join shuffles on the pivot node; degree
+    orientation caps each pivot's fan-out, so no salting is needed
+    even on power-law graphs. The final existence check joins wedges
+    to the (unique) undirected edge set on the (b, c) composite key —
+    a hash join whose build side is the edge list, prunable further
+    by a bloom filter at extreme scale."""
+    po = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    edges = (
+        po.alias("a")
+        .join(po.alias("b"), "o")
+        .filter(F.col("a.p") < F.col("b.p"))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    # degree-ordered orientation: (lo, hi) by (deg, node)
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("lo"), F.col("v").alias("hi")),
+            )
+            .otherwise(F.struct(F.col("v").alias("lo"), F.col("u").alias("hi")))
+            .alias("e")
+        )
+        .select("e.lo", "e.hi")
+    )
+    e1 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    wedges = (
+        e1.join(e2, "a")
+        .filter(F.col("b") < F.col("c"))  # unordered wedge once
+        .select("b", "c")
+    )
+    # a wedge (b, c) closes iff {b, c} is an edge — in EITHER
+    # orientation (degree order of (b, c) is independent of a's);
+    # closing edges are unique, so the inner join preserves wedge
+    # multiplicity = one row per triangle
+    closing = oriented.select(
+        F.least("lo", "hi").alias("b"), F.greatest("lo", "hi").alias("c")
+    )
+    agg_e = edges.agg(F.count("*").alias("n_edges"))
+    agg_w = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    agg_t = (
+        wedges.join(closing, ["b", "c"]).agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        agg_e.crossJoin(agg_w)
+        .crossJoin(agg_t)
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            ((F.lit(3) * F.col("n_triangles")).cast("double") / F.col("n_wedges"))
+            .alias("global_clustering"),
+        )
+    )

@@ -38,3 +38,42 @@ def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
     assert abs(spark_total - 1.0) < 1e-9
     for node, i in idx.items():
         assert abs(got[node] - rank[i]) < 1e-9
+
+
+def test_triangles_match_bruteforce(spark, sf_dir):
+    """Independent check of the degree-oriented wedge join: adjacency
+    sets in plain Python; sum over edges of |N(u) ∩ N(v)| counts each
+    triangle three times."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from data_wrangler_spark.catalog import load_table
+
+    po = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    edges = {
+        (r.u, r.v)
+        for r in po.alias("a")
+        .join(po.alias("b"), "o")
+        .filter(F.col("a.p") < F.col("b.p"))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+        .collect()
+    }
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    tri3 = sum(len(adj[u] & adj[v]) for u, v in edges)
+    assert tri3 % 3 == 0
+    wedges = sum(len(n) * (len(n) - 1) // 2 for n in adj.values())
+
+    row = REGISTRY["q_triangles"].run(spark, sf_dir).first()
+    assert row.n_edges == len(edges)
+    assert row.n_wedges == wedges
+    assert row.n_triangles == tri3 // 3
+    assert abs(row.global_clustering - 3 * row.n_triangles / wedges) < 1e-12
