@@ -619,3 +619,69 @@ def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("sum_ids"),
         F.sum(F.col("doc_id") * F.col("doc_id")).alias("sum_ids_sq"),
     )
+
+
+SEASONAL_Z = 2.5  # flag threshold on the seasonal residual z-score
+
+
+@register(
+    "q_seasonal_anomaly",
+    oracle=f"""
+    WITH prof AS (
+      SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             {_osum('value')} AS s1,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(22,6)) * CAST(value AS DECIMAL(22,6)) AS DECIMAL(38,6))) AS DOUBLE) AS s2
+      FROM events GROUP BY 1, 2)
+    SELECT e.event_id, e.event_type, CAST(hour(e.ts) AS INT) AS hod,
+           e.value,
+           p.s1 / p.n AS expected,
+           (e.value - p.s1 / p.n)
+             / sqrt((p.s2 - p.s1 * p.s1 / p.n) / (p.n - 1)) AS z
+    FROM events e
+    JOIN prof p ON p.event_type = e.event_type
+               AND p.hod = CAST(hour(e.ts) AS INT)
+    WHERE p.n > 2
+      AND abs((e.value - p.s1 / p.n)
+              / sqrt((p.s2 - p.s1 * p.s1 / p.n) / (p.n - 1))) > {SEASONAL_Z}
+    """,
+    tags=("ext", "timeseries", "quality"),
+)
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-profile anomaly detection: the expected value of an
+    event is its (event_type × hour-of-day) mean — the seasonal-naive
+    baseline — and events whose residual z-score against that profile
+    exceeds 2.5σ are flagged, with the expectation reported alongside
+    (the triage shape: 'value 930 at 3am, expected 210'). Moments are
+    exact decimal per cell, so the flag boundary agrees bit-for-bit
+    across engines.
+
+    Scale: the profile is |types|×24 cells — a broadcast; the event
+    log is scanned once, never shuffled. Refreshing the profile
+    incrementally is the same mergeable (n, Σx, Σx²) partial-moment
+    rollup q_rollup_serve persists."""
+    ev = load_table(spark, sf_dir, "events").withColumn("hod", F.hour("ts"))
+    v = F.col("value").cast("decimal(22,6)")
+    prof = ev.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n"),
+        F.sum(v).cast("double").alias("s1"),
+        F.sum(v * v).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    std = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    )
+    z = (F.col("value") - mean) / std
+    return (
+        ev.join(F.broadcast(prof), ["event_type", "hod"])
+        .filter(F.col("n") > 2)
+        .select(
+            "event_id",
+            "event_type",
+            "hod",
+            "value",
+            mean.alias("expected"),
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > SEASONAL_Z)
+    )
