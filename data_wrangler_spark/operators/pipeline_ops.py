@@ -494,3 +494,71 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         containment.alias("containment"),
         (containment >= F.lit(CONTAM_THRESHOLD)).alias("contaminated"),
     )
+
+
+# target training-mix proportions per language (must sum to 1)
+MIX_WEIGHTS = {"en": 0.40, "zh": 0.20, "de": 0.15, "es": 0.15, "fr": 0.10}
+
+
+@register(
+    "q_mix_proportions",
+    oracle=f"""
+    WITH w(lang, wt) AS (VALUES {", ".join(f"('{k}', {v})" for k, v in MIX_WEIGHTS.items())}),
+    avail AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+    scale AS (
+      SELECT min(a.n / w.wt) AS m FROM avail a JOIN w ON w.lang = a.lang),
+    caps AS (
+      SELECT w.lang, CAST(floor(s.m * w.wt) AS BIGINT) AS cap
+      FROM w, scale s),
+    ranked AS (
+      SELECT d.doc_id, d.lang, d.source,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.lang
+               ORDER BY {_sql_md5_long("CAST(d.doc_id AS VARCHAR)")}, d.doc_id
+             ) AS rk
+      FROM documents d JOIN w ON w.lang = d.lang)
+    SELECT r.doc_id, r.lang, r.source, CAST(r.rk AS INT) AS rk
+    FROM ranked r JOIN caps c ON c.lang = r.lang
+    WHERE r.rk <= c.cap
+    """,
+    tags=("llm", "sampling"),
+)
+def q_mix_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional training-mix construction: given target language
+    ratios, take the largest mix achievable from the available
+    corpus — scale m = min(availᵢ/wᵢ) (the bottleneck language is
+    taken whole), capᵢ = floor(m·wᵢ), docs chosen per language by
+    deterministic hash order. This is the mixture-weights op of a
+    training pipeline (quota capping, q_mix_quota, is its fixed-cap
+    sibling).
+
+    Scale: per-language counts are one partial-agg pass; the scalar m
+    broadcasts; selection is the same single window shuffle on the
+    group key as every hash-ordered sampler here. The arithmetic is
+    pure IEEE double (division, min, floor·product) — bit-identical
+    across engines, so even cap boundaries agree exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    w = spark.createDataFrame(
+        list(MIX_WEIGHTS.items()), "lang string, wt double"
+    )
+    avail = d.groupBy("lang").agg(F.count("*").alias("n"))
+    m = (
+        avail.join(F.broadcast(w), "lang")
+        .agg(F.min(F.col("n") / F.col("wt")).alias("m"))
+    )
+    caps = F.broadcast(w).crossJoin(F.broadcast(m)).select(
+        "lang", F.floor(F.col("m") * F.col("wt")).alias("cap")
+    )
+    rk_w = Window.partitionBy("lang").orderBy(
+        _md5_long(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = (
+        d.join(F.broadcast(w.select("lang")), "lang")
+        .select("doc_id", "lang", "source", F.row_number().over(rk_w).alias("rk"))
+    )
+    return (
+        ranked.join(F.broadcast(caps), "lang")
+        .filter(F.col("rk") <= F.col("cap"))
+        .select("doc_id", "lang", "source", "rk")
+    )

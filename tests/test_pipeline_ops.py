@@ -140,3 +140,32 @@ def test_contamination_bounds_and_slice(spark, sf_dir):
         assert 0 <= r.n_matched <= r.n_grams
         assert abs(r.containment - r.n_matched / r.n_grams) < 1e-12
         assert r.contaminated == (r.containment >= CONTAM_THRESHOLD)
+
+
+def test_mix_proportions_achieves_targets(spark, sf_dir):
+    """The bottleneck language is taken whole; every other language's
+    take is floor(m * w); achieved ratios are within 1/m of targets."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from data_wrangler_spark.catalog import load_table
+    from data_wrangler_spark.operators.pipeline_ops import MIX_WEIGHTS
+
+    avail = {
+        r.lang: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    m = min(avail[l] / w for l, w in MIX_WEIGHTS.items())
+    took = Counter(
+        r.lang for r in run(spark, sf_dir, "q_mix_proportions").collect()
+    )
+    for lang, w in MIX_WEIGHTS.items():
+        assert took[lang] == math.floor(m * w)
+        assert took[lang] <= avail[lang]
+    bottleneck = min(avail, key=lambda l: avail[l] / MIX_WEIGHTS[l])
+    assert took[bottleneck] == avail[bottleneck]
