@@ -5,9 +5,12 @@ the `iterative algorithms` class the driver contract calls out as
 legitimately non-SQL-expressible (alongside custom stateful
 streaming). `q_dedup_cluster` (pipeline_ops.py) already covers
 label-propagation connected components WITH an exact recursive-CTE
-oracle; PageRank here is numeric-iterative — the oracle contract is
-rows-only and tests/test_graph.py pins the values against an
-independent numpy power iteration at 1e-9.
+oracle. PageRank comes in two forms: the standard float power
+iteration (rows-only — pinned against an independent numpy power
+iteration at 1e-9 in tests/test_graph.py) and q_pagerank_exact in
+integer micro-units, whose fixed point is engine- and
+partitioning-independent and therefore carries a full DuckDB
+recursive-CTE oracle.
 
 Scale design: edges are the persistent operand — cache them
 partitioned by src (one shuffle, reused every iteration). Each
@@ -213,4 +216,120 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.lit(3) * F.col("n_triangles")).cast("double") / F.col("n_wedges"))
             .alias("global_clustering"),
         )
+    )
+
+
+PR_SCALE = 10**12  # integer micro-units: 1.0 rank == 10^12
+
+
+def _pagerank_oracle() -> str:
+    """DuckDB mirror of the integer PageRank. The recursive CTE may
+    reference itself only once per step, so the oracle exploits the
+    bipartite structure: customers receive no in-edges, hence all
+    customer ranks stay equal to one scalar R_k, and supplier mass
+    reduces to one scalar D_k — the recursion runs over the two
+    scalars and per-node ranks are reconstructed at the end with the
+    same integer formulas. The Spark side is the general per-node
+    implementation; hash-equality proves both the arithmetic and the
+    reduction."""
+    S = PR_SCALE
+    it = PR_ITERATIONS
+    return f"""
+    WITH RECURSIVE
+    po AS (SELECT DISTINCT o.o_custkey AS src,
+                           l.l_suppkey + 10000000 AS dst
+           FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM po GROUP BY src),
+    nn AS (SELECT CAST(count(DISTINCT src) + count(DISTINCT dst) AS BIGINT) AS c
+           FROM po),
+    ns AS (SELECT CAST(count(DISTINCT dst) AS BIGINT) AS c FROM po),
+    pr(k, r_cust, d_sup) AS (
+      SELECT 0,
+             (SELECT {S} // c FROM nn),
+             (SELECT {S} // c FROM nn) * (SELECT c FROM ns)
+      UNION ALL
+      SELECT p.k + 1,
+             (SELECT (15 * {S}) // (100 * c) FROM nn)
+               + (85 * (p.d_sup // (SELECT c FROM nn))) // 100,
+             (SELECT SUM((SELECT (15 * {S}) // (100 * c) FROM nn)
+                         + (85 * (i.inflow
+                                  + p.d_sup // (SELECT c FROM nn))) // 100)
+              FROM (SELECT e.dst, SUM(p.r_cust // dg.d) AS inflow
+                    FROM po e JOIN deg dg ON dg.src = e.src
+                    GROUP BY e.dst) i)
+      FROM pr p WHERE p.k < {it}),
+    fin AS (SELECT r_cust FROM pr WHERE k = {it}),
+    prev AS (SELECT r_cust, d_sup FROM pr WHERE k = {it - 1}),
+    sup AS (
+      SELECT e.dst AS node,
+             (SELECT (15 * {S}) // (100 * c) FROM nn)
+               + (85 * (SUM(p.r_cust // dg.d)
+                        + MAX(p.d_sup) // (SELECT c FROM nn))) // 100
+               AS rank_micro
+      FROM po e JOIN deg dg ON dg.src = e.src, prev p
+      GROUP BY e.dst),
+    cust AS (SELECT DISTINCT src AS node FROM po)
+    SELECT node, rank_micro,
+           rank_micro / 1000000000000.0 AS pagerank
+    FROM (SELECT c.node, f.r_cust AS rank_micro FROM cust c, fin f
+          UNION ALL
+          SELECT node, rank_micro FROM sup)
+    """
+
+
+@register("q_pagerank_exact", oracle=_pagerank_oracle(), tags=("ext", "graph", "iterative"))
+def q_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank in integer micro-units (rank 1.0 ≡ 10^12): every
+    operation is BIGINT multiply / integral `div` / sum, so the
+    fixed-point after any iteration count is bit-identical on any
+    engine, any partitioning, any summation order — the property
+    that makes a 100 TB iterative job verifiable against an
+    independent implementation (the float variant q_pagerank is only
+    pinned to 1e-9). Truncation injects < N·10⁻¹² per iteration —
+    far below the float path's own summation noise.
+
+    Same plan shape as q_pagerank: per-iteration broadcast of
+    out-degrees, one shuffle on dst for the inflow sum, dangling mass
+    folded via a 1-row cross join, lineage cut by localCheckpoint."""
+    S = PR_SCALE
+    edges = _edges(spark, sf_dir).cache()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    base = (15 * S) // (100 * n)
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    ranks = nodes.select("node", F.lit(S // n).cast("long").alias("r"))
+
+    for _ in range(PR_ITERATIONS):
+        inflow = (
+            edges.join(F.broadcast(deg), "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), F.expr("r div d").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        dang = ranks.join(
+            deg.withColumnRenamed("src", "node"), "node", "left_anti"
+        ).agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
+        ranks = (
+            nodes.join(inflow, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({base} + (85 * (coalesce(inflow, 0) + (dm div {n})))"
+                    " div 100 AS BIGINT)"
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_micro"),
+        (F.col("r") / F.lit(float(PR_SCALE))).alias("pagerank"),
     )

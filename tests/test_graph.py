@@ -77,3 +77,25 @@ def test_triangles_match_bruteforce(spark, sf_dir):
     assert row.n_wedges == wedges
     assert row.n_triangles == tri3 // 3
     assert abs(row.global_clustering - 3 * row.n_triangles / wedges) < 1e-12
+
+
+def test_pagerank_exact_agrees_with_float_path(spark, sf_dir):
+    """The integer micro-unit fixed point must sit within float-path
+    noise of the standard implementation, and conserve total mass to
+    within N ulps of truncation per iteration."""
+    exact = {
+        r.node: r.pagerank
+        for r in REGISTRY["q_pagerank_exact"].run(spark, sf_dir).collect()
+    }
+    flt = {
+        r.node: r.pagerank
+        for r in REGISTRY["q_pagerank"].run(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(flt)
+    for node, p in exact.items():
+        assert abs(p - flt[node]) < 1e-6
+    # truncation loses < 1 micro-unit per edge-contribution per
+    # iteration (plus the two divs), always downward — a deficit
+    # bounded well under 1e-7 at these graph sizes
+    total = sum(exact.values())
+    assert 0 <= 1.0 - total < 1e-7
