@@ -183,3 +183,132 @@ def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("l2_norm"),
         (F.element_at(ed, 1) / n).alias("first_component"),
     )
+
+
+KM_K = 8        # clusters
+KM_ITER = 4     # update rounds
+KM_Q = 1 << 20  # quantization: float component ×2^20, floored
+
+
+def _kmeans_oracle() -> str:
+    """DuckDB mirror of the integer k-means. The recursive CTE's
+    working table holds one iteration's centroid rows (cl, dim, c);
+    each step assigns every vector to its nearest centroid (BIGINT
+    squared distance, (dist, cl) tiebreak) and emits the next
+    centroids as integer-division means. All arithmetic is BIGINT, so
+    the trajectory is bit-identical to the Spark loop regardless of
+    partitioning or summation order."""
+    from data_wrangler_spark.operators.dedup import _sql_md5_long
+
+    key = _sql_md5_long("CAST(vec_id AS VARCHAR)")
+    return f"""
+    WITH RECURSIVE
+    v0 AS (
+      SELECT vec_id, embedding,
+             unnest(generate_series(1, len(embedding))) AS dim
+      FROM embeddings),
+    v AS (
+      SELECT vec_id, CAST(dim AS INT) AS dim,
+             CAST(floor(CAST(embedding[dim] AS DOUBLE) * {KM_Q}) AS BIGINT)
+               AS x
+      FROM v0),
+    seed AS (
+      SELECT vec_id,
+             CAST(row_number() OVER (ORDER BY {key}, vec_id) AS INT) AS cl
+      FROM embeddings),
+    cen(it, cl, dim, c) AS (
+      SELECT 0, s.cl, v.dim, v.x
+      FROM seed s JOIN v ON v.vec_id = s.vec_id
+      WHERE s.cl <= {KM_K}
+      UNION ALL
+      SELECT MAX(asg.it) + 1, asg.cl, v2.dim,
+             CAST(SUM(v2.x) // CAST(count(*) AS BIGINT) AS BIGINT)
+      FROM (
+        SELECT d.vec_id, d.it, d.cl,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                                  ORDER BY d.dist, d.cl) AS rn
+        FROM (
+          SELECT va.vec_id, cn.it, cn.cl,
+                 SUM((va.x - cn.c) * (va.x - cn.c)) AS dist
+          FROM cen cn JOIN v va ON va.dim = cn.dim
+          WHERE cn.it < {KM_ITER}
+          GROUP BY va.vec_id, cn.it, cn.cl) d) asg
+      JOIN v v2 ON v2.vec_id = asg.vec_id
+      WHERE asg.rn = 1
+      GROUP BY asg.cl, v2.dim),
+    fin AS (SELECT cl, dim, c FROM cen WHERE it = {KM_ITER}),
+    dist AS (
+      SELECT va.vec_id, f.cl,
+             CAST(SUM((va.x - f.c) * (va.x - f.c)) AS BIGINT) AS dist
+      FROM v va JOIN fin f ON f.dim = va.dim
+      GROUP BY va.vec_id, f.cl)
+    SELECT vec_id, CAST(cl AS INT) AS cluster, dist
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cl) AS rn
+          FROM dist)
+    WHERE rn = 1
+    """
+
+
+@register("q_kmeans_exact", oracle=_kmeans_oracle(), tags=("llm", "embedding", "iterative"))
+def q_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means whose every iteration is bit-reproducible:
+    vector components quantized to integer micro-units (×2^20 — a
+    power of two, so the float→int map is exact), squared distances
+    and centroid means in pure BIGINT (integer-division mean), init =
+    the K vectors ranked first by the cross-engine md5 key, ties on
+    (dist, cluster). No float ever enters, so any engine, partition
+    count, or summation order lands on the identical fixed point —
+    the reproducibility a restartable 100 TB clustering job needs
+    (pyspark.ml KMeans is seed-stable only within one Spark version
+    and shuffles-dependent; this is stable, period — the DuckDB
+    recursive-CTE oracle replays the whole trajectory).
+
+    Scale: per iteration one broadcast (K×dim centroid table, tiny),
+    one shuffle to re-aggregate centroids; assignment is a map-side
+    join + partial aggregation. Empty clusters drop identically in
+    both engines (none occur on this data). Cited shape: IVF coarse
+    quantizer (q_sim_search_ivf) — this replaces its rows-only ml
+    KMeans with an exactly-verifiable trainer."""
+    from data_wrangler_spark.operators.dedup import _md5_long
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = (
+        e.select("vec_id", F.posexplode("embedding").alias("dim", "xf"))
+        .select(
+            "vec_id",
+            "dim",
+            F.floor(F.col("xf").cast("double") * KM_Q).cast("long").alias("x"),
+        )
+        .cache()
+    )
+    seed_w = Window.orderBy(_md5_long(F.col("vec_id").cast("string")), "vec_id")
+    seed = (
+        e.select("vec_id")
+        .withColumn("cl", F.row_number().over(seed_w))
+        .filter(F.col("cl") <= KM_K)
+    )
+    cen = seed.join(v, "vec_id").select("cl", "dim", F.col("x").alias("c"))
+
+    asg_w = Window.partitionBy("vec_id").orderBy("dist", "cl")
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        d = (
+            v.join(F.broadcast(centroids), "dim")
+            .groupBy("vec_id", "cl")
+            .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("dist"))
+        )
+        return d.withColumn("rn", F.row_number().over(asg_w)).filter(F.col("rn") == 1)
+
+    for _ in range(KM_ITER):
+        cen = (
+            assign(cen)
+            .join(v, "vec_id")
+            .groupBy("cl", "dim")
+            .agg(F.expr("sum(x) div count(*)").alias("c"))
+            .localCheckpoint()
+        )
+
+    return assign(cen).select(
+        "vec_id", F.col("cl").cast("int").alias("cluster"), "dist"
+    )

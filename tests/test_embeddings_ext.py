@@ -64,3 +64,26 @@ def test_mm_embed_fixed_dim_unit_interval(spark, sf_dir):
     ]
     got = next(r.features for r in rows if r.doc_id == doc.doc_id)
     assert got == expect
+
+
+def test_kmeans_exact_invariants(spark, sf_dir):
+    """Every vector gets exactly one cluster in [1, K]; several
+    clusters are populated; re-running reproduces assignments
+    bit-for-bit (the op's whole point)."""
+    from data_wrangler_spark.operators.embeddings_ext import KM_K
+
+    rows = REGISTRY["q_kmeans_exact"].run(spark, sf_dir).collect()
+    from data_wrangler_spark.catalog import load_table
+
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n_vecs
+    assert len({r.vec_id for r in rows}) == n_vecs
+    used = {r.cluster for r in rows}
+    assert used <= set(range(1, KM_K + 1))
+    assert len(used) >= 3
+    assert all(r.dist >= 0 for r in rows)
+    again = {
+        (r.vec_id, r.cluster, r.dist)
+        for r in REGISTRY["q_kmeans_exact"].run(spark, sf_dir).collect()
+    }
+    assert again == {(r.vec_id, r.cluster, r.dist) for r in rows}
