@@ -190,19 +190,20 @@ KM_ITER = 4     # update rounds
 KM_Q = 1 << 20  # quantization: float component ×2^20, floored
 
 
-def _kmeans_oracle() -> str:
-    """DuckDB mirror of the integer k-means. The recursive CTE's
-    working table holds one iteration's centroid rows (cl, dim, c);
-    each step assigns every vector to its nearest centroid (BIGINT
-    squared distance, (dist, cl) tiebreak) and emits the next
-    centroids as integer-division means. All arithmetic is BIGINT, so
-    the trajectory is bit-identical to the Spark loop regardless of
-    partitioning or summation order."""
+def kmeans_cte_sql() -> str:
+    """Shared DuckDB CTE body for the integer k-means (no leading
+    WITH): quantized components `v`, the recursive centroid table
+    `cen`, final centroids `fin`, and the final assignment `km_asg`.
+    The recursive working table holds one iteration's centroid rows
+    (cl, dim, c); each step assigns every vector to its nearest
+    centroid (BIGINT squared distance, (dist, cl) tiebreak) and emits
+    the next centroids as integer-division means. All arithmetic is
+    BIGINT, so the trajectory is bit-identical to the Spark loop
+    regardless of partitioning or summation order."""
     from data_wrangler_spark.operators.dedup import _sql_md5_long
 
     key = _sql_md5_long("CAST(vec_id AS VARCHAR)")
     return f"""
-    WITH RECURSIVE
     v0 AS (
       SELECT vec_id, embedding,
              unnest(generate_series(1, len(embedding))) AS dim
@@ -237,16 +238,25 @@ def _kmeans_oracle() -> str:
       WHERE asg.rn = 1
       GROUP BY asg.cl, v2.dim),
     fin AS (SELECT cl, dim, c FROM cen WHERE it = {KM_ITER}),
-    dist AS (
+    km_dist AS (
       SELECT va.vec_id, f.cl,
              CAST(SUM((va.x - f.c) * (va.x - f.c)) AS BIGINT) AS dist
       FROM v va JOIN fin f ON f.dim = va.dim
-      GROUP BY va.vec_id, f.cl)
-    SELECT vec_id, CAST(cl AS INT) AS cluster, dist
-    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                       ORDER BY dist, cl) AS rn
-          FROM dist)
-    WHERE rn = 1
+      GROUP BY va.vec_id, f.cl),
+    km_asg AS (
+      SELECT vec_id, cl, dist
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cl) AS rn
+            FROM km_dist)
+      WHERE rn = 1)
+    """
+
+
+def _kmeans_oracle() -> str:
+    return f"""
+    WITH RECURSIVE
+    {kmeans_cte_sql()}
+    SELECT vec_id, CAST(cl AS INT) AS cluster, dist FROM km_asg
     """
 
 
@@ -270,6 +280,29 @@ def q_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines (none occur on this data). Cited shape: IVF coarse
     quantizer (q_sim_search_ivf) — this replaces its rows-only ml
     KMeans with an exactly-verifiable trainer."""
+    v, cen = kmeans_fit(spark, sf_dir)
+    return kmeans_assign(v, cen).select(
+        "vec_id", F.col("cl").cast("int").alias("cluster"), "dist"
+    )
+
+
+def kmeans_assign(v: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment in BIGINT: (vec_id, cl, dist) with
+    (dist, cl) tiebreak — the Spark mirror of the oracle's km_asg."""
+    asg_w = Window.partitionBy("vec_id").orderBy("dist", "cl")
+    d = (
+        v.join(F.broadcast(centroids), "dim")
+        .groupBy("vec_id", "cl")
+        .agg(
+            F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("dist")
+        )
+    )
+    return d.withColumn("rn", F.row_number().over(asg_w)).filter(F.col("rn") == 1)
+
+
+def kmeans_fit(spark: SparkSession, sf_dir: str):
+    """Run the integer k-means; returns (quantized components `v`
+    [vec_id, dim, x], final centroids [cl, dim, c])."""
     from data_wrangler_spark.operators.dedup import _md5_long
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -289,26 +322,12 @@ def q_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cl") <= KM_K)
     )
     cen = seed.join(v, "vec_id").select("cl", "dim", F.col("x").alias("c"))
-
-    asg_w = Window.partitionBy("vec_id").orderBy("dist", "cl")
-
-    def assign(centroids: DataFrame) -> DataFrame:
-        d = (
-            v.join(F.broadcast(centroids), "dim")
-            .groupBy("vec_id", "cl")
-            .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("dist"))
-        )
-        return d.withColumn("rn", F.row_number().over(asg_w)).filter(F.col("rn") == 1)
-
     for _ in range(KM_ITER):
         cen = (
-            assign(cen)
+            kmeans_assign(v, cen)
             .join(v, "vec_id")
             .groupBy("cl", "dim")
             .agg(F.expr("sum(x) div count(*)").alias("c"))
             .localCheckpoint()
         )
-
-    return assign(cen).select(
-        "vec_id", F.col("cl").cast("int").alias("cluster"), "dist"
-    )
+    return v, cen

@@ -15,7 +15,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from data_wrangler_spark.catalog import load_table
 from data_wrangler_spark.functions.vectors import (
@@ -359,4 +359,100 @@ def q_sim_search_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "cell", "cos_sim")
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
+    )
+
+
+IVFX_NPROBE = 4  # cells probed by the exact-oracle IVF
+IVFX_TOPK = 10
+
+
+def _ivf_exact_oracle() -> str:
+    from data_wrangler_spark.operators.embeddings_ext import kmeans_cte_sql
+
+    return f"""
+    WITH RECURSIVE
+    {kmeans_cte_sql()},
+    qv AS (
+      SELECT dim, x FROM v
+      WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+    cell_d AS (
+      SELECT f.cl, SUM((qv.x - f.c) * (qv.x - f.c)) AS dist
+      FROM fin f JOIN qv ON qv.dim = f.dim
+      GROUP BY f.cl),
+    probe AS (
+      SELECT cl FROM (SELECT cl, ROW_NUMBER() OVER (ORDER BY dist, cl) AS rn
+                      FROM cell_d)
+      WHERE rn <= {IVFX_NPROBE}),
+    n AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+    q AS (SELECT e AS qe FROM n
+          WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+    cand AS (
+      SELECT n.vec_id, n.label, CAST(a.cl AS INT) AS cell, n.e
+      FROM n
+      JOIN km_asg a ON a.vec_id = n.vec_id
+      JOIN probe p ON p.cl = a.cl
+      WHERE n.vec_id <> (SELECT min(vec_id) FROM embeddings))
+    SELECT vec_id, label, cell, {sql_cosine('e', 'qe')} AS cos_sim
+    FROM cand, q
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT {IVFX_TOPK}
+    """
+
+
+@register("q_sim_search_ivf_exact", oracle=_ivf_exact_oracle(), tags=("llm", "similarity"))
+def q_sim_search_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate search with a FULLY exact oracle: the coarse
+    quantizer is the integer-arithmetic k-means (q_kmeans_exact), so
+    cell assignments, the query's nprobe-nearest cells (BIGINT
+    distances, (dist, cl) tiebreak), the candidate set, and the final
+    cosine ranking are all bit-reproducible — DuckDB replays the
+    entire index build AND the probe. This upgrades the IVF family
+    from rows-only recall pins (q_sim_search_ivf, ml KMeans) to
+    hash-checked end-to-end determinism.
+
+    Scale: identical plan to q_sim_search_ivf — broadcast centroid
+    table, candidate cells ~nprobe/nlist of the corpus, exact cosine
+    only on candidates, TakeOrderedAndProject top-k; with cell as a
+    partition column the probe becomes partition pruning
+    (q_sim_search_ivf_indexed shows that layout)."""
+    from data_wrangler_spark.operators.embeddings_ext import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    v, cen = kmeans_fit(spark, sf_dir)
+    asg = kmeans_assign(v, cen).select("vec_id", "cl")
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    dim = embedding_dim(raw)
+    qid, q = _query_vec(spark, sf_dir)
+
+    qv = v.filter(F.col("vec_id") == qid).select("dim", "x")
+    cell_d = (
+        cen.join(F.broadcast(qv), "dim")
+        .groupBy("cl")
+        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("dist"))
+    )
+    probe = (
+        cell_d.withColumn(
+            "rn", F.row_number().over(Window.orderBy("dist", "cl"))
+        )
+        .filter(F.col("rn") <= IVFX_NPROBE)
+        .select("cl")
+    )
+
+    e = raw.select("vec_id", "label", to_double_array("embedding").alias("e"))
+    cand = (
+        e.join(asg, "vec_id")
+        .join(F.broadcast(probe), "cl")
+        .filter(F.col("vec_id") != qid)
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .withColumn("cos_sim", cosine(F.col("e"), F.col("qe"), dim))
+        .select("vec_id", "label", F.col("cl").cast("int").alias("cell"), "cos_sim")
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(IVFX_TOPK)
     )

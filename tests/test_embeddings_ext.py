@@ -87,3 +87,22 @@ def test_kmeans_exact_invariants(spark, sf_dir):
         for r in REGISTRY["q_kmeans_exact"].run(spark, sf_dir).collect()
     }
     assert again == {(r.vec_id, r.cluster, r.dist) for r in rows}
+
+
+def test_ivf_exact_recall_against_brute_force(spark, sf_dir):
+    """The exact-oracle IVF probes 4/8 cells, so its top-10 must
+    overlap heavily with the brute-force top-10 (and every returned
+    pair must carry the same cosine the brute-force path computes)."""
+    brute = {
+        r.vec_id: r.cos_sim
+        for r in REGISTRY["q_sim_search"].run(spark, sf_dir).collect()
+    }
+    ivf = {
+        r.vec_id: r.cos_sim
+        for r in REGISTRY["q_sim_search_ivf_exact"].run(spark, sf_dir).collect()
+    }
+    assert len(ivf) == 10
+    hits = set(ivf) & set(brute)
+    assert len(hits) >= 5, f"recall {len(hits)}/10 too low"
+    for vid in hits:
+        assert ivf[vid] == brute[vid]
