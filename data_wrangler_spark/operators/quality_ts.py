@@ -685,3 +685,69 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.abs(F.col("z")) > SEASONAL_Z)
     )
+
+
+EWMA_SCALE = 1_000_000  # value micro-units for the integer fold
+
+
+@register(
+    "q_ewma",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id,
+             list(CAST(floor(value * {EWMA_SCALE}) AS BIGINT)
+                  ORDER BY ts, event_id) AS xs
+      FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(len(xs) AS BIGINT) AS n_events,
+           list_reduce(xs, (s, x) ->
+             CAST(floor((9 * s + x) / 10) AS BIGINT)) AS ewma_micro,
+           list_reduce(xs, (s, x) ->
+             CAST(floor((9 * s + x) / 10) AS BIGINT)) / {EWMA_SCALE}.0
+             AS ewma
+    FROM s
+    """,
+    tags=("ext", "timeseries"),
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user (α = 0.1), the
+    sequential-stateful smoother windows can't express: each user's
+    event values fold in (ts, event_id) order through
+    s' = ⌊(9·s + x)/10⌋ in integer micro-units. The fold is a
+    JVM-side `aggregate` over the per-user array — one shuffle to
+    group, state is one BIGINT regardless of history length — and
+    because the arithmetic is integral the result is bit-identical
+    to DuckDB's list_reduce replay (floor-of-double-division is safe
+    here: operands stay < 2^53 and /10 cannot round across an
+    integer boundary).
+
+    Scale: per-user history must fit one array — at 100 TB feed the
+    fold from a bounded recent window (the resample rollup bounds
+    |events|/user/day), or run it as the streaming stateful op
+    (q_stream_stateful) where the same one-number state updates
+    incrementally."""
+    ev = load_table(spark, sf_dir, "events")
+    xs = F.transform(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("ts"),
+                    F.col("event_id"),
+                    F.floor(F.col("value") * EWMA_SCALE).cast("long").alias("x"),
+                )
+            )
+        ),
+        lambda s: s.x,
+    )
+    grouped = ev.groupBy("user_id").agg(xs.alias("xs"))
+    fold = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.element_at(F.col("xs"), 1),
+        lambda s, x: F.floor((F.lit(9) * s + x) / 10).cast("long"),
+    )
+    return grouped.select(
+        "user_id",
+        F.size("xs").cast("long").alias("n_events"),
+        fold.alias("ewma_micro"),
+        (fold / F.lit(float(EWMA_SCALE))).alias("ewma"),
+    )

@@ -129,3 +129,25 @@ def test_compact_files_reduces_file_count(spark, sf_dir):
     frag_bytes = sum(e.stat().st_size for e in parquet_files(frag))
     assert n_comp == max(1, math.ceil(frag_bytes / COMPACT_TARGET_BYTES))
     assert n_comp < n_frag
+
+
+def test_ewma_bounded_by_value_range(spark, sf_dir):
+    """A convex-combination smoother can never leave the observed
+    value range (modulo the 1-micro-unit floor truncation)."""
+    from pyspark.sql import functions as F
+
+    from data_wrangler_spark.catalog import load_table
+
+    bounds = {
+        r.user_id: (r.lo, r.hi)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    rows = REGISTRY["q_ewma"].run(spark, sf_dir).collect()
+    assert rows and len(rows) == len(bounds)
+    for r in rows:
+        lo, hi = bounds[r.user_id]
+        assert lo - 1e-5 <= r.ewma <= hi + 1e-5
+        assert r.n_events >= 1
