@@ -34,6 +34,10 @@ HEADLINE = [
     "q_join_asof",          # as-of join via window
     "q_dedup_embed",        # blocked embedding near-dup
     "q_text_fingerprint",   # md5 + rolling hash scan
+    "q_dedup_jaccard_prefix",  # PPJoin prefix-filtered similarity join
+    "q_contamination",      # n-gram containment vs train corpus
+    "q_triangles",          # degree-oriented triangle counting
+    "q_kmeans_exact",       # integer k-means (4 iterations)
 ]
 
 

@@ -155,12 +155,18 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
     )
+    from pyspark import StorageLevel
+
+    # materialize the distinct edge set once: deg, the orientation
+    # join, and the edge-count aggregate would otherwise each re-run
+    # the po self-join + distinct (two shuffles apiece)
     edges = (
         po.alias("a")
         .join(po.alias("b"), "o")
         .filter(F.col("a.p") < F.col("b.p"))
         .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -171,6 +177,9 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degree-ordered orientation: (lo, hi) by (deg, node)
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    # materialize once: oriented feeds BOTH wedge sides and the
+    # closing-edge set — without a persist the whole po→edges→deg
+    # pipeline (three shuffles) re-executes per consumer
     oriented = (
         edges.join(du, "u")
         .join(dv, "v")
@@ -184,6 +193,7 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("e")
         )
         .select("e.lo", "e.hi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     e1 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     e2 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
@@ -203,8 +213,11 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg_w = deg.agg(
         F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
     )
+    # edge set ≪ wedge set: broadcast it so the wedge stream never
+    # shuffles on (b, c)
     agg_t = (
-        wedges.join(closing, ["b", "c"]).agg(F.count("*").alias("n_triangles"))
+        wedges.join(F.broadcast(closing), ["b", "c"])
+        .agg(F.count("*").alias("n_triangles"))
     )
     return (
         agg_e.crossJoin(agg_w)
