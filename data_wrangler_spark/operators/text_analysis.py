@@ -292,3 +292,114 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_stop.alias("ok_stop"),
         (ok_words & ok_wlen & ok_short & ok_stop).alias("passes"),
     )
+
+
+BPE_ROUNDS = 2      # merge rounds learned
+BPE_TOPN = 10       # pairs reported per stage
+BPE_SYMBOLS = "AB"  # single-char stand-ins for merged symbols (corpus
+                    # is lowercase a-z, so these can never collide)
+
+
+@register(
+    "q_bpe_merges",
+    oracle=f"""
+    WITH w0 AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS word
+      FROM documents),
+    p0 AS (
+      SELECT substr(word, i, 2) AS pair, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT word, unnest(generate_series(1, length(word) - 1)) AS i
+            FROM w0)
+      GROUP BY 1),
+    r0 AS (SELECT pair, cnt,
+                  ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rnk
+           FROM p0),
+    m1 AS (SELECT pair FROM r0 WHERE rnk = 1),
+    w1 AS (SELECT replace(word, (SELECT pair FROM m1), 'A') AS word FROM w0),
+    p1 AS (
+      SELECT substr(word, i, 2) AS pair, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT word, unnest(generate_series(1, length(word) - 1)) AS i
+            FROM w1)
+      GROUP BY 1),
+    r1 AS (SELECT pair, cnt,
+                  ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rnk
+           FROM p1),
+    m2 AS (SELECT pair FROM r1 WHERE rnk = 1),
+    w2 AS (SELECT replace(word, (SELECT pair FROM m2), 'B') AS word FROM w1),
+    p2 AS (
+      SELECT substr(word, i, 2) AS pair, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT word, unnest(generate_series(1, length(word) - 1)) AS i
+            FROM w2)
+      GROUP BY 1),
+    r2 AS (SELECT pair, cnt,
+                  ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rnk
+           FROM p2)
+    SELECT stage, pair, cnt, CAST(rnk AS INT) AS rnk,
+           (rnk = 1 AND stage < {BPE_ROUNDS}) AS chosen
+    FROM (SELECT 0 AS stage, * FROM r0
+          UNION ALL SELECT 1, * FROM r1
+          UNION ALL SELECT 2, * FROM r2)
+    WHERE rnk <= {BPE_TOPN}
+    """,
+    tags=("llm", "text", "tokenizer"),
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, first BPE_ROUNDS merge rounds: count
+    adjacent symbol pairs across the corpus, merge the most frequent
+    pair (ties broken lexicographically — the deterministic variant of
+    the published BPE algorithm, Sennrich et al. 2016), recount, and
+    report the top pairs of every stage with the chosen merges
+    flagged. Merged symbols are single stand-in characters so pair
+    extraction stays a substring scan; `replace` applies merges
+    leftmost-non-overlapping in both engines.
+
+    Scale: each round is one explode→groupBy on 2-char keys (partial
+    agg collapses to |alphabet|² per partition before the shuffle)
+    plus one broadcast of the single winning pair; rounds are
+    sequential by nature (BPE is inherently iterative) but each round
+    is a full-corpus scan only at the character level — at 100 TB the
+    standard trick applies unchanged: count pairs over the DISTINCT
+    word dictionary weighted by word frequency instead of raw text
+    (the same dictionary-first rewrite as operators/fuzzy.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(F.explode(words("text")).alias("word"))
+
+    def pair_counts(wdf: DataFrame) -> DataFrame:
+        grams = F.when(
+            F.length("word") > 1,
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.substring(F.col("word"), i, F.lit(2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return (
+            wdf.select(F.explode(grams).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    rank_w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    stages = []
+    for s in range(BPE_ROUNDS + 1):
+        ranked = pair_counts(w).withColumn("rnk", F.row_number().over(rank_w))
+        stages.append(ranked.withColumn("stage", F.lit(s)))
+        if s < BPE_ROUNDS:
+            top = ranked.filter(F.col("rnk") == 1).select(
+                F.col("pair").alias("mpair")
+            )
+            w = w.crossJoin(F.broadcast(top)).select(
+                F.replace(
+                    F.col("word"), F.col("mpair"), F.lit(BPE_SYMBOLS[s])
+                ).alias("word")
+            )
+
+    out = stages[0]
+    for st in stages[1:]:
+        out = out.unionAll(st)
+    return out.filter(F.col("rnk") <= BPE_TOPN).select(
+        "stage",
+        "pair",
+        "cnt",
+        F.col("rnk").cast("int").alias("rnk"),
+        ((F.col("rnk") == 1) & (F.col("stage") < BPE_ROUNDS)).alias("chosen"),
+    )
