@@ -403,3 +403,67 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rnk").cast("int").alias("rnk"),
         ((F.col("rnk") == 1) & (F.col("stage") < BPE_ROUNDS)).alias("chosen"),
     )
+
+
+CHUNK_TOKENS = 64   # tokens per RAG chunk
+CHUNK_STRIDE = 48   # hop: 16-token overlap between consecutive chunks
+
+
+@register(
+    "q_text_chunk",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {sql_words('text')} AS w FROM documents),
+    starts AS (
+      SELECT doc_id, w, CAST(s AS INT) AS start_tok
+      FROM t, LATERAL unnest(range(0, greatest(len(w) - {CHUNK_STRIDE}, 1),
+                                   {CHUNK_STRIDE})) AS u(s))
+    SELECT doc_id,
+           CAST(start_tok / {CHUNK_STRIDE} AS INT)             AS chunk_idx,
+           start_tok,
+           CAST(least({CHUNK_TOKENS}, len(w) - start_tok) AS INT)
+                                                               AS n_tokens,
+           array_to_string(w[start_tok + 1 : start_tok + {CHUNK_TOKENS}], ' ')
+                                                               AS chunk_text
+    FROM starts
+    """,
+    tags=("llm", "text", "rag"),
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking: documents split into CHUNK_TOKENS-token windows
+    advancing CHUNK_STRIDE tokens (16-token overlap keeps answers
+    that straddle a boundary retrievable), emitting the actual chunk
+    text — the retrieval-corpus build step. Start positions stop once
+    the remaining tail is covered by the previous window (mirrored in
+    both engines' range arithmetic; DuckDB slices are end-inclusive,
+    so the SQL slice bound is start+CHUNK_TOKENS while Spark's
+    slice(start+1, CHUNK_TOKENS) takes a length).
+
+    Scale: stateless row expansion (sequence+explode, ~len/stride ×),
+    no shuffle; the chunk becomes the embedding unit downstream
+    (q_mm_embed) and inherits its Arrow-batched path."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words("text").alias("w")
+    )
+    starts = d.select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size("w") - CHUNK_STRIDE, F.lit(1)) - 1,
+                F.lit(CHUNK_STRIDE),
+            )
+        ).alias("start_tok"),
+    )
+    return starts.select(
+        "doc_id",
+        (F.col("start_tok") / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        "start_tok",
+        F.least(F.lit(CHUNK_TOKENS), F.size("w") - F.col("start_tok"))
+        .cast("int")
+        .alias("n_tokens"),
+        F.array_join(
+            F.slice(F.col("w"), F.col("start_tok") + 1, F.lit(CHUNK_TOKENS)), " "
+        ).alias("chunk_text"),
+    )
