@@ -416,8 +416,9 @@ CHUNK_STRIDE = 48   # hop: 16-token overlap between consecutive chunks
       SELECT doc_id, {sql_words('text')} AS w FROM documents),
     starts AS (
       SELECT doc_id, w, CAST(s AS INT) AS start_tok
-      FROM t, LATERAL unnest(range(0, greatest(len(w) - {CHUNK_STRIDE}, 1),
-                                   {CHUNK_STRIDE})) AS u(s))
+      FROM t, LATERAL unnest(
+        range(0, greatest(len(w) - {CHUNK_TOKENS - CHUNK_STRIDE}, 1),
+              {CHUNK_STRIDE})) AS u(s))
     SELECT doc_id,
            CAST(start_tok / {CHUNK_STRIDE} AS INT)             AS chunk_idx,
            start_tok,
@@ -433,11 +434,12 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG chunking: documents split into CHUNK_TOKENS-token windows
     advancing CHUNK_STRIDE tokens (16-token overlap keeps answers
     that straddle a boundary retrievable), emitting the actual chunk
-    text — the retrieval-corpus build step. Start positions stop once
-    the remaining tail is covered by the previous window (mirrored in
-    both engines' range arithmetic; DuckDB slices are end-inclusive,
-    so the SQL slice bound is start+CHUNK_TOKENS while Spark's
-    slice(start+1, CHUNK_TOKENS) takes a length).
+    text — the retrieval-corpus build step. Starts advance while the
+    previous window leaves tokens uncovered (s < len − overlap), so
+    every token lands in ≥1 chunk and the final chunk may be short
+    (mirrored in both engines' range arithmetic; DuckDB slices are
+    end-inclusive, so the SQL slice bound is start+CHUNK_TOKENS while
+    Spark's slice(start+1, CHUNK_TOKENS) takes a length).
 
     Scale: stateless row expansion (sequence+explode, ~len/stride ×),
     no shuffle; the chunk becomes the embedding unit downstream
@@ -451,7 +453,10 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.sequence(
                 F.lit(0),
-                F.greatest(F.size("w") - CHUNK_STRIDE, F.lit(1)) - 1,
+                F.greatest(
+                    F.size("w") - (CHUNK_TOKENS - CHUNK_STRIDE), F.lit(1)
+                )
+                - 1,
                 F.lit(CHUNK_STRIDE),
             )
         ).alias("start_tok"),

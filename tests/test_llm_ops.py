@@ -223,3 +223,41 @@ def test_prefix_jaccard_equals_full_blocking_and_prunes(spark, sf_dir):
         for r in REGISTRY["q_dedup_jaccard_prefix"].run(spark, sf_dir).collect()
     }
     assert pref == full
+
+
+def test_text_chunks_cover_every_token(spark, sf_dir):
+    """Every token of every document must land in at least one chunk
+    (the bug this pins: start generation stopping at len-stride left
+    long-document tails unchunked), chunks overlap by exactly
+    CHUNK_TOKENS - CHUNK_STRIDE tokens, and chunk_text matches its
+    declared token span."""
+    from pyspark.sql import functions as F
+
+    from data_wrangler_spark.catalog import load_table
+    from data_wrangler_spark.operators.text_analysis import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+
+    doc_words = {
+        r.doc_id: r.w
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
+        .collect()
+    }
+    rows = REGISTRY["q_text_chunk"].run(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(doc_words)
+    for doc_id, chunks in by_doc.items():
+        w = doc_words[doc_id]
+        chunks.sort(key=lambda r: r.start_tok)
+        covered_to = 0
+        for c in chunks:
+            assert c.start_tok <= covered_to  # no gap
+            covered_to = max(covered_to, c.start_tok + c.n_tokens)
+            assert c.chunk_text == " ".join(
+                w[c.start_tok : c.start_tok + CHUNK_TOKENS]
+            )
+        assert covered_to == len(w), f"doc {doc_id} tail uncovered"
