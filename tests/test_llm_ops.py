@@ -261,3 +261,30 @@ def test_text_chunks_cover_every_token(spark, sf_dir):
                 w[c.start_tok : c.start_tok + CHUNK_TOKENS]
             )
         assert covered_to == len(w), f"doc {doc_id} tail uncovered"
+
+
+def test_bpe_merges_pick_stage_maxima(spark, sf_dir):
+    """Each learned merge must be its stage's most frequent pair
+    (ties lexicographic), stages report BPE_TOPN pairs in strictly
+    ranked order, and the merged symbol appears in later stages'
+    pairs (proof the merge was actually applied)."""
+    from data_wrangler_spark.operators.text_analysis import (
+        BPE_ROUNDS,
+        BPE_SYMBOLS,
+        BPE_TOPN,
+    )
+
+    rows = REGISTRY["q_bpe_merges"].run(spark, sf_dir).collect()
+    stages = {}
+    for r in rows:
+        stages.setdefault(r.stage, []).append(r)
+    assert set(stages) == set(range(BPE_ROUNDS + 1))
+    for s, rs in stages.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) == BPE_TOPN
+        for a, b in zip(rs, rs[1:]):
+            assert (a.cnt, a.pair) >= (b.cnt, a.pair)  # ranked by (cnt desc, pair)
+        assert rs[0].chosen == (s < BPE_ROUNDS)
+    # the round-1 merge symbol participates in round-2 pair counts
+    assert any(BPE_SYMBOLS[0] in r.pair for r in stages[1] + stages[2])
