@@ -77,10 +77,13 @@ class UnknownIdentifierError(ValueError):
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one named table from ``{sf_dir}/{name}.parquet``.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    reader rejects; with ``nanosAsLong`` it arrives as raw int64 nanos
-    and is converted here to a microsecond TIMESTAMP — bit-identical
-    to DuckDB's ``CAST(ts AS TIMESTAMP)`` on the same file.
+    Timestamp handling: current fixtures store TIMESTAMP(MICROS,
+    isAdjustedToUTC=false), which Spark reads as TIMESTAMP_NTZ —
+    matching DuckDB's naive TIMESTAMP exactly. Older fixture layouts
+    stored ``events.ts`` as TIMESTAMP(NANOS), which Spark's reader
+    rejects; with ``nanosAsLong`` it arrives as raw int64 nanos and
+    the branch below converts it to a microsecond timestamp. Both
+    paths yield the same wall-clock values under the UTC session TZ.
     """
     if name not in TABLES:
         raise UnknownIdentifierError(f"unknown table: {name!r}")

@@ -224,12 +224,13 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(base)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
         .select(
-            F.col("w.start").alias("w_start"),
-            F.col("w.end").alias("w_end"),
+            F.col("w.start").cast("timestamp_ntz").alias("w_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("w_end"),
             "event_type",
             "n_events",
             "total_value",
@@ -255,11 +256,16 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(base)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", "35 days")
         .dropDuplicatesWithinWatermark(["event_id"])
     )
     out = _run_stream(stream, "q_stream_dedup")
-    return out.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return out.select(
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
 
 
 @register(
@@ -296,6 +302,7 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(base)
             .filter(F.col("event_type") == event_type)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
             .withWatermark("ts", "40 minutes")
             .alias(alias)
         )
@@ -310,8 +317,8 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v.event_id").alias("view_id"),
         F.col("p.event_id").alias("purchase_id"),
         F.col("v.user_id").alias("user_id"),
-        F.col("v.ts").alias("view_ts"),
-        F.col("p.ts").alias("purchase_ts"),
+        F.col("v.ts").cast("timestamp_ntz").alias("view_ts"),
+        F.col("p.ts").cast("timestamp_ntz").alias("purchase_ts"),
     )
     return _run_stream(joined, "q_stream_join")
 
