@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from data_wrangler_spark.catalog import load_table
+from data_wrangler_spark.functions.vectors import micro_csv, sql_micro_csv
 from data_wrangler_spark.registry import register
 
 
@@ -138,13 +139,13 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_array_funcs",
-    oracle="""
+    oracle=f"""
     SELECT vec_id,
            CAST(len(embedding) AS INT)                                   AS dim,
            embedding[1]                                                  AS first_val,
            list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
                        (a, b) -> a + b)                                  AS vec_sum,
-           embedding[1:3]                                                AS head3,
+           {sql_micro_csv('embedding[1:3]')}                             AS head3,
            list_contains(list_transform(embedding, x -> CAST(x AS DOUBLE) > 0), true)
                                                                          AS has_positive
     FROM embeddings
@@ -164,7 +165,9 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(
             "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
         ).alias("vec_sum"),
-        F.slice("embedding", 1, 3).alias("head3"),
+        # fixed-point CSV, not a raw array: the driver harness hashes
+        # cells and can't canonicalize list values (see micro_csv).
+        micro_csv(F.slice("embedding", 1, 3)).alias("head3"),
         F.exists("embedding", lambda x: x.cast("double") > 0).alias("has_positive"),
     )
 

@@ -110,3 +110,33 @@ def sql_norm(a: str) -> str:
 
 def sql_cosine(a: str, b: str) -> str:
     return f"({sql_dot(a, b)} / ({sql_norm(a)} * {sql_norm(b)}))"
+
+
+def micro_csv(col: Column | str) -> Column:
+    """Numeric array → canonical string: each element rounded to
+    integer micro-units (floor(x·1e6 + 0.5) — identical IEEE-754
+    arithmetic in every engine, unlike decimal internals or float
+    formatting) and comma-joined. Harness-safe scalar output for
+    array-valued results: comparators that hash cells can't handle
+    list cells, and double→string formatting differs across engines,
+    but this fixed-point CSV is byte-identical everywhere."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_join(
+        F.transform(
+            c,
+            lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .cast("string"),
+        ),
+        ",",
+    )
+
+
+def sql_micro_csv(list_expr: str) -> str:
+    """DuckDB mirror of micro_csv — same floor(x·1e6+0.5) fixed-point
+    per element, comma-joined."""
+    return (
+        f"array_to_string(list_transform({list_expr}, x -> "
+        f"CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) "
+        f"AS VARCHAR)), ',')"
+    )

@@ -175,7 +175,14 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic uses truncated epoch seconds, identical across
     engines."""
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "ts", "value", F.col("ts").cast("long").alias("sec")
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        # events.ts is TIMESTAMP_NTZ; Spark 4 forbids CAST(ntz AS BIGINT),
+        # so go via a zoned timestamp (session tz is pinned UTC) to epoch
+        # seconds — matches the oracle's floor(epoch(ts)).
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("sec"),
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     b = ev.withColumn(

@@ -26,8 +26,10 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from data_wrangler_spark.catalog import load_table
 from data_wrangler_spark.functions.vectors import (
     cosine,
+    micro_csv,
     norm,
     sql_cosine,
+    sql_micro_csv,
     sql_norm,
     to_double_array,
 )
@@ -39,7 +41,7 @@ KNN_N_QUERIES = 5
 
 @register(
     "q_embed_centroid",
-    oracle="""
+    oracle=f"""
     WITH ex AS (
       SELECT label, CAST(i AS INT) AS pos,
              CAST(embedding[i] AS DOUBLE) AS val
@@ -49,7 +51,7 @@ KNN_N_QUERIES = 5
              CAST(SUM(CAST(val AS DECIMAL(22,6))) AS DOUBLE) / COUNT(*) AS avgv
       FROM ex GROUP BY 1, 2),
     cents AS (
-      SELECT label, list(avgv ORDER BY pos) AS centroid
+      SELECT label, {sql_micro_csv('list(avgv ORDER BY pos)')} AS centroid
       FROM dims GROUP BY 1),
     counts AS (
       SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY 1)
@@ -79,7 +81,10 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         dims.groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "avgv"))).alias("pairs"))
         .select(
-            "label", F.transform("pairs", lambda p: p["avgv"]).alias("centroid")
+            # fixed-point CSV, not a raw array: the driver harness
+            # hashes cells and can't canonicalize lists (micro_csv).
+            "label",
+            micro_csv(F.transform("pairs", lambda p: p["avgv"])).alias("centroid"),
         )
     )
     counts = e.groupBy("label").agg(F.count("*").alias("n_vecs"))

@@ -19,6 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from data_wrangler_spark.catalog import load_table
+from data_wrangler_spark.functions.vectors import micro_csv, sql_micro_csv
 from data_wrangler_spark.registry import register
 
 
@@ -180,7 +181,8 @@ MM_EMBED_DIM = 8
     "q_mm_embed",
     oracle=f"""
     SELECT doc_id, lang,
-           [{', '.join(_sql_hash_feature(j) for j in range(MM_EMBED_DIM))}] AS features
+           {sql_micro_csv('[' + ', '.join(_sql_hash_feature(j) for j in range(MM_EMBED_DIM)) + ']')}
+             AS features
     FROM documents
     """,
     tags=("llm", "multimodal", "embedding"),
@@ -215,9 +217,13 @@ def q_mm_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return d.mapInPandas(
+    out = d.mapInPandas(
         embed_batches, "doc_id bigint, lang string, features array<double>"
     )
+    # The Python leg emits the real array<double>; the registered
+    # result serializes it to fixed-point CSV because the driver
+    # harness hashes cells and can't canonicalize list values.
+    return out.select("doc_id", "lang", micro_csv("features").alias("features"))
 
 
 RESIZE_FACTOR = 4  # fake "downsample by 4" — stands in for a real scaler

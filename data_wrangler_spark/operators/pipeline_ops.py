@@ -200,7 +200,8 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents)
     SELECT token,
            CAST(COUNT(*) AS BIGINT) AS doc_freq,
-           (list_sort(list(doc_id)))[1:{INDEX_POSTINGS}] AS postings
+           array_to_string((list_sort(list(doc_id)))[1:{INDEX_POSTINGS}], ',')
+             AS postings
     FROM tok
     GROUP BY token
     HAVING COUNT(*) >= {INDEX_MIN_DF}
@@ -228,9 +229,12 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.groupBy("token")
         .agg(
             F.count("*").alias("doc_freq"),
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, INDEX_POSTINGS).alias(
-                "postings"
-            ),
+            # CSV string, not array<bigint>: the driver harness hashes
+            # cells and can't canonicalize list values.
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, INDEX_POSTINGS),
+                ",",
+            ).alias("postings"),
         )
         .filter(F.col("doc_freq") >= INDEX_MIN_DF)
     )

@@ -19,10 +19,12 @@ def test_centroid_matches_brute_force(spark, sf_dir):
         vecs = by_label[r.label]
         assert r.n_vecs == len(vecs)
         dim = len(vecs[0])
-        assert len(r.centroid) == dim
+        # centroid is a fixed-point micro-unit CSV (harness-safe form)
+        micro = [int(v) for v in r.centroid.split(",")]
+        assert len(micro) == dim
         for j in range(dim):
             expect = sum(v[j] for v in vecs) / len(vecs)
-            assert abs(r.centroid[j] - expect) < 1e-6
+            assert abs(micro[j] / 1e6 - expect) < 2e-6
 
 
 def test_knn_votes_bounded_by_k(spark, sf_dir):
@@ -49,19 +51,22 @@ def test_mm_embed_fixed_dim_unit_interval(spark, sf_dir):
 
     rows = REGISTRY["q_mm_embed"].run(spark, sf_dir).collect()
     assert rows
+    # features is a fixed-point micro-unit CSV (harness-safe form)
     for r in rows:
-        assert len(r.features) == MM_EMBED_DIM
-        assert all(0.0 <= f <= 1.0 for f in r.features)
+        micro = [int(v) for v in r.features.split(",")]
+        assert len(micro) == MM_EMBED_DIM
+        assert all(0 <= m <= 1_000_000 for m in micro)
     # deterministic: same text → same features
     import hashlib
+    import math
 
     from data_wrangler_spark.catalog import load_table
 
     doc = load_table(spark, sf_dir, "documents").limit(1).collect()[0]
-    expect = [
-        b / 255.0
+    expect = ",".join(
+        str(math.floor(b / 255.0 * 1e6 + 0.5))
         for b in hashlib.sha256(doc.text.encode()).digest()[:MM_EMBED_DIM]
-    ]
+    )
     got = next(r.features for r in rows if r.doc_id == doc.doc_id)
     assert got == expect
 

@@ -75,8 +75,10 @@ def test_inverted_index_postings_sorted_capped(spark, sf_dir):
 
     for r in run(spark, sf_dir, "q_inverted_index").collect():
         assert r.doc_freq >= INDEX_MIN_DF
-        assert len(r.postings) == min(r.doc_freq, INDEX_POSTINGS)
-        assert r.postings == sorted(r.postings)
+        # postings is a CSV of sorted doc ids (harness-safe form)
+        postings = [int(v) for v in r.postings.split(",")]
+        assert len(postings) == min(r.doc_freq, INDEX_POSTINGS)
+        assert postings == sorted(postings)
 
 
 def test_tfidf_one_row_per_doc_positive_score(spark, sf_dir):
