@@ -137,51 +137,70 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count + global clustering coefficient of the
     co-purchase graph (parts appearing in the same order). The Spark
     plan uses DEGREE-ORDERED ORIENTATION (each undirected edge stored
-    low-degree endpoint → high-degree endpoint): every triangle is
-    still produced exactly once, but wedge enumeration fans out from
-    the LOW-degree side, bounding the join's per-key skew by sqrt of
-    edge count — the standard distributed-triangle trick. The oracle
-    counts the same triangles with plain id-ordered orientation; the
-    equality proves orientation-invariance.
+    low-degree endpoint → high-degree endpoint) and then counts by
+    ADJACENCY-LIST INTERSECTION: out-neighbor arrays are built once
+    per node, each oriented edge (u, v) contributes
+    |N⁺(u) ∩ N⁺(v)| triangles, and every triangle is counted exactly
+    once (at its lowest-degree apex). No wedge row is ever
+    materialized — the O(wedges) intermediate of the naive plan
+    becomes an in-JVM array intersection per edge. The oracle counts
+    the same triangles with plain id-ordered orientation and an
+    explicit wedge join; the equality proves orientation-invariance.
 
-    Scale: the wedge join shuffles on the pivot node; degree
-    orientation caps each pivot's fan-out, so no salting is needed
-    even on power-law graphs. The final existence check joins wedges
-    to the (unique) undirected edge set on the (b, c) composite key —
-    a hash join whose build side is the edge list, prunable further
-    by a bloom filter at extreme scale."""
-    po = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
+    Scale: pairs are generated MAP-SIDE from per-order part arrays
+    (no self-join of the scan), so the only wide ops are three
+    aggregations on node/order keys. Orientation caps out-degree at
+    ~sqrt(|E|), so adjacency arrays stay small and no key needs
+    salting even on power-law graphs; the per-edge join traffic is
+    Σ outdeg ≈ |E|·avg-outdeg packed longs, strictly less than the
+    wedge-row stream it replaces. The degree map and adjacency are
+    broadcast only below an explicit measured size cutoff — above it
+    the joins fall back to hash-partitioned shuffles on node id, so
+    nothing here assumes a collectable graph."""
     from pyspark import StorageLevel
 
-    # materialize the distinct edge set once: deg, the orientation
-    # join, and the edge-count aggregate would otherwise each re-run
-    # the po self-join + distinct (two shuffles apiece)
-    edges = (
-        po.alias("a")
-        .join(po.alias("b"), "o")
-        .filter(F.col("a.p") < F.col("b.p"))
-        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .distinct()
+    po = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    per_o = po.groupBy("o").agg(F.sort_array(F.collect_set("p")).alias("ps"))
+    # exactly the k(k-1)/2 id-ordered pairs per order, generated
+    # map-side (the naive po⋈po self-join shuffles the scan twice and
+    # then needs a distinct over 2× the rows)
+    pairs = per_o.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps)), "
+                "y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    # id-ordered adjacency IS the distinct undirected edge set (cross-
+    # order duplicates collapse in collect_set) — one shuffle, and the
+    # single source for degrees, edge count, and re-orientation
+    adj0 = (
+        pairs.groupBy("u")
+        .agg(F.sort_array(F.collect_set("v")).alias("nbrs"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    n_nodes = adj0.count()  # materialize; also bounds the degree map
     deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
+        adj0.select(F.col("u").alias("node"), F.size("nbrs").alias("d"))
+        .unionAll(adj0.select(F.explode("nbrs").alias("node"), F.lit(1).alias("d")))
         .groupBy("node")
-        .agg(F.count("*").alias("d"))
+        .agg(F.sum("d").alias("d"))
     )
-    # degree-ordered orientation: (lo, hi) by (deg, node)
+    # measured-size broadcast decision, not a blind hint: the degree
+    # map is 16 B/node — broadcast under ~64 MB, else shuffle join
+    bcast_ok = n_nodes < 4_000_000
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    # materialize once: oriented feeds BOTH wedge sides and the
-    # closing-edge set — without a persist the whole po→edges→deg
-    # pipeline (three shuffles) re-executes per consumer
-    oriented = (
-        edges.join(du, "u")
+    if bcast_ok:
+        du, dv = F.broadcast(du), F.broadcast(dv)
+    # degree-ordered re-orientation: (lo, hi) by (deg, node)
+    orient = (
+        adj0.select("u", F.explode("nbrs").alias("v"))
+        .join(du, "u")
         .join(dv, "v")
         .select(
             F.when(
@@ -193,31 +212,31 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("e")
         )
         .select("e.lo", "e.hi")
+    )
+    adj = (
+        orient.groupBy("lo")
+        .agg(F.collect_list("hi").alias("nbrs"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    e1 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
-    e2 = oriented.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
-    wedges = (
-        e1.join(e2, "a")
-        .filter(F.col("b") < F.col("c"))  # unordered wedge once
-        .select("b", "c")
+    adj.count()
+    # edge stream re-derived map-side from adj: each row already
+    # carries N⁺(lo), so closing needs only ONE join (on hi)
+    estream = adj.select(F.col("nbrs").alias("nbrs_u"), F.explode("nbrs").alias("hi"))
+    adj_v = adj.select(F.col("lo").alias("hi"), F.col("nbrs").alias("nbrs_v"))
+    # adjacency bytes ≈ 8·|E| — its broadcast cutoff keys on the edge
+    # count (1-row scalar fetch off the cached adj0), not node count
+    n_edges_val = adj0.agg(F.sum(F.size("nbrs"))).collect()[0][0] or 0
+    if n_edges_val < 8_000_000:
+        adj_v = F.broadcast(adj_v)
+    # inner join: an endpoint with no out-neighbors closes nothing
+    agg_t = (
+        estream.join(adj_v, "hi")
+        .select(F.size(F.array_intersect("nbrs_u", "nbrs_v")).alias("n_closed"))
+        .agg(F.sum("n_closed").cast("long").alias("n_triangles"))
     )
-    # a wedge (b, c) closes iff {b, c} is an edge — in EITHER
-    # orientation (degree order of (b, c) is independent of a's);
-    # closing edges are unique, so the inner join preserves wedge
-    # multiplicity = one row per triangle
-    closing = oriented.select(
-        F.least("lo", "hi").alias("b"), F.greatest("lo", "hi").alias("c")
-    )
-    agg_e = edges.agg(F.count("*").alias("n_edges"))
+    agg_e = adj0.agg(F.sum(F.size("nbrs")).cast("long").alias("n_edges"))
     agg_w = deg.agg(
         F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
-    )
-    # edge set ≪ wedge set: broadcast it so the wedge stream never
-    # shuffles on (b, c)
-    agg_t = (
-        wedges.join(F.broadcast(closing), ["b", "c"])
-        .agg(F.count("*").alias("n_triangles"))
     )
     return (
         agg_e.crossJoin(agg_w)

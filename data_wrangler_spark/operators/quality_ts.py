@@ -336,10 +336,11 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-order item count (small constant in order data), so the
     self-join is linear, not quadratic, and both join sides hash on
     l_orderkey (one co-located exchange). Deterministic top-N via
-    row_number with a full tiebreak instead of LIMIT. At 100 TB the
-    final rank is a single-partition pass over pair aggregates only;
-    if the pair domain itself explodes, cut it first with a support
-    floor (HAVING n >= s) — the classic a-priori pruning step."""
+    orderBy+limit with a full tiebreak — plans as
+    TakeOrderedAndProject (per-task heaps + a driver merge of N
+    rows), so no single-partition sort of the pair aggregates even at
+    100 TB; if the pair domain itself explodes, cut it first with a
+    support floor (HAVING n >= s) — the classic a-priori step."""
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
     a = items.alias("a")
@@ -356,10 +357,9 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_orders"))
     )
-    w = Window.orderBy(F.col("n_orders").desc(), "part_a", "part_b")
     return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= BASKET_TOP_N)
+        pairs.orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(BASKET_TOP_N)
         .select("part_a", "part_b", "n_orders")
     )
 

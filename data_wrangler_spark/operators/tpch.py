@@ -13,8 +13,9 @@ Scale notes: all three are one fact-fact shuffle (lineitem⋈orders on
 orderkey) plus broadcast dimension chains — the plan shape AQE picks
 here is the same one a 1000-executor cluster wants: dims under the
 broadcast threshold never shuffle, and the grouped aggregates are
-partial-aggregated map-side. Q10's top-20 goes through the
-rank-limit pushdown (per-partition heaps), not a global sort.
+partial-aggregated map-side. Q10's top-20 plans as
+TakeOrderedAndProject (per-task heaps + driver merge), not a global
+single-partition sort.
 """
 
 from __future__ import annotations
@@ -180,8 +181,10 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 (returned-item reporting): top 20 customers by
     revenue lost to returns in a quarter-year window. Filter →
     4-table join → grouped aggregate → deterministic top-20 via
-    row_number (rank-limit pushdown: per-partition heaps, no global
-    sort). Revenue ranking happens on doubles derived from exact
+    orderBy+limit, planned as TakeOrderedAndProject (per-task heaps +
+    a driver merge of 20 rows — no single-partition sort); the full
+    (revenue, custkey) tiebreak keeps it equal to the oracle's
+    row_number. Revenue ranking happens on doubles derived from exact
     decimal sums, so both engines rank identical values."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
@@ -197,9 +200,8 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
         .agg(F.sum(_rev()).cast("double").alias("revenue"))
     )
-    w = Window.orderBy(F.col("revenue").desc(), "c_custkey")
     return (
-        agg.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
+        agg.orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
         .select("c_custkey", "c_name", "n_name", "c_acctbal", "revenue")
     )

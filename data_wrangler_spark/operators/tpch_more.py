@@ -80,8 +80,10 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 (shipping priority): top-10 unshipped orders by value
     for one market segment. Both date filters push to the parquet
     scans, the segment filter makes customer small enough that AQE
-    converts its join to broadcast, and the final top-10 runs as a
-    rank-limit (per-partition heaps), not a global sort."""
+    converts its join to broadcast, and the final top-10 plans as
+    TakeOrderedAndProject (per-task heaps + a driver merge of 10
+    rows), not a global single-partition sort; the full (revenue,
+    orderkey) tiebreak keeps it equal to the oracle's row_number."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < _ts("1997-06-01"))
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > _ts("1997-06-01"))
@@ -91,10 +93,9 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(_rev()).cast("double").alias("revenue"))
     )
-    w = Window.orderBy(F.col("revenue").desc(), "l_orderkey")
     return (
-        agg.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
+        agg.orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
 

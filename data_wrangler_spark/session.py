@@ -31,6 +31,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # collect_list/collect_set run under ObjectHashAggregate, whose
+    # default sort-based fallback kicks in at just 128 distinct keys
+    # per task — far below any realistic partition. Raising it keeps
+    # the hash path for the adjacency/posting/centroid builds; memory
+    # stays bounded because per-task key count is shuffle-partitioned
+    # (size spark.sql.shuffle.partitions to the data, not this knob).
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "1000000",
 }
 
 
