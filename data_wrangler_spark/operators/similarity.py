@@ -250,50 +250,92 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs similarity join (cosine ≥ 0.35, reported at
-    1e-6 precision). The pair-generation is a cheap id theta-join;
-    vectors re-attach via broadcast equi-joins; the 2M dot products
-    run Arrow-vectorized in numpy (see make_dot_udf for why codegen
-    loses here); norms are computed once per vector JVM-side. The n²
-    pair space is the reason the LSH/blocked variants exist — this is
-    the correctness baseline."""
+    1e-6 precision) as a DISTRIBUTED BLOCK-PAIR GEMM. Vectors hash
+    into B blocks; every unordered vector pair {x, y} belongs to
+    exactly one unordered block pair {blk(x), blk(y)}, so scoring the
+    B(B+1)/2 block pairs covers each pair exactly once — exactness
+    without enumerating n² rows through a shuffle and WITHOUT ever
+    materializing the matrix on the driver (the previous plan's
+    toPandas() broadcast was a driver OOM at corpus scale). Each
+    block-pair task runs one numpy GEMM over two Arrow-shipped block
+    matrices (see make_dot_udf for why per-pair codegen loses).
+
+    Scale: replication factor is (B+1)/2 block matrices per node of
+    work — B grows as n·d·8/executor-mem so each task's two blocks
+    fit comfortably; work distributes across B²/2 independent tasks.
+    The n² dot-product count is intrinsic to the exact semantics; the
+    LSH/IVF variants are the sub-quadratic path."""
     import numpy as np
     import pandas as pd
 
     raw = load_table(spark, sf_dir, "embeddings")
-    # Broadcast the embedding matrix (n×d float64 — 1 MB at sf0.1) and
-    # run blocked GEMM over distributed id-pairs: the Arrow traffic is
-    # 16 bytes/pair instead of 2×d×8 — measured 15.4s → ~2s at sf0.1.
-    # At corpus scale the broadcast side is an LSH/cluster block, not
-    # the full matrix (same plan shape as q_dedup_embed's blocking).
-    emb_pdf = raw.select("vec_id", "embedding").toPandas()
-    mat = np.vstack(emb_pdf["embedding"].to_numpy()).astype(np.float64)
-    id_arr = emb_pdf["vec_id"].to_numpy()
-    bc = spark.sparkContext.broadcast((id_arr, mat))
-
-    ids = raw.select("vec_id")
-    pairs = ids.select(F.col("vec_id").alias("vec_a")).join(
-        ids.select(F.col("vec_id").alias("vec_b")), F.col("vec_a") < F.col("vec_b")
+    n_vecs = raw.count()
+    # each block ~n/B vectors: small enough that two block matrices
+    # fit in a task, big enough that the GEMM amortizes — and B²/2
+    # tasks must cover the cluster (B=10 → 55 tasks already does)
+    n_blocks = max(4, (n_vecs + 511) // 512)
+    e = raw.select(
+        "vec_id",
+        to_double_array("embedding").alias("e"),
+        F.pmod("vec_id", F.lit(n_blocks)).alias("blk"),
+    )
+    # block layout: aligned id array + row-major flattened matrix —
+    # flat primitive arrays move through Arrow far faster than
+    # list-of-struct-of-list
+    blocks = (
+        e.groupBy("blk")
+        .agg(F.collect_list(F.struct("vec_id", "e")).alias("rows"))
+        .select(
+            "blk",
+            F.transform("rows", lambda r: r["vec_id"]).alias("ids"),
+            F.flatten(F.transform("rows", lambda r: r["e"])).alias("flat"),
+        )
+    )
+    bp = blocks.select(
+        F.col("blk").alias("ba"), F.col("ids").alias("ids_a"), F.col("flat").alias("flat_a")
+    ).join(
+        blocks.select(
+            F.col("blk").alias("bb"), F.col("ids").alias("ids_b"), F.col("flat").alias("flat_b")
+        ),
+        F.col("ba") <= F.col("bb"),
     )
 
-    def score(batches):
-        id_a, m = bc.value
-        idx = {int(v): i for i, v in enumerate(id_a)}
-        nrm = np.sqrt(np.einsum("ij,ij->i", m, m))
+    def gemm(batches):
         for pdf in batches:
-            ia = pdf["vec_a"].map(idx).to_numpy()
-            ib = pdf["vec_b"].map(idx).to_numpy()
-            cos = np.einsum("ij,ij->i", m[ia], m[ib]) / (nrm[ia] * nrm[ib])
-            cos = np.floor(cos * 1_000_000 + 0.5) / 1_000_000
-            keep = cos >= 0.35
-            yield pd.DataFrame(
-                {
-                    "vec_a": pdf["vec_a"][keep],
-                    "vec_b": pdf["vec_b"][keep],
-                    "cos_sim": cos[keep],
-                }
-            )
+            out_a, out_b, out_c = [], [], []
+            for ids_a, flat_a, ids_b, flat_b, same in zip(
+                pdf["ids_a"], pdf["flat_a"], pdf["ids_b"], pdf["flat_b"],
+                pdf["ba"] == pdf["bb"],
+            ):
+                ids_a = np.asarray(ids_a, dtype=np.int64)
+                ids_b = np.asarray(ids_b, dtype=np.int64)
+                ma = np.asarray(flat_a, dtype=np.float64).reshape(len(ids_a), -1)
+                mb = np.asarray(flat_b, dtype=np.float64).reshape(len(ids_b), -1)
+                na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
+                nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
+                cos = (ma @ mb.T) / np.outer(na, nb)
+                cos = np.floor(cos * 1_000_000 + 0.5) / 1_000_000
+                # vec_a < vec_b exactly once: same-block upper triangle
+                # by id; cross-block all cells, ordered by id
+                lo = np.minimum.outer(ids_a, ids_b)
+                hi = np.maximum.outer(ids_a, ids_b)
+                keep = (cos >= 0.35) & (lo < hi)
+                if same:
+                    keep &= np.greater.outer(ids_b, ids_a)
+                ii, jj = np.nonzero(keep)
+                out_a.append(lo[ii, jj])
+                out_b.append(hi[ii, jj])
+                out_c.append(cos[ii, jj])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.concatenate(out_a),
+                        "vec_b": np.concatenate(out_b),
+                        "cos_sim": np.concatenate(out_c),
+                    }
+                )
 
-    return pairs.mapInPandas(score, "vec_a long, vec_b long, cos_sim double")
+    return bp.mapInPandas(gemm, "vec_a long, vec_b long, cos_sim double")
 
 
 _IVF_SCRATCH = "/root/repo/.scratch/ivf"
