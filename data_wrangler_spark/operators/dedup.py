@@ -308,13 +308,24 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+JACCARD_DF_CAP = 256  # stop-shingle document-frequency cap
+
+
 @register(
     "q_dedup_jaccard",
     oracle=f"""
-    WITH sh AS (
+    WITH sh0 AS (
       SELECT doc_id, {sql_shingles_of('w', 3)} AS shingles
       FROM (SELECT doc_id, {sql_words('text')} AS w FROM documents)),
-    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    ex0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh0),
+    hot AS (
+      SELECT shingle FROM (
+        SELECT shingle, COUNT(*) AS df FROM ex0 GROUP BY 1)
+      WHERE df > {JACCARD_DF_CAP}),
+    ex AS (SELECT doc_id, shingle FROM ex0
+           WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+              FROM ex GROUP BY 1),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(COUNT(*) AS BIGINT) AS n_inter
@@ -322,37 +333,59 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2)
     SELECT i.doc_a, i.doc_b,
            CAST(i.n_inter AS DOUBLE)
-             / (len(sa.shingles) + len(sb.shingles) - i.n_inter) AS jaccard
+             / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
     FROM inter i
-    JOIN sh sa ON sa.doc_id = i.doc_a
-    JOIN sh sb ON sb.doc_id = i.doc_b
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
     WHERE CAST(i.n_inter AS DOUBLE)
-            / (len(sa.shingles) + len(sb.shingles) - i.n_inter) >= 0.05
+            / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.05
     """,
     tags=("llm", "dedup"),
 )
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard pairs ≥ 0.05: explode distinct shingles,
-    self-equi-join on shingle (the blocking — only docs sharing a
-    shingle are compared), count intersections, |A∪B| by
-    inclusion-exclusion. This is the verify stage of MinHash pipelines
-    run standalone; the shingle join is an equi-shuffle, never a
-    cross-join."""
+    """Exact n-gram Jaccard pairs ≥ 0.05 over the INFORMATIVE shingle
+    universe: shingles whose document frequency exceeds
+    JACCARD_DF_CAP are dropped (from intersections AND set sizes, in
+    both engines) before the self-equi-join on shingle. Without the
+    cap one stop-shingle shared by k docs contributes k²/2 join rows
+    — the quadratic hot-key path that kills this plan on skewed
+    corpora (the prefix variant attacks the same problem with SSJoin
+    prefix filtering). A df cap is the standard corpus-dedup guard:
+    near-duplicate signal lives in rare shingles, and the cap bounds
+    any shingle's join fan-out at CAP². At the fixture SFs the
+    observed max df (≤ ~25) is far below the cap, so results are
+    bit-identical to the uncapped join; tests pin the hot-shingle
+    behavior explicitly. The hot set is ≤ |postings|/CAP entries by
+    construction — always broadcastable."""
     from pyspark import StorageLevel
 
     from data_wrangler_spark.functions.text import words
 
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", words("text").alias("w")).select(
+    sh0 = d.select("doc_id", words("text").alias("w")).select(
         "doc_id", shingles_from_words(F.col("w"), 3).alias("shingles")
     )
     # Materialize the shingle arrays once: Generate (explode) inlines
     # its child expression into the codegen'd emit loop, re-running
     # the whole shingle transform PER ELEMENT (~50×; measured 16s vs
-    # 0.3s at sf0.1), and the table feeds three consumers (two join
-    # sides + sizes). ~2 MB per 5k docs; at corpus scale this is a
-    # checkpoint to storage instead.
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    # 0.3s at sf0.1), and the table feeds the df-cap scan plus three
+    # downstream consumers (two join sides + sizes). ~2 MB per 5k
+    # docs; at corpus scale this is a checkpoint to storage instead.
+    sh0 = sh0.persist(StorageLevel.MEMORY_AND_DISK)
+    hot = (
+        sh0.select(F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > JACCARD_DF_CAP)
+        .agg(F.collect_list("shingle").alias("hot_arr"))
+    )
+    # subtract the hot set map-side (array_except keeps sizes a scan-
+    # side expression); hot is one row, ≤ |postings|/CAP strings
+    sh = (
+        sh0.crossJoin(F.broadcast(hot))
+        .select("doc_id", F.array_except("shingles", "hot_arr").alias("shingles"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     a = ex.select(F.col("doc_id").alias("doc_a"), "shingle")

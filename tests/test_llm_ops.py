@@ -288,3 +288,29 @@ def test_bpe_merges_pick_stage_maxima(spark, sf_dir):
         assert rs[0].chosen == (s < BPE_ROUNDS)
     # the round-1 merge symbol participates in round-2 pair counts
     assert any(BPE_SYMBOLS[0] in r.pair for r in stages[1] + stages[2])
+
+
+def test_jaccard_df_cap_drops_hot_shingle(spark, tmp_path):
+    """A stop-shingle shared by > JACCARD_DF_CAP docs must not create
+    pairs (nor count toward set sizes), while rare-shingle overlap
+    still does — the guard against the quadratic hot-key join."""
+    from data_wrangler_spark.operators.dedup import JACCARD_DF_CAP
+
+    n_hot = JACCARD_DF_CAP + 20
+    rows = [
+        # docs sharing ONLY the hot shingle "aaa bbb ccc"
+        (i, f"aaa bbb ccc uq{i}x uq{i}y uq{i}z")
+        for i in range(n_hot)
+    ] + [
+        # one genuine near-dup pair via the rare shingle "xxx yyy zzz"
+        (90001, "xxx yyy zzz qqa"),
+        (90002, "xxx yyy zzz qqb"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in REGISTRY["q_dedup_jaccard"].run(spark, str(tmp_path)).collect()
+    }
+    # hot-shingle-only docs produce no pairs at all
+    assert got == {(90001, 90002): pytest.approx(1 / 3)}
