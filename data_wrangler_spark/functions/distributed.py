@@ -1,0 +1,105 @@
+"""Two-phase replacements for single-partition global windows.
+
+An unpartitioned ``Window.orderBy(...)`` plans as one-task WindowExec:
+every row funnels through a single sort — fine at sf0.1, a straggler
+at 100 TB. The classic distributed form is TWO-PHASE:
+
+1. ``repartitionByRange`` on the ordering key (range partitioner, so
+   partition i holds strictly-lower keys than partition i+1);
+2. one tiny job collects per-partition counts/sums (K scalars — the
+   partition count, never the data);
+3. cumulative offsets broadcast back; a PARTITION-LOCAL window adds
+   the offset to the local rank/sum.
+
+Every ordering used here carries a full pk tiebreak, so keys are
+unique and the global position is well defined regardless of where
+range boundaries fall. The K-row collect is bounded by the shuffle
+partition count — this is not a data collect.
+
+ntile is then pure arithmetic on (position, n): with q = n div k and
+r = n mod k, the first r buckets get q+1 rows — identical to the
+window function's positional definition, so oracles keep plain NTILE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = ["with_global_position", "with_global_running_sum", "ntile_from_position"]
+
+
+def _range_partitioned(df: DataFrame, order_by: list[Column | str]):
+    spark = df.sparkSession
+    try:
+        k = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        k = 32
+    rp = (
+        df.repartitionByRange(k, *order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    return spark, k, rp
+
+
+def with_global_position(
+    df: DataFrame, order_by: list[Column | str], pos_col: str = "_pos"
+) -> tuple[DataFrame, int]:
+    """df + 0-based global position under ``order_by`` (which must be
+    a total order — include a pk tiebreak), computed without a global
+    sort. Returns (df_with_pos, n_rows)."""
+    spark, k, rp = _range_partitioned(df, order_by)
+    counts = {r["_pid"]: r["c"] for r in rp.groupBy("_pid").agg(F.count("*").alias("c")).collect()}
+    offs, acc = [], 0
+    for p in range(k):
+        offs.append((p, acc))
+        acc += counts.get(p, 0)
+    off_df = spark.createDataFrame(offs, "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*order_by)
+    out = (
+        rp.join(F.broadcast(off_df), "_pid")
+        .withColumn(pos_col, F.row_number().over(w) - 1 + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+    return out, acc
+
+
+def with_global_running_sum(
+    df: DataFrame, order_by: list[Column | str], val_col: str, out_col: str
+) -> DataFrame:
+    """Running sum of an integral column under a total order, two-
+    phase: per-partition sums roll into broadcast offsets, the local
+    window adds them. (Integral values only — offsets round-trip
+    through driver Python.)"""
+    spark, k, rp = _range_partitioned(df, order_by)
+    sums = {
+        r["_pid"]: r["s"]
+        for r in rp.groupBy("_pid").agg(F.sum(val_col).alias("s")).collect()
+    }
+    offs, acc = [], 0
+    for p in range(k):
+        offs.append((p, acc))
+        acc += int(sums.get(p) or 0)
+    off_df = spark.createDataFrame(offs, "_pid int, _off long")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rp.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, F.sum(val_col).over(w) + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+
+
+def ntile_from_position(pos: Column, n: int, k: int) -> Column:
+    """NTILE(k) as arithmetic on a 0-based global position over n
+    rows: first n%k buckets take n//k+1 rows, the rest n//k —
+    byte-identical to the window function's positional assignment.
+    All operands < 2^53, so the floor-of-double division is exact."""
+    q, r = divmod(n, k)
+    head = r * (q + 1)
+    big = F.floor(pos / (q + 1))
+    small = r + F.floor((pos - head) / q) if q else F.lit(0)
+    return F.when(pos < head, big).otherwise(small).cast("int") + 1

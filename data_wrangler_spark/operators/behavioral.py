@@ -321,17 +321,21 @@ def q_cum_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     anyway; the standard reformulation attributes each user to their
     first-seen day and takes a running sum of the per-day counts.
     Two key-bounded shuffles (user_id, then day); the running sum
-    runs over |days| rows only. All-integer arithmetic — exact at
-    any scale."""
+    runs over |days| rows only, TWO-PHASE (range partition →
+    per-partition sums as broadcast offsets → partition-local prefix
+    sum, functions/distributed.py) so even an unbounded time axis
+    never funnels through a one-task sort. All-integer arithmetic —
+    exact at any scale."""
+    from data_wrangler_spark.functions.distributed import with_global_running_sum
+
     ev = load_table(spark, sf_dir, "events")
     first_seen = ev.groupBy("user_id").agg(
         F.date_trunc("day", F.min("ts")).cast("date").alias("day")
     )
     per_day = first_seen.groupBy("day").agg(F.count("*").alias("new_users"))
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return per_day.select(
-        "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
-    )
+    return with_global_running_sum(
+        per_day, [F.col("day")], "new_users", "cum_users"
+    ).select("day", "new_users", "cum_users")
 
 
 @register(
@@ -355,12 +359,14 @@ def q_cum_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: recency / frequency / monetary quintiles per
     customer (1 = best in each dimension: most recent, most orders,
-    highest spend). One shuffle to the per-customer aggregate; the
-    three NTILEs run over that |customers|-row frame with explicit
-    custkey tiebreaks so quintile boundaries are engine-identical.
-    The recency anchor is the data's own max date (broadcast scalar
-    subquery, no collect). At 100 TB the quintiles become
-    approx-percentile cut points applied as expressions."""
+    highest spend). One shuffle to the per-customer aggregate; each
+    NTILE runs TWO-PHASE (range partition → broadcast offsets →
+    partition-local rank + positional bucket arithmetic,
+    functions/distributed.py) with explicit custkey tiebreaks, so
+    quintile boundaries are engine-identical and no dimension ever
+    funnels through a one-task global sort. The recency anchor is
+    the data's own max date (broadcast scalar subquery, no
+    collect)."""
     o = load_table(spark, sf_dir, "orders")
     anchor = o.agg(F.max("o_orderdate").alias("d1"))
     base = (
@@ -378,17 +384,27 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    wr = Window.orderBy("recency_days", "o_custkey")
-    wf = Window.orderBy(F.col("frequency").desc(), "o_custkey")
-    wm = Window.orderBy(F.col("monetary").desc(), "o_custkey")
-    return base.select(
-        "o_custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(5).over(wr).cast("int").alias("r_score"),
-        F.ntile(5).over(wf).cast("int").alias("f_score"),
-        F.ntile(5).over(wm).cast("int").alias("m_score"),
+    from data_wrangler_spark.functions.distributed import (
+        ntile_from_position,
+        with_global_position,
+    )
+
+    base = base.persist()
+    orderings = {
+        "r_score": [F.col("recency_days"), F.col("o_custkey")],
+        "f_score": [F.col("frequency").desc(), F.col("o_custkey")],
+        "m_score": [F.col("monetary").desc(), F.col("o_custkey")],
+    }
+    out = base
+    for score, ob in orderings.items():
+        pos, n = with_global_position(base, ob, pos_col="_p")
+        scored = pos.select(
+            "o_custkey", ntile_from_position(F.col("_p"), n, 5).alias(score)
+        )
+        out = out.join(scored, "o_custkey")
+    return out.select(
+        "o_custkey", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
     )
 
 

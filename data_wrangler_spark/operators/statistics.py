@@ -146,15 +146,17 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank by (spend, custkey), then G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx)
     from two exact decimal moments — the double division at the end
     is the only inexact step and runs on identical operands in both
-    engines. The global row_number is a single-partition sort here;
-    at 100 TB it becomes range-partitioned sort + per-partition
-    prefix counts (same algebra)."""
+    engines. The global rank runs TWO-PHASE (range partition →
+    per-partition prefix counts as broadcast offsets, functions/
+    distributed.py) — same algebra, no one-task sort."""
+    from data_wrangler_spark.functions.distributed import with_global_position
+
     o = load_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(22,6)")).alias("x_dec")
     )
-    w = Window.orderBy("x_dec", "o_custkey")
-    ranked = spend.withColumn("i", F.row_number().over(w))
+    pos, _n = with_global_position(spend, [F.col("x_dec"), F.col("o_custkey")])
+    ranked = pos.withColumn("i", F.col("_pos") + 1)
     moments = ranked.agg(
         F.count("*").alias("n"),
         F.sum(F.col("i") * F.col("x_dec")).cast("decimal(38,2)").cast("double").alias("s1"),
@@ -277,15 +279,21 @@ def q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     decile first), each decile's share of total revenue — the 80/20
     audit behind data-mix and account decisions. Exact decimal sums
     end-to-end; the only doubles are the final share divisions on
-    identical operands. The global NTILE is a single-partition sort
-    over the *aggregated* per-customer frame (|customers| rows), not
-    the fact table; at 100 TB pre-bin by range statistics instead."""
+    identical operands. The decile assignment runs TWO-PHASE over the
+    *aggregated* per-customer frame (range partition → broadcast
+    offsets → positional bucket arithmetic, functions/distributed.py)
+    — byte-identical to the oracle's NTILE, no one-task sort."""
+    from data_wrangler_spark.functions.distributed import (
+        ntile_from_position,
+        with_global_position,
+    )
+
     o = load_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(22,6)")).alias("x_dec")
     )
-    w = Window.orderBy(F.col("x_dec").desc(), "o_custkey")
-    tiled = spend.withColumn("decile", F.ntile(10).over(w).cast("int"))
+    pos, n = with_global_position(spend, [F.col("x_dec").desc(), F.col("o_custkey")])
+    tiled = pos.withColumn("decile", ntile_from_position(F.col("_pos"), n, 10))
     g = tiled.groupBy("decile").agg(
         F.count("*").alias("n_customers"),
         F.sum("x_dec").cast("decimal(38,2)").alias("rev_dec"),

@@ -145,14 +145,22 @@ def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile(4) spend quartiles over a total order (pk tiebreaker —
     ntile assigns by position, so without it the bucket of tied rows
-    is nondeterministic). Unpartitioned window = single-task sort;
-    the scale form partitions by a coarse key first or uses
-    percentile-based bucketing."""
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return _orders(spark, sf_dir).select(
+    is nondeterministic). Computed TWO-PHASE (range partition →
+    per-partition offsets → partition-local rank + arithmetic bucket,
+    functions/distributed.py) so no single-task global sort appears
+    in the plan; the positional bucket formula is byte-identical to
+    the oracle's NTILE."""
+    from data_wrangler_spark.functions.distributed import (
+        ntile_from_position,
+        with_global_position,
+    )
+
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    pos, n = with_global_position(o, [F.col("o_totalprice"), F.col("o_orderkey")])
+    return pos.select(
         "o_orderkey",
         "o_totalprice",
-        F.ntile(4).over(w).alias("quartile"),
+        ntile_from_position(F.col("_pos"), n, 4).alias("quartile"),
     )
 
 
