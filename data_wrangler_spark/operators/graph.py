@@ -73,7 +73,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
 
-    for _ in range(PR_ITERATIONS):
+    for it in range(PR_ITERATIONS):
         contribs = (
             edges.join(F.broadcast(out_deg), "src")
             .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -97,11 +97,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("dm") / n_nodes)
                 ).alias("rank"),
             )
-            # truncate lineage: ranks(i) feeds both the contribution
-            # join and the dangling aggregate of iteration i+1 — without
-            # a checkpoint the logical plan doubles per iteration
-            .localCheckpoint()
         )
+        # truncate lineage EVERY iteration: ranks(i) feeds the
+        # contribution join, the dangling aggregate, and the final
+        # join of iteration i+1 — 3 references, so an uncheckpointed
+        # step re-executes 3x inside the next one (measured: every-
+        # other-iteration checkpointing is a net 2x LOSS).
+        ranks = ranks.localCheckpoint()
 
     return ranks.select("node", F.col("rank").alias("pagerank"))
 
@@ -336,7 +338,7 @@ def q_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     ranks = nodes.select("node", F.lit(S // n).cast("long").alias("r"))
 
-    for _ in range(PR_ITERATIONS):
+    for it in range(PR_ITERATIONS):
         inflow = (
             edges.join(F.broadcast(deg), "src")
             .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -357,8 +359,9 @@ def q_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                     " div 100 AS BIGINT)"
                 ).alias("r"),
             )
-            .localCheckpoint()
         )
+        # per-iteration eager checkpoint (see q_pagerank)
+        ranks = ranks.localCheckpoint()
 
     return ranks.select(
         "node",

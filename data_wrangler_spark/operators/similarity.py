@@ -15,6 +15,9 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from data_wrangler_spark.catalog import load_table
@@ -149,27 +152,30 @@ def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     qid, q = _query_vec(spark, sf_dir)
     ws = _plane_weights(dim)
 
-    def plane_proj(vec_col, p: int):
-        # unrolled literal-weight sum — same left-assoc order as the
-        # oracle's term list (2000 rows, so interpreted eval is fine)
-        expr = F.element_at(vec_col, 1) * F.lit(float(ws[p][0]))
-        for i in range(1, dim):
-            expr = expr + F.element_at(vec_col, i + 1) * F.lit(float(ws[p][i]))
-        return expr
+    # One Arrow-vectorized UDF instead of a 16×64-term unrolled
+    # literal tree (the unrolled form made Catalyst analyze+codegen a
+    # ~2000-node expression: 15+ s of pure compile time at ANY data
+    # size). np.cumsum is sequential, so the per-plane projection sums
+    # in exactly the oracle's left-associative term order — bit-equal
+    # signs, including the >0 threshold.
+    from pyspark.sql.pandas.functions import pandas_udf
 
-    def signature(vec_col):
-        bits = [
-            F.when(plane_proj(vec_col, p) > 0, F.lit(1)).otherwise(F.lit(0))
-            for p in range(N_PLANES)
-        ]
-        # 4 bands × 4 bits
-        band_vals = []
-        for b in range(4):
-            v = F.lit(0)
-            for r in range(4):
-                v = v + bits[b * 4 + r] * (1 << r)
-            band_vals.append(v)
-        return F.array(*band_vals)
+    w_mat = np.array(ws, dtype=np.float64)  # N_PLANES × dim
+
+    @pandas_udf("array<int>")
+    def signature(col: pd.Series) -> pd.Series:
+        mat = np.vstack(col.to_numpy())  # n × dim
+        prods = mat[:, None, :] * w_mat[None, :, :]  # n × planes × dim
+        projs = np.cumsum(prods, axis=2)[:, :, -1]
+        bits = (projs > 0).astype(np.int64)  # n × planes
+        bands = np.stack(
+            [
+                sum(bits[:, b * 4 + r] << r for r in range(4))
+                for b in range(N_PLANES // 4)
+            ],
+            axis=1,
+        )
+        return pd.Series([row.astype(np.int32).tolist() for row in bands])
 
     sig = e.withColumn("sig", signature(F.col("e")))
     qsig = (

@@ -17,10 +17,12 @@ express:
   exactly like the reference's whole-query delegation — but
   composable with local DataFrame post-processing.
 
-No RDBMS exists in this container, so these builders are validated
-by construction (option-dict unit tests + reader assembly) rather
-than a live round trip; the option surface is the public
-`spark.read.jdbc` contract.
+No networked RDBMS exists in this container, but the embedded Derby
+engine in Spark's own jars gives the builders a LIVE end-to-end
+check: tests/test_jdbc.py seeds a Derby database over plain
+java.sql and reads it back through `read_jdbc` /
+`read_jdbc_query` — real driver, real SQL, real result cursor. The
+pg/mysql adapters differ only in URL string.
 
 Scale notes: `numPartitions` × `fetchsize` is the ingest
 parallelism knob — size it to the source's connection budget, not
@@ -36,10 +38,15 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-#: adapter name (reference config.json `adapter`) → JDBC URL scheme
+#: adapter name (reference config.json `adapter`) → JDBC URL scheme.
+#: `derby` is the in-process embedded backend (`database` is a
+#: filesystem path, host/port unused) — it ships in Spark's own jars,
+#: so federation integration-tests run a REAL JDBC round trip with no
+#: external server; the pg/mysql adapters differ only in URL.
 URL_TEMPLATES = {
     "pg": "jdbc:postgresql://{host}:{port}/{database}",
     "mysql": "jdbc:mysql://{host}:{port}/{database}",
+    "derby": "jdbc:derby:{database}",
 }
 
 DEFAULT_PORTS = {"pg": 5432, "mysql": 3306}
@@ -84,7 +91,7 @@ def jdbc_options(
     _check_ident(table, "table")
     opts = {
         "url": URL_TEMPLATES[adapter].format(
-            host=host, port=port or DEFAULT_PORTS[adapter], database=database
+            host=host, port=port or DEFAULT_PORTS.get(adapter, 0), database=database
         ),
         "dbtable": table,
         "user": user,
@@ -143,7 +150,7 @@ def read_jdbc_query(
             f"unsupported adapter {adapter!r} (have: {sorted(URL_TEMPLATES)})"
         )
     url = URL_TEMPLATES[adapter].format(
-        host=host, port=port or DEFAULT_PORTS[adapter], database=database
+        host=host, port=port or DEFAULT_PORTS.get(adapter, 0), database=database
     )
     return (
         spark.read.format("jdbc")

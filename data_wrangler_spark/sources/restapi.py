@@ -14,12 +14,14 @@ joinable, and (via `pushFilters`, Spark ≥4.1) *prunable*: predicates
 on the paging key skip whole pages before any request is issued, the
 source-side analog of parquet partition pruning.
 
-Transport is stubbed deterministically (`fetch_page`): this container
-has no network, so the "endpoint" computes the records a paged JSON
-API would return. The stub is the ONLY fake part — schema, options,
-partition planning, filter pushdown, and the per-partition iterator
-protocol are the real production shapes; swapping `fetch_page` for an
-`urllib`/`requests` call is the only change a live deployment needs.
+Transport: `fetch_page` issues a REAL urllib GET for http(s)
+endpoints — tests/test_sources.py drives it against an in-process
+`http.server` and asserts page pruning on the server's access log —
+and falls back to a deterministic in-process computation for the
+`/ffi/...` pseudo-endpoints so the DuckDB oracle can replay the
+payload arithmetic. Schema, options, partition planning, filter
+pushdown, and the per-partition iterator protocol are identical on
+both paths.
 """
 
 from __future__ import annotations
@@ -44,12 +46,23 @@ REST_SCHEMA = "id bigint, name string, value double"
 
 
 def fetch_page(endpoint: str, page: int, perpage: int) -> list[dict]:
-    """Deterministic stand-in for `GET {endpoint}?page={page}`.
+    """`GET {endpoint}?page={page}&perpage={perpage}`.
 
-    Serves records with arithmetic derivable in any SQL engine (the
-    oracle replays it over `range()`): id is the global row number,
-    value = ((id*37) mod 1000) / 4 — exact in binary floating point.
+    http(s) endpoints hit the network for real (each executor's
+    partition fetches its own page — the whole point of page-per-
+    partition planning). Non-URL endpoints (`/ffi/...`) compute the
+    records a paged JSON API would return, with arithmetic derivable
+    in any SQL engine so the DuckDB oracle can replay it over
+    `range()`: id is the global row number, value =
+    ((id*37) mod 1000) / 4 — exact in binary floating point.
     """
+    if endpoint.startswith(("http://", "https://")):
+        import json
+        import urllib.request
+
+        url = f"{endpoint}?page={page}&perpage={perpage}"
+        with urllib.request.urlopen(url, timeout=30) as resp:
+            return json.loads(resp.read().decode("utf-8"))
     lo = page * perpage
     return [
         {"id": i, "name": f"item_{i}", "value": float((i * 37) % 1000) / 4.0}

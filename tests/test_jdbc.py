@@ -103,3 +103,87 @@ def test_query_delegation_guards(spark):
             user="u",
             query="SELECT 1 AS one",
         )
+
+
+# ---------------------------------------------------------------------------
+# Live round trip against embedded Derby (ships in Spark's jars): the
+# federation path executes a REAL JDBC read — driver load, remote SQL,
+# partitioned scan, filter pushdown — with no external server.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def derby_db(spark, tmp_path_factory):
+    db = str(tmp_path_factory.mktemp("derby") / "feddb")
+    jvm = spark._jvm
+    con = jvm.java.sql.DriverManager.getConnection(f"jdbc:derby:{db};create=true")
+    st = con.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE remote_orders "
+        "(id INT PRIMARY KEY, amount DOUBLE, region VARCHAR(16))"
+    )
+    for i in range(1, 101):
+        st.executeUpdate(
+            f"INSERT INTO remote_orders VALUES ({i}, {i * 1.5}, "
+            f"'{'east' if i % 2 else 'west'}')"
+        )
+    st.close()
+    con.close()
+    return db
+
+
+def test_derby_live_table_read(spark, derby_db):
+    from data_wrangler_spark.sources.jdbc import read_jdbc
+
+    df = read_jdbc(
+        spark,
+        adapter="derby",
+        host="",
+        database=derby_db,
+        table="remote_orders",
+        user="",
+    )
+    assert df.count() == 100
+    got = {r["ID"] for r in df.select("ID").collect()}
+    assert got == set(range(1, 101))
+
+
+def test_derby_partitioned_read_and_pushdown(spark, derby_db):
+    from data_wrangler_spark.sources.jdbc import read_jdbc
+
+    df = read_jdbc(
+        spark,
+        adapter="derby",
+        host="",
+        database=derby_db,
+        table="remote_orders",
+        user="",
+        partition_column="id",
+        lower_bound=1,
+        upper_bound=101,
+        num_partitions=4,
+    )
+    assert df.rdd.getNumPartitions() == 4
+    flt = df.filter(df.AMOUNT > 120.0).select("ID", "AMOUNT")
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "AMOUNT" in plan  # filter ran remotely
+    assert flt.count() == 20  # amount = 1.5*id > 120 → id 81..100
+
+
+def test_derby_whole_query_delegation(spark, derby_db):
+    from data_wrangler_spark.sources.jdbc import read_jdbc_query
+
+    df = read_jdbc_query(
+        spark,
+        adapter="derby",
+        host="",
+        database=derby_db,
+        query=(
+            "SELECT region, COUNT(*) AS n, SUM(amount) AS total "
+            "FROM remote_orders GROUP BY region"
+        ),
+        user="",
+    )
+    rows = {r["REGION"]: (r["N"], r["TOTAL"]) for r in df.collect()}
+    assert rows["east"][0] == 50 and rows["west"][0] == 50
+    assert rows["west"][1] == sum(i * 1.5 for i in range(2, 101, 2))

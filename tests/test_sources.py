@@ -135,3 +135,66 @@ def test_restapi_end_to_end(spark, sf_dir):
     assert df.count() == 1500
     row = df.filter(F.col("id") == 500).first()
     assert row.name == "item_500" and row.value == (500 * 37 % 1000) / 4.0
+
+
+def test_restapi_true_http_roundtrip_and_pruning(spark):
+    """Drive the REST DataSource over a REAL socket: an in-process
+    http.server serves paged JSON, executors fetch pages over HTTP,
+    and the server's access log proves pushFilters pruned the pages
+    outside the id range before any request was issued."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    seen_pages = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            q = parse_qs(urlparse(self.path).query)
+            page = int(q["page"][0])
+            perpage = int(q["perpage"][0])
+            seen_pages.append(page)
+            lo = page * perpage
+            body = json.dumps(
+                [
+                    {
+                        "id": i,
+                        "name": f"item_{i}",
+                        "value": float((i * 37) % 1000) / 4.0,
+                    }
+                    for i in range(lo, lo + perpage)
+                ]
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        from data_wrangler_spark.sources.restapi import RestApiDataSource
+
+        spark.dataSource.register(RestApiDataSource)
+        df = (
+            spark.read.format("restapi")
+            .option("endpoint", f"http://127.0.0.1:{port}/api")
+            .option("pages", 8)
+            .option("perpage", 250)
+            .load()
+        )
+        flt = df.filter(df.id >= 1500)
+        rows = flt.collect()
+        assert len(rows) == 500  # ids 1500..1999
+        assert {r.id for r in rows} == set(range(1500, 2000))
+        # pruning: only pages 6 and 7 ever reached the server
+        assert set(seen_pages) == {6, 7}
+    finally:
+        srv.shutdown()
