@@ -293,8 +293,10 @@ def q_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def kmeans_assign(v: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid assignment in BIGINT: (vec_id, cl, dist) with
-    (dist, cl) tiebreak — the Spark mirror of the oracle's km_asg."""
-    asg_w = Window.partitionBy("vec_id").orderBy("dist", "cl")
+    (dist, cl) tiebreak — the Spark mirror of the oracle's km_asg.
+    The argmin is a lexicographic struct-MIN aggregate, not a
+    per-vector rank window: it partial-aggregates map-side (K rows
+    per vector collapse before the shuffle) and needs no sort."""
     d = (
         v.join(F.broadcast(centroids), "dim")
         .groupBy("vec_id", "cl")
@@ -302,7 +304,11 @@ def kmeans_assign(v: DataFrame, centroids: DataFrame) -> DataFrame:
             F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("dist")
         )
     )
-    return d.withColumn("rn", F.row_number().over(asg_w)).filter(F.col("rn") == 1)
+    return (
+        d.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cl")).alias("m"))
+        .select("vec_id", F.col("m.cl").alias("cl"), F.col("m.dist").alias("dist"))
+    )
 
 
 def kmeans_fit(spark: SparkSession, sf_dir: str):

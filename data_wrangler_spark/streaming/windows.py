@@ -163,6 +163,18 @@ def _run_stream(stream_df, query_name: str, output_mode: str = "append") -> Data
     """Drive a bounded stream to completion synchronously and return
     the sink contents as a batch DataFrame."""
     spark = stream_df.sparkSession
+    # The ntz→timestamp→ntz round trip in every streaming builder is a
+    # wall-clock identity ONLY at session timeZone=UTC. The engine pins
+    # it (session.RUNTIME_CONFS), but apply_runtime_confs is best-
+    # effort — on a session whose conf is locked elsewhere, window
+    # bounds would silently shift vs the oracle. Fail loudly instead.
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise RuntimeError(
+            f"streaming operators require spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}): timestamp_ntz round-trips would shift window "
+            f"bounds; unlock the conf or set it to UTC before running"
+        )
     sink = f"{query_name}_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(SCRATCH, "ckpt", sink)
     q = (
