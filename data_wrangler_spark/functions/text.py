@@ -35,6 +35,18 @@ def shingles_from_words(wcol: Column, n: int = 3) -> Column:
     )
 
 
+def bigrams_from_words(wcol: Column) -> Column:
+    """Word bigram list WITH multiplicity (unlike shingles_from_words,
+    which dedups) — the operand of repetition metrics and n-gram LM
+    counts. Empty array below 2 words (Spark's sequence() would
+    otherwise generate a descending range)."""
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size(wcol) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(wcol, i), F.element_at(wcol, i + 1)),
+    )
+    return F.when(F.size(wcol) < 2, F.array().cast("array<string>")).otherwise(gram)
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Shingles straight from a text column — convenience for tests
     and single-use expressions. Hot paths should bind words() to a
@@ -53,6 +65,12 @@ def occurrence_count(col: Column | str, needle: str) -> Column:
 
 def sql_words(expr: str) -> str:
     return f"string_split_regex(trim({expr}), '\\s+')"
+
+
+def sql_bigrams_of(wvar: str) -> str:
+    """DuckDB mirror of bigrams_from_words (multiplicity kept).
+    range() stop is exclusive → i ∈ [1, len-1], so len<2 gives []."""
+    return f"list_transform(range(1, len({wvar})), i -> {wvar}[i] || ' ' || {wvar}[i+1])"
 
 
 def sql_shingles_of(wvar: str, n: int = 3) -> str:

@@ -1,0 +1,288 @@
+"""Additional LLM-training-pipeline operators: repetition audit,
+n-gram LM statistics, temperature-scaled mix weights, hard-negative
+mining.
+
+The reference gateway has no corpus tooling at all (its analytic
+surface is the SQL routes, SURVEY.md §2.2); these extend the engine's
+training-data family (dedup.py / text_analysis.py / pipeline_ops.py /
+similarity.py) with four shapes every large pretraining pipeline
+runs:
+
+- repetition signals gate low-quality docs (Gopher-style duplicate
+  n-gram fractions);
+- bigram LM statistics feed tokenizer/vocab decisions and contamination
+  heuristics;
+- temperature-scaled source weights are the standard multilingual /
+  multi-source mixing rule (weights ∝ n^α);
+- hard negatives (nearest neighbors with a DIFFERENT label) are the
+  fuel of contrastive embedding training.
+
+All four carry exact DuckDB oracles. Cross-engine exactness notes:
+integer counts divide as doubles on identical operands (exact);
+sqrt is IEEE-correctly-rounded in both engines, and temperature
+weights are micro-rounded to integers BEFORE the cross-source sum so
+no float summation order can surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from data_wrangler_spark.catalog import load_table
+from data_wrangler_spark.functions.text import (
+    bigrams_from_words,
+    sql_bigrams_of,
+    sql_words,
+    words,
+)
+from data_wrangler_spark.functions.vectors import (
+    cosine,
+    embedding_dim,
+    round6,
+    sql_cosine,
+    sql_round6,
+    to_double_array,
+)
+from data_wrangler_spark.registry import register
+
+REPETITION_DUP_FRAC = 0.2  # Gopher-style duplicate-bigram gate
+NGRAM_MIN_COUNT = 3  # LM table support floor
+MIX_BUDGET = 100_000  # documents to draw in the mixed sample
+HN_N_QUERIES = 5  # hard-negative mining: anchor count
+HN_K = 5  # negatives per anchor
+
+
+@register(
+    "q_text_repetition",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {sql_words('text')} AS w FROM documents),
+    g AS (SELECT doc_id, unnest({sql_bigrams_of('w')}) AS gram FROM w),
+    c AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c
+          FROM g GROUP BY 1, 2),
+    m AS (SELECT doc_id,
+                 CAST(SUM(c) AS BIGINT)   AS n_grams,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                 CAST(MAX(c) AS BIGINT)   AS max_count
+          FROM c GROUP BY 1)
+    SELECT doc_id, n_grams, n_distinct,
+           CAST(n_grams - n_distinct AS DOUBLE) / n_grams AS dup_frac,
+           CAST(max_count AS DOUBLE) / n_grams            AS top_frac,
+           (CAST(n_grams - n_distinct AS DOUBLE) / n_grams
+              > {REPETITION_DUP_FRAC})                    AS is_repetitive
+    FROM m
+    """,
+    tags=("llm", "text", "quality"),
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition audit: per document, the fraction of
+    word bigrams that are repeats (1 - distinct/total) and the mass
+    of the single most frequent bigram — the two signals that catch
+    boilerplate and looping text that length/stopword filters miss.
+    Pure counting: one (doc, gram) aggregate and one doc aggregate,
+    both partial-aggregated map-side; the double divisions run on
+    identical integer operands in both engines. Scale: state is one
+    row per distinct (doc, bigram) — sharded by doc id, never global;
+    docs shorter than 2 words have no bigrams and drop out in both
+    engines."""
+    from pyspark import StorageLevel
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words("text").alias("w")
+    )
+    # bind + persist the gram array before explode: Generate inlines
+    # its child per emitted row (see SCALE.md "measured lessons" #2)
+    g = d.select("doc_id", bigrams_from_words(F.col("w")).alias("grams")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    c = (
+        g.select("doc_id", F.explode("grams").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    m = c.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("max_count"),
+    )
+    dup = (F.col("n_grams") - F.col("n_distinct")).cast("double") / F.col("n_grams")
+    return m.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        dup.alias("dup_frac"),
+        (F.col("max_count").cast("double") / F.col("n_grams")).alias("top_frac"),
+        (dup > REPETITION_DUP_FRAC).alias("is_repetitive"),
+    )
+
+
+@register(
+    "q_ngram_lm",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {sql_words('text')} AS w FROM documents),
+    g AS (SELECT unnest({sql_bigrams_of('w')}) AS gram FROM w),
+    big AS (
+      SELECT string_split(gram, ' ')[1] AS w1,
+             string_split(gram, ' ')[2] AS w2,
+             CAST(COUNT(*) AS BIGINT) AS c12
+      FROM g GROUP BY 1, 2),
+    uni AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM big GROUP BY 1)
+    SELECT b.w1, b.w2, b.c12, u.c1,
+           CAST(floor(CAST(b.c12 AS DOUBLE) * 1000000 / u.c1) AS BIGINT)
+             AS p_micro
+    FROM big b JOIN uni u USING (w1)
+    WHERE b.c12 >= {NGRAM_MIN_COUNT}
+    """,
+    tags=("llm", "text"),
+)
+def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model table: count(w1,w2), the
+    continuation total count(w1,·), and the conditional probability
+    P(w2|w1) in exact micro-units (floor of a double division whose
+    operands are identical integers < 2^53 in both engines — no
+    rounding can diverge). The support floor keeps the emitted table
+    to grams worth storing. Scale: two aggregates and one join, all
+    keyed on w1 — the join reuses the bigram aggregate's hash
+    partitioning, and the unigram side is derived from the bigram
+    table (one pass over the corpus, not two)."""
+    from pyspark import StorageLevel
+
+    d = load_table(spark, sf_dir, "documents").select(words("text").alias("w"))
+    g = d.select(bigrams_from_words(F.col("w")).alias("grams")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    big = (
+        g.select(F.explode("grams").alias("gram"))
+        .select(
+            F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("gram"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    uni = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return (
+        big.filter(F.col("c12") >= NGRAM_MIN_COUNT)
+        .join(uni, "w1")
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            F.floor(F.col("c12").cast("double") * 1_000_000 / F.col("c1"))
+            .cast("long")
+            .alias("p_micro"),
+        )
+    )
+
+
+@register(
+    "q_mix_temperature",
+    oracle=f"""
+    WITH n AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1),
+    wt AS (
+      SELECT source, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000 + 0.5)
+                  AS BIGINT) AS w_micro
+      FROM n),
+    tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tw FROM wt)
+    SELECT source, n_docs, w_micro,
+           CAST(w_micro AS DOUBLE) / tot.tw AS share,
+           CAST(floor(CAST({MIX_BUDGET} AS DOUBLE) * w_micro / tot.tw)
+                AS BIGINT) AS target_docs
+    FROM wt, tot
+    """,
+    tags=("llm", "pipeline"),
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (weights ∝ n^α, the standard
+    multilingual/multi-source sampling rule; α = 1/2 here because
+    IEEE sqrt is correctly rounded in every engine, making even the
+    weights exactly checkable — a general α runs the same plan with
+    pow). Per-source weights are micro-rounded to INTEGERS before the
+    cross-source total, so no float summation order exists anywhere;
+    shares and target document counts divide identical operands.
+    Scale: one count per source + a 1-row broadcast total — the plan
+    is a scan-side aggregate regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    n = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    wt = n.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("w_micro"),
+    )
+    tot = wt.agg(F.sum("w_micro").alias("tw"))
+    return wt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "w_micro",
+        (F.col("w_micro").cast("double") / F.col("tw")).alias("share"),
+        F.floor(F.lit(float(MIX_BUDGET)) * F.col("w_micro") / F.col("tw"))
+        .cast("long")
+        .alias("target_docs"),
+    )
+
+
+@register(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings),
+    q AS (
+      SELECT vec_id AS query_id, label AS q_label, e AS qe
+      FROM base ORDER BY vec_id LIMIT {HN_N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, b.vec_id, b.label,
+             {sql_round6(sql_cosine('b.e', 'q.qe'))} AS cos_sim
+      FROM q JOIN base b ON b.label <> q.q_label),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+      FROM scored)
+    SELECT query_id, vec_id, label, cos_sim
+    FROM ranked WHERE rk <= {HN_K}
+    """,
+    tags=("llm", "embedding", "similarity"),
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (the first HN_N_QUERIES vectors), the HN_K most-similar vectors
+    carrying a DIFFERENT label — maximally confusing negatives. The
+    anchor set broadcasts (HN_N_QUERIES rows); the corpus scans once;
+    ranking is per-anchor (window PARTITIONED by query_id — K·n rows
+    split across anchors, no global sort). Cosines are 1e-6-rounded
+    identically in both engines before ranking, and the (cos, vec_id)
+    tiebreak makes the top-K deterministic. Scale: at corpus size the
+    per-anchor scan becomes the LSH/IVF candidate path
+    (q_sim_search_lsh) with the label-mismatch filter applied to
+    candidates — same ranking tail."""
+    raw = load_table(spark, sf_dir, "embeddings")
+    dim = embedding_dim(raw)
+    base = raw.select("vec_id", "label", to_double_array("embedding").alias("e"))
+    q = (
+        base.orderBy("vec_id")
+        .limit(HN_N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            F.col("e").alias("qe"),
+        )
+    )
+    scored = (
+        base.join(F.broadcast(q), F.col("label") != F.col("q_label"))
+        .withColumn("cos_sim", round6(cosine(F.col("e"), F.col("qe"), dim)))
+        .select("query_id", "vec_id", "label", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= HN_K)
+        .select("query_id", "vec_id", "label", "cos_sim")
+    )

@@ -1,0 +1,84 @@
+"""Invariant pins for llm_extras.py (exact values are pinned by the
+DuckDB oracles; these pin semantics and edge behavior)."""
+
+import pytest
+
+from data_wrangler_spark.registry import REGISTRY
+
+
+def test_repetition_fractions_bounded_and_consistent(spark, sf_dir):
+    rows = REGISTRY["q_text_repetition"].run(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_distinct <= r.n_grams
+        assert 0.0 <= r.dup_frac < 1.0
+        assert r.top_frac >= 1.0 / r.n_grams
+        assert r.is_repetitive == (r.dup_frac > 0.2)
+
+
+def test_repetition_flags_looping_text(spark, tmp_path):
+    """A document that repeats one phrase must flag; a no-repeat
+    document must not."""
+    rows = [
+        (1, " ".join(["spam ham"] * 50)),  # 'ham spam'/'spam ham' loops
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {r.doc_id: r for r in REGISTRY["q_text_repetition"].run(spark, str(tmp_path)).collect()}
+    assert got[1].is_repetitive and got[1].dup_frac > 0.9
+    assert not got[2].is_repetitive and got[2].dup_frac == 0.0
+
+
+def test_ngram_lm_probabilities(spark, sf_dir):
+    import math
+
+    rows = REGISTRY["q_ngram_lm"].run(spark, sf_dir).collect()
+    assert rows
+    by_w1 = {}
+    for r in rows:
+        assert r.c12 >= 3
+        assert r.c12 <= r.c1
+        assert r.p_micro == math.floor(r.c12 * 1_000_000 / r.c1)
+        by_w1.setdefault(r.w1, 0)
+        by_w1[r.w1] += r.c12
+    # emitted continuations never exceed the continuation total
+    for w1, s in by_w1.items():
+        c1 = next(r.c1 for r in rows if r.w1 == w1)
+        assert s <= c1
+
+
+def test_mix_temperature_allocation(spark, sf_dir):
+    from data_wrangler_spark.operators.llm_extras import MIX_BUDGET
+
+    rows = REGISTRY["q_mix_temperature"].run(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+    assert sum(r.target_docs for r in rows) <= MIX_BUDGET
+    # temperature flattens: weight order follows count order, but
+    # share ratios are damped below count ratios
+    rs = sorted(rows, key=lambda r: r.n_docs)
+    for a, b in zip(rs, rs[1:]):
+        assert a.w_micro <= b.w_micro
+        if a.n_docs > 0 and b.n_docs > a.n_docs:
+            assert b.w_micro / a.w_micro < b.n_docs / a.n_docs + 1e-9
+
+
+def test_hard_negatives_shape(spark, sf_dir):
+    from data_wrangler_spark.catalog import load_table
+    from data_wrangler_spark.operators.llm_extras import HN_K, HN_N_QUERIES
+
+    rows = REGISTRY["q_hard_negatives"].run(spark, sf_dir).collect()
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    anchors = sorted(labels)[:HN_N_QUERIES]
+    per_q = {}
+    for r in rows:
+        assert labels[r.vec_id] != labels[r.query_id]  # genuinely negative
+        assert -1.0 - 1e-9 <= r.cos_sim <= 1.0 + 1e-9
+        per_q.setdefault(r.query_id, []).append(r.cos_sim)
+    assert sorted(per_q) == anchors
+    for sims in per_q.values():
+        assert len(sims) == HN_K
