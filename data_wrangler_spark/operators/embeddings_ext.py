@@ -21,6 +21,9 @@ Scale notes:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from data_wrangler_spark.catalog import load_table
@@ -279,14 +282,16 @@ def q_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     and shuffles-dependent; this is stable, period — the DuckDB
     recursive-CTE oracle replays the whole trajectory).
 
-    Scale: per iteration one broadcast (K×dim centroid table, tiny),
-    one shuffle to re-aggregate centroids; assignment is a map-side
-    join + partial aggregation. Empty clusters drop identically in
-    both engines (none occur on this data). Cited shape: IVF coarse
-    quantizer (q_sim_search_ivf) — this replaces its rows-only ml
-    KMeans with an exactly-verifiable trainer."""
-    v, cen = kmeans_fit(spark, sf_dir)
-    return kmeans_assign(v, cen).select(
+    Scale: per iteration one broadcast (K×dim centroid table, tiny)
+    and ONE shuffle (the (cl, dim) centroid re-aggregation) —
+    assignment itself is shuffle-free: one Arrow mapInPandas pass
+    against the broadcast centroid matrix (kmeans_assign_np).
+    Empty clusters drop identically in both engines (none occur on
+    this data). Cited shape: IVF coarse quantizer (q_sim_search_ivf)
+    — this replaces its rows-only ml KMeans with an exactly-
+    verifiable trainer."""
+    v_arr, cen = kmeans_fit_arr(spark, sf_dir)
+    return kmeans_assign_np(v_arr, cen).select(
         "vec_id", F.col("cl").cast("int").alias("cluster"), "dist"
     )
 
@@ -311,34 +316,159 @@ def kmeans_assign(v: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_fit(spark: SparkSession, sf_dir: str):
-    """Run the integer k-means; returns (quantized components `v`
-    [vec_id, dim, x], final centroids [cl, dim, c])."""
+def _cen_row(cen: DataFrame) -> DataFrame:
+    """(cl, dim, c) exploded centroids → ONE row holding all K
+    centroids as dim-ordered arrays sorted by cl — the broadcast
+    operand of the array-form assignment."""
+    return (
+        cen.groupBy("cl")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("p"))
+        .select("cl", F.transform("p", lambda s: s["c"]).alias("cs"))
+        .agg(F.array_sort(F.collect_list(F.struct("cl", "cs"))).alias("cens"))
+    )
+
+
+def kmeans_assign_np(v_arr: DataFrame, cen: DataFrame) -> DataFrame:
+    """Numpy nearest-centroid assignment: the K×dim centroid table (a
+    tiny, driver-resident operand by design) broadcasts into one
+    Arrow mapInPandas pass — int64 distances, argmin's first-minimum
+    = lowest cl, identical to the oracle's (dist, cl) rank. Returns
+    (vec_id, cl, dist) with no shuffle."""
+    rows = cen.orderBy("cl", "dim").collect()
+    ids = sorted({r["cl"] for r in rows})
+    dims = max(r["dim"] for r in rows) + 1
+    cmat = np.zeros((len(ids), dims), dtype=np.int64)
+    pos = {cl: i for i, cl in enumerate(ids)}
+    for r in rows:
+        cmat[pos[r["cl"]], r["dim"]] = r["c"]
+    ids_arr = np.array(ids, dtype=np.int64)
+    sc = v_arr.sparkSession.sparkContext
+    bc = sc.broadcast((ids_arr, cmat))
+
+    def assign(batches):
+        cl_ids, C = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["xs"].to_numpy()).astype(np.int64)
+            dist = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = dist.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cl": cl_ids[a],
+                    "dist": dist[np.arange(len(a)), a],
+                }
+            )
+
+    return v_arr.mapInPandas(assign, "vec_id long, cl long, dist long")
+
+
+def _trunc_div(s: int, n: int) -> int:
+    """SQL `div` (truncate toward zero) on Python ints — Python's //
+    floors toward -inf, which differs on negative sums."""
+    return s // n if s >= 0 else -((-s) // n)
+
+
+def kmeans_fit_arr(spark: SparkSession, sf_dir: str):
+    """Run the integer k-means with an Arrow/numpy iteration and a
+    DRIVER-RESIDENT centroid table — the same design as
+    pyspark.ml.KMeans (centroids are O(K·dim) and live on the
+    driver; only per-partition partial sums move). Per iteration:
+    one mapInPandas pass emits K·dim partial sums + counts per
+    partition (int64 — exact in any accumulation order), one tiny
+    groupBy merges them, one K·dim-row collect updates the
+    centroids. No n-row shuffle at all. argmin ties break to the
+    lowest cl (np.argmin returns the first minimum over the
+    cl-ascending centroid matrix) — identical to the oracle's
+    (dist, cl) rank. Returns (v_arr [vec_id, xs], final centroids
+    [cl, dim, c])."""
     from data_wrangler_spark.operators.dedup import _md5_long
 
     e = load_table(spark, sf_dir, "embeddings")
-    v = (
-        e.select("vec_id", F.posexplode("embedding").alias("dim", "xf"))
-        .select(
-            "vec_id",
-            "dim",
-            F.floor(F.col("xf").cast("double") * KM_Q).cast("long").alias("x"),
-        )
-        .cache()
-    )
+    v_arr = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda xf: F.floor(xf.cast("double") * KM_Q).cast("long")
+        ).alias("xs"),
+    ).cache()
     seed_w = Window.orderBy(_md5_long(F.col("vec_id").cast("string")), "vec_id")
     seed = (
         e.select("vec_id")
         .withColumn("cl", F.row_number().over(seed_w))
         .filter(F.col("cl") <= KM_K)
     )
-    cen = seed.join(v, "vec_id").select("cl", "dim", F.col("x").alias("c"))
+    seed_rows = (
+        seed.join(v_arr, "vec_id").select("cl", "xs").orderBy("cl").collect()
+    )
+    cl_ids = np.array([r["cl"] for r in seed_rows], dtype=np.int64)
+    cmat = np.vstack([np.asarray(r["xs"], dtype=np.int64) for r in seed_rows])
+
     for _ in range(KM_ITER):
-        cen = (
-            kmeans_assign(v, cen)
-            .join(v, "vec_id")
+        bc = spark.sparkContext.broadcast((cl_ids, cmat))
+
+        def partials(batches):
+            ids, C = bc.value
+            k, d = C.shape
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.vstack(pdf["xs"].to_numpy()).astype(np.int64)
+                dist = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                a = dist.argmin(axis=1)  # first min = lowest cl
+                sums = np.zeros((k, d), dtype=np.int64)
+                np.add.at(sums, a, X)
+                cnts = np.bincount(a, minlength=k)
+                keep = cnts > 0
+                yield pd.DataFrame(
+                    {
+                        "cl": ids[keep],
+                        "n": cnts[keep],
+                        "s": [row.tolist() for row in sums[keep]],
+                    }
+                )
+
+        merged = (
+            v_arr.mapInPandas(partials, "cl long, n long, s array<long>")
+            .select("cl", "n", F.posexplode("s").alias("dim", "sx"))
             .groupBy("cl", "dim")
-            .agg(F.expr("sum(x) div count(*)").alias("c"))
-            .localCheckpoint()
+            .agg(F.sum("n").alias("nn"), F.sum("sx").alias("sx"))
+            .collect()
         )
+        # n is the partition-local count replicated across that row's
+        # dims, so per-(cl, dim) sum(n) is the cluster's true count
+        by_cl: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in merged:
+            by_cl.setdefault(r["cl"], {})[r["dim"]] = (r["sx"], r["nn"])
+        cl_ids = np.array(sorted(by_cl), dtype=np.int64)
+        dims = cmat.shape[1]
+        cmat = np.vstack(
+            [
+                np.array(
+                    [
+                        _trunc_div(*by_cl[cl][dim_i])
+                        for dim_i in range(dims)
+                    ],
+                    dtype=np.int64,
+                )
+                for cl in cl_ids
+            ]
+        )
+
+    cen_rows = [
+        (int(cl), int(dim_i), int(cmat[i, dim_i]))
+        for i, cl in enumerate(cl_ids)
+        for dim_i in range(cmat.shape[1])
+    ]
+    cen = spark.createDataFrame(cen_rows, "cl int, dim int, c long")
+    return v_arr, cen
+
+
+def kmeans_fit(spark: SparkSession, sf_dir: str):
+    """Exploded-contract wrapper over kmeans_fit_arr: returns
+    (quantized components `v` [vec_id, dim, x], final centroids
+    [cl, dim, c]) for consumers that join per-dimension
+    (q_sim_search_ivf_exact's query-cell probe)."""
+    v_arr, cen = kmeans_fit_arr(spark, sf_dir)
+    v = v_arr.select("vec_id", F.posexplode("xs").alias("dim", "x"))
     return v, cen
