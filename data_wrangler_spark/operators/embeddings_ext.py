@@ -404,6 +404,23 @@ def kmeans_fit_arr(spark: SparkSession, sf_dir: str):
     cl_ids = np.array([r["cl"] for r in seed_rows], dtype=np.int64)
     cmat = np.vstack([np.asarray(r["xs"], dtype=np.int64) for r in seed_rows])
 
+    from data_wrangler_spark.session import shuffle_width
+
+    # the per-iteration merge shuffles only the K×dim partial grid —
+    # size the shuffle width to that keyspace (session.shuffle_width)
+    with shuffle_width(spark, int(cmat.size)):
+        cl_ids, cmat = _km_loop(spark, v_arr, cl_ids, cmat)
+
+    cen_rows = [
+        (int(cl), int(dim_i), int(cmat[i, dim_i]))
+        for i, cl in enumerate(cl_ids)
+        for dim_i in range(cmat.shape[1])
+    ]
+    cen = spark.createDataFrame(cen_rows, "cl int, dim int, c long")
+    return v_arr, cen
+
+
+def _km_loop(spark, v_arr, cl_ids, cmat):
     for _ in range(KM_ITER):
         bc = spark.sparkContext.broadcast((cl_ids, cmat))
 
@@ -454,14 +471,7 @@ def kmeans_fit_arr(spark: SparkSession, sf_dir: str):
                 for cl in cl_ids
             ]
         )
-
-    cen_rows = [
-        (int(cl), int(dim_i), int(cmat[i, dim_i]))
-        for i, cl in enumerate(cl_ids)
-        for dim_i in range(cmat.shape[1])
-    ]
-    cen = spark.createDataFrame(cen_rows, "cl int, dim int, c long")
-    return v_arr, cen
+    return cl_ids, cmat
 
 
 def kmeans_fit(spark: SparkSession, sf_dir: str):

@@ -73,6 +73,19 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
 
+    from data_wrangler_spark.session import shuffle_width
+
+    # per-iteration shuffles act on the |nodes| keyspace — size the
+    # shuffle width to it for the duration of the loop (session.py);
+    # plans execute eagerly inside (localCheckpoint), so the narrowed
+    # conf never leaks past the loop
+    with shuffle_width(spark, n_nodes):
+        ranks = _pr_float_loop(edges, nodes, out_deg, ranks, n_nodes)
+
+    return ranks.select("node", F.col("rank").alias("pagerank"))
+
+
+def _pr_float_loop(edges, nodes, out_deg, ranks, n_nodes):
     for it in range(PR_ITERATIONS):
         contribs = (
             edges.join(F.broadcast(out_deg), "src")
@@ -104,8 +117,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # step re-executes 3x inside the next one (measured: every-
         # other-iteration checkpointing is a net 2x LOSS).
         ranks = ranks.localCheckpoint()
-
-    return ranks.select("node", F.col("rank").alias("pagerank"))
+    return ranks
 
 
 @register(
@@ -338,6 +350,21 @@ def q_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     ranks = nodes.select("node", F.lit(S // n).cast("long").alias("r"))
 
+    from data_wrangler_spark.session import shuffle_width
+
+    # keyspace-sized shuffle width for the iteration loop (see
+    # q_pagerank / session.shuffle_width)
+    with shuffle_width(spark, n):
+        ranks = _pr_int_loop(edges, nodes, deg, ranks, base, n)
+
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_micro"),
+        (F.col("r") / F.lit(float(PR_SCALE))).alias("pagerank"),
+    )
+
+
+def _pr_int_loop(edges, nodes, deg, ranks, base, n):
     for it in range(PR_ITERATIONS):
         inflow = (
             edges.join(F.broadcast(deg), "src")
@@ -362,9 +389,4 @@ def q_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # per-iteration eager checkpoint (see q_pagerank)
         ranks = ranks.localCheckpoint()
-
-    return ranks.select(
-        "node",
-        F.col("r").alias("rank_micro"),
-        (F.col("r") / F.lit(float(PR_SCALE))).alias("pagerank"),
-    )
+    return ranks
