@@ -178,6 +178,96 @@ def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_doc_lm_score",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {sql_words('text')} AS w FROM documents),
+    g AS (SELECT doc_id, unnest({sql_bigrams_of('w')}) AS gram FROM w),
+    bg AS (SELECT doc_id,
+                  string_split(gram, ' ')[1] AS w1,
+                  string_split(gram, ' ')[2] AS w2
+           FROM g),
+    big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM bg GROUP BY 1, 2),
+    uni AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM big GROUP BY 1),
+    lp AS (SELECT b.w1, b.w2,
+                  CAST(floor(CAST(CAST(
+                    ln(CAST(b.c12 AS DOUBLE) / u.c1) AS FLOAT) AS DOUBLE)
+                    * 1000000) AS BIGINT) AS lp_micro
+           FROM big b JOIN uni u USING (w1)),
+    scored AS (
+      SELECT bg.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(lp.lp_micro) AS BIGINT) AS sum_lp_micro
+      FROM bg JOIN lp ON bg.w1 = lp.w1 AND bg.w2 = lp.w2
+      GROUP BY 1)
+    SELECT doc_id, n_bigrams, sum_lp_micro,
+           CAST(floor(CAST(sum_lp_micro AS DOUBLE) / n_bigrams) AS BIGINT)
+             AS avg_lp_micro
+    FROM scored
+    """,
+    tags=("llm", "text", "quality"),
+)
+def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based document quality score — the 'perplexity filter' of
+    pretraining pipelines, self-contained: each document is scored by
+    the mean log-probability of its bigrams under the corpus's own
+    bigram model (documents full of corpus-typical continuations
+    score high; word soup scores low). Exactness: ln runs once per
+    DISTINCT bigram on an identical double and squeezes through
+    float32 (the q_entropy parity guard) before integer micro
+    flooring; per-doc totals are then integer sums — order-free — and
+    the mean is floor of one IEEE division. Scale: the scoring join
+    is (doc-bigram stream) ⋈ (bigram table) co-keyed on the bigram —
+    one shuffle each side; the transcendental runs on the aggregated
+    table, never per token."""
+    from pyspark import StorageLevel
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words("text").alias("w")
+    )
+    g = d.select("doc_id", bigrams_from_words(F.col("w")).alias("grams")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bg = g.select("doc_id", F.explode("grams").alias("gram")).select(
+        "doc_id",
+        F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("gram"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    big = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    uni = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    lp = big.join(uni, "w1").select(
+        "w1",
+        "w2",
+        F.floor(
+            F.log(F.col("c12").cast("double") / F.col("c1"))
+            .cast("float")
+            .cast("double")
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    scored = (
+        bg.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("lp_micro").alias("sum_lp_micro"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "sum_lp_micro",
+        F.floor(F.col("sum_lp_micro").cast("double") / F.col("n_bigrams"))
+        .cast("long")
+        .alias("avg_lp_micro"),
+    )
+
+
+@register(
     "q_mix_temperature",
     oracle=f"""
     WITH n AS (

@@ -82,3 +82,23 @@ def test_hard_negatives_shape(spark, sf_dir):
     assert sorted(per_q) == anchors
     for sims in per_q.values():
         assert len(sims) == HN_K
+
+
+def test_doc_lm_score_orders_rare_continuations_below_common(spark, tmp_path):
+    """Under the corpus bigram model, a document built from the
+    DOMINANT continuation of an ambiguous context must outscore one
+    built from the RARE continuation of the same context."""
+    rows = (
+        # context "go" continues to "fast" 9x for every 1x "slow"
+        [(i, "go fast") for i in range(90)]
+        + [(200 + i, "go slow") for i in range(10)]
+        + [(300, " ".join(["go fast"] * 5))]
+        + [(301, " ".join(["go slow"] * 5))]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {r.doc_id: r for r in REGISTRY["q_doc_lm_score"].run(spark, str(tmp_path)).collect()}
+    assert got[300].avg_lp_micro > got[301].avg_lp_micro
+    # all log-probs are ≤ 0; totals follow
+    for r in got.values():
+        assert r.sum_lp_micro <= 0 and r.n_bigrams > 0
