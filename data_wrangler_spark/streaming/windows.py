@@ -348,6 +348,50 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(joined, "q_stream_join")
 
 
+@register("q_stream_left_join", tags=("stream", "join"))  # rows-only: emission semantics
+def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every view, paired
+    with each purchase by the same user within the next 30 minutes,
+    or with NULLs once the watermark PROVES no such purchase can
+    still arrive. This is the semantics inner joins can't express —
+    'did NOT convert' is only decidable after the watermark passes
+    view_ts + 30min, so null rows emit late, from evicted state.
+    Views too close to the end of input stay withheld (their
+    no-match proof never completes) — emission semantics, hence
+    rows-only + pytest pins: matched rows ≡ the inner join's set,
+    and every null row truly has no purchase in its window. Scale
+    notes are q_stream_join's: state bounded to the watermark
+    horizon per side, shuffled once on user_id."""
+    base, ev = _staged_events(spark, sf_dir, "slj", split_frac=0.7)
+
+    def side(event_type: str, alias: str) -> DataFrame:
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(base)
+            .filter(F.col("event_type") == event_type)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "40 minutes")
+            .alias(alias)
+        )
+
+    joined = side("view", "v").join(
+        side("purchase", "p"),
+        F.expr(
+            "v.user_id = p.user_id AND "
+            "p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTES"
+        ),
+        "leftOuter",
+    ).select(
+        F.col("v.event_id").alias("view_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("v.user_id").alias("user_id"),
+        F.col("v.ts").cast("timestamp_ntz").alias("view_ts"),
+        F.col("p.ts").cast("timestamp_ntz").alias("purchase_ts"),
+    )
+    return _run_stream(joined, "q_stream_left_join")
+
+
 @register(
     "q_stream_enrich",
     oracle="""

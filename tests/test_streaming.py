@@ -91,3 +91,36 @@ def test_stream_sink_filters_and_roundtrips(spark, sf_dir):
     expect = ev.filter(F.col("event_type") != "view").count()
     assert out.count() == expect
     assert out.select("event_id").distinct().count() == expect  # no double-writes
+
+
+def test_stream_left_join_matches_and_proven_nonconversions(spark, sf_dir):
+    """Matched rows must equal the inner interval join's result set;
+    null-purchase rows must be PROVEN non-conversions (no purchase by
+    that user within 30 minutes of the view)."""
+    from data_wrangler_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    left = REGISTRY["q_stream_left_join"].run(spark, sf_dir).collect()
+    inner = {
+        (r.view_id, r.purchase_id)
+        for r in REGISTRY["q_stream_join"].run(spark, sf_dir).collect()
+    }
+    matched = {(r.view_id, r.purchase_id) for r in left if r.purchase_id is not None}
+    assert matched == inner
+    # every null row is a true non-conversion within the window
+    nulls = [(r.user_id, r.view_ts) for r in left if r.purchase_id is None]
+    assert nulls, "watermark never proved any non-conversion"
+    ev = load_table(spark, sf_dir, "events")
+    purchases = [
+        (r.user_id, r.ts)
+        for r in ev.filter(F.col("event_type") == "purchase").collect()
+    ]
+    by_user = {}
+    for u, ts in purchases:
+        by_user.setdefault(u, []).append(ts)
+    from datetime import timedelta
+
+    for u, vts in nulls:
+        assert not any(
+            vts <= pts <= vts + timedelta(minutes=30) for pts in by_user.get(u, [])
+        ), f"user {u} view {vts} actually converted"
