@@ -318,6 +318,82 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUBSTR_K = 8  # duplicated-passage gram width (tokens)
+
+
+@register(
+    "q_dedup_substring",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {sql_words('text')} AS w FROM documents),
+    g AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(w[i:i + {SUBSTR_K - 1}], ' ') AS gram
+      FROM w, LATERAL unnest(range(1, len(w) - {SUBSTR_K - 2})) AS t(i)),
+    dup AS (
+      SELECT gram FROM (SELECT gram, COUNT(*) AS c FROM g GROUP BY 1)
+      WHERE c >= 2),
+    d AS (
+      SELECT g.doc_id, g.pos,
+             g.pos - ROW_NUMBER() OVER (
+               PARTITION BY g.doc_id ORDER BY g.pos) AS grp
+      FROM g WHERE g.gram IN (SELECT gram FROM dup))
+    SELECT doc_id,
+           MIN(pos)                                    AS span_start,
+           MAX(pos) + {SUBSTR_K} - 1                   AS span_end,
+           MAX(pos) - MIN(pos) + {SUBSTR_K}            AS span_tokens
+    FROM d GROUP BY doc_id, grp
+    """,
+    tags=("llm", "dedup", "text"),
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-passage detection — the substring-dedup shape
+    of Lee et al.'s 'Deduplicating Training Data' applied shingle-
+    wise: a token position is duplicated if its SUBSTR_K-token gram occurs
+    ≥2 times in the corpus, and maximal runs of consecutive
+    duplicated positions merge into spans (gaps-and-islands on the
+    position sequence), reported as [span_start, span_end] token
+    ranges per document. Suffix arrays find the same spans in one
+    pass on one machine; the distributed form trades that for two
+    key-bounded shuffles: gram-frequency (the dup set is a semi-join
+    — one row per position, no fan-out, hot grams cannot blow up) and
+    the per-document island window (partitioned by doc — never
+    global). Span arithmetic is pure integers."""
+    from pyspark import StorageLevel
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words("text").alias("w")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - (SUBSTR_K - 1)),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.array_join(F.slice("w", i, SUBSTR_K), " ").alias("gram"),
+        ),
+    )
+    g = (
+        # the size filter guards sequence(1, n<1), which would DESCEND;
+        # the oracle's range() is exclusive and empties out naturally
+        d.filter(F.size("w") >= SUBSTR_K)
+        .select("doc_id", F.explode(grams).alias("e"))
+        .select("doc_id", "e.pos", "e.gram")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gram")
+    )
+    dpos = g.join(dup, "gram", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = dpos.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return islands.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + SUBSTR_K - 1).alias("span_end"),
+        (F.max("pos") - F.min("pos") + SUBSTR_K).alias("span_tokens"),
+    ).select("doc_id", "span_start", "span_end", "span_tokens")
+
+
 @register(
     "q_hard_negatives",
     oracle=f"""

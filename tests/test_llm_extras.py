@@ -102,3 +102,24 @@ def test_doc_lm_score_orders_rare_continuations_below_common(spark, tmp_path):
     # all log-probs are ≤ 0; totals follow
     for r in got.values():
         assert r.sum_lp_micro <= 0 and r.n_bigrams > 0
+
+
+def test_substring_dedup_finds_shared_passage(spark, tmp_path):
+    """Two documents sharing one long passage must each report a span
+    covering exactly that passage; unique text must not flag."""
+    shared = " ".join(f"s{i}" for i in range(12))  # 12-token passage
+    rows = [
+        (1, f"u1a u1b u1c {shared} u1d u1e u1f u1g u1h"),
+        (2, f"v1a v1b {shared} v1c v1d v1e v1f v1g v1h v1i"),
+        (3, " ".join(f"w{i}" for i in range(30))),  # all unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {}
+    for r in REGISTRY["q_dedup_substring"].run(spark, str(tmp_path)).collect():
+        got.setdefault(r.doc_id, []).append((r.span_start, r.span_end, r.span_tokens))
+    assert 3 not in got
+    # doc 1: shared passage occupies tokens 4..15 (1-based)
+    assert got[1] == [(4, 15, 12)]
+    # doc 2: tokens 3..14
+    assert got[2] == [(3, 14, 12)]
