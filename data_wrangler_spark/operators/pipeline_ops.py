@@ -500,6 +500,76 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, {sql_words('text')} AS w FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, source,
+               unnest({sql_shingles_of('w', CONTAM_NGRAM)}) AS g
+        FROM toks
+    ),
+    evset AS (
+        SELECT DISTINCT g FROM sh WHERE source = '{CONTAM_EVAL_SOURCE}'
+    ),
+    tr AS (
+        SELECT doc_id, g FROM sh WHERE source <> '{CONTAM_EVAL_SOURCE}'
+    ),
+    tot AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        FROM tr GROUP BY doc_id
+    ),
+    mat AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_eval_matched
+        FROM tr WHERE g IN (SELECT g FROM evset) GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_grams,
+           COALESCE(m.n_eval_matched, 0)      AS n_eval_matched,
+           COALESCE(m.n_eval_matched, 0) >= 1 AS drop_doc
+    FROM tot t LEFT JOIN mat m ON t.doc_id = m.doc_id
+    """,
+    tags=("llm", "quality", "contamination"),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal ACTION paired with q_contamination's audit: flag
+    every TRAINING document sharing ≥1 distinct word 5-gram with the
+    held-out eval slice — the GPT-3/PaLM-style 'dirty document'
+    decontamination rule (you can't change the benchmark, so you drop
+    the train docs that leak it). Same plan skeleton with the roles
+    swapped: the distinct EVAL-gram set is the small side (eval
+    slices are tiny by construction — at 100 TB it broadcasts, or
+    becomes a Bloom filter with the audit as exact reference), and
+    the train stream left-semi probes it; one row per train doc comes
+    back."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", words("text").alias("w")
+    )
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.explode(shingles_from_words(F.col("w"), CONTAM_NGRAM)).alias("g"),
+    )
+    evset = (
+        sh.filter(F.col("source") == CONTAM_EVAL_SOURCE).select("g").distinct()
+    )
+    tr = sh.filter(F.col("source") != CONTAM_EVAL_SOURCE).select("doc_id", "g")
+    tot = tr.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    mat = (
+        tr.join(evset, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_eval_matched"))
+    )
+    n_matched = F.coalesce(F.col("n_eval_matched"), F.lit(0).cast("long"))
+    return tot.join(mat, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        n_matched.alias("n_eval_matched"),
+        (n_matched >= 1).alias("drop_doc"),
+    )
+
+
 # target training-mix proportions per language (must sum to 1)
 MIX_WEIGHTS = {"en": 0.40, "zh": 0.20, "de": 0.15, "es": 0.15, "fr": 0.10}
 

@@ -171,3 +171,18 @@ def test_mix_proportions_achieves_targets(spark, sf_dir):
         assert took[lang] <= avail[lang]
     bottleneck = min(avail, key=lambda l: avail[l] / MIX_WEIGHTS[l])
     assert took[bottleneck] == avail[bottleneck]
+
+
+def test_decontaminate_consistent_with_audit(spark, sf_dir):
+    """Every eval 5-gram flagged as matched in the audit must have at
+    least one train doc flagged for dropping, and drop flags must
+    follow the matched-gram count."""
+    rows = run(spark, sf_dir, "q_decontaminate").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_eval_matched <= r.n_grams
+        assert r.drop_doc == (r.n_eval_matched >= 1)
+    audit = run(spark, sf_dir, "q_contamination").collect()
+    # if any eval doc shows containment, some train doc must leak it
+    if any(a.n_matched > 0 for a in audit):
+        assert any(r.drop_doc for r in rows)
