@@ -372,20 +372,30 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # downstream consumers (two join sides + sizes). ~2 MB per 5k
     # docs; at corpus scale this is a checkpoint to storage instead.
     sh0 = sh0.persist(StorageLevel.MEMORY_AND_DISK)
-    hot = (
-        sh0.select(F.explode("shingles").alias("shingle"))
-        .groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > JACCARD_DF_CAP)
-        .agg(F.collect_list("shingle").alias("hot_arr"))
-    )
-    # subtract the hot set map-side (array_except keeps sizes a scan-
-    # side expression); hot is one row, ≤ |postings|/CAP strings
-    sh = (
-        sh0.crossJoin(F.broadcast(hot))
-        .select("doc_id", F.array_except("shingles", "hot_arr").alias("shingles"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # the hot set is ≤ |postings|/CAP entries BY CONSTRUCTION — a
+    # bounded scalar fetch (not a data collect), so the plan can
+    # branch on it: a healthy corpus (no hot shingle) skips the
+    # subtraction stage entirely, a skewed one subtracts the literal
+    # array map-side (array_except keeps sizes a scan-side expression)
+    hot = [
+        r["shingle"]
+        for r in (
+            sh0.select(F.explode("shingles").alias("shingle"))
+            .groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > JACCARD_DF_CAP)
+            .collect()
+        )
+    ]
+    if hot:
+        sh = sh0.select(
+            "doc_id",
+            F.array_except(
+                "shingles", F.array(*[F.lit(s) for s in hot])
+            ).alias("shingles"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        sh = sh0
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     a = ex.select(F.col("doc_id").alias("doc_a"), "shingle")
