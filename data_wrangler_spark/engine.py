@@ -45,6 +45,18 @@ class Engine:
         reference's name-only regex inference (`examineQuery`)."""
         return self.run(name).schema
 
+    def explain(self, name: str, **params: Any) -> str:
+        """Formatted physical plan of a registered query — the
+        introspection the reference cannot offer (it never sees a
+        plan, only remote SQL text). Useful for checking pushdown /
+        join strategy / exchange counts before running at scale."""
+        df = self.run(name, **params)
+        return df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
     def list_records(
         self,
         table: str,

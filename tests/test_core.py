@@ -93,3 +93,10 @@ def test_inner_join_fixture_shape(spark, foobar):
     rows = j.collect()
     assert sorted(r.answer_id for r in rows) == [4, 5]  # bar rows with foo_id=1
     assert all(r.ticket_id == 1 for r in rows)
+
+
+def test_engine_explain_shows_physical_plan(spark, sf_dir):
+    from data_wrangler_spark import Engine
+
+    plan = Engine(spark, sf_dir).explain("q_filter_eq")
+    assert "PushedFilters" in plan and "Scan parquet" in plan
