@@ -318,6 +318,78 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_TOP_N = 512  # tokenizer-sizing sweep: coverage of the top-N vocab
+
+
+@register(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({sql_words('text')}) AS token FROM documents),
+    counts AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+    ranked AS (
+      SELECT token, c,
+             ROW_NUMBER() OVER (ORDER BY c DESC, token) AS rk
+      FROM counts),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+                   CAST(COUNT(*) AS BIGINT) AS n_vocab FROM counts)
+    SELECT CAST(v AS BIGINT) AS vocab_size,
+           tot.n_vocab AS corpus_vocab,
+           tot.n_total AS corpus_tokens,
+           (SELECT CAST(SUM(c) AS BIGINT) FROM ranked WHERE rk <= v)
+             AS covered_tokens,
+           CAST((SELECT SUM(c) FROM ranked WHERE rk <= v) AS DOUBLE)
+             / tot.n_total AS coverage
+    FROM (SELECT unnest([64, 128, 256, {VOCAB_TOP_N}]) AS v), tot
+    """,
+    tags=("llm", "text"),
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-sizing sweep: what fraction of all corpus token
+    occurrences does a top-N word vocabulary cover, for several N —
+    the curve that decides vocab size before a tokenizer train run.
+    One token-count aggregate; the ranked tail is top-VOCAB_TOP_N
+    only (orderBy+limit → per-task heaps), then a running sum over
+    that tiny frame gives every N's coverage in one pass. Coverage
+    divides identical integers in both engines. Scale: the count
+    aggregate is the only corpus-sized op; everything after runs on
+    ≤ VOCAB_TOP_N rows."""
+    d = load_table(spark, sf_dir, "documents").select(words("text").alias("w"))
+    tok = d.select(F.explode("w").alias("token"))
+    counts = tok.groupBy("token").agg(F.count("*").alias("c"))
+    tot = counts.agg(
+        F.sum("c").alias("n_total"), F.count("*").alias("n_vocab")
+    )
+    top = (
+        counts.orderBy(F.col("c").desc(), "token")
+        .limit(VOCAB_TOP_N)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("c").desc(), "token")
+            ),
+        )
+    )
+    sizes = spark.createDataFrame(
+        [(v,) for v in (64, 128, 256, VOCAB_TOP_N)], "vocab_size long"
+    )
+    covered = (
+        sizes.join(top, F.col("rk") <= F.col("vocab_size"))
+        .groupBy("vocab_size")
+        .agg(F.sum("c").alias("covered_tokens"))
+    )
+    return covered.crossJoin(F.broadcast(tot)).select(
+        "vocab_size",
+        F.col("n_vocab").alias("corpus_vocab"),
+        F.col("n_total").alias("corpus_tokens"),
+        "covered_tokens",
+        (F.col("covered_tokens").cast("double") / F.col("n_total")).alias(
+            "coverage"
+        ),
+    )
+
+
 SUBSTR_K = 8  # duplicated-passage gram width (tokens)
 
 
@@ -392,6 +464,76 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("pos") + SUBSTR_K - 1).alias("span_end"),
         (F.max("pos") - F.min("pos") + SUBSTR_K).alias("span_tokens"),
     ).select("doc_id", "span_start", "span_end", "span_tokens")
+
+
+@register(
+    "q_embed_quantize",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    mm AS (
+      SELECT vec_id, label, v,
+             list_reduce(v, (a, b) -> least(a, b))    AS lo,
+             list_reduce(v, (a, b) -> greatest(a, b)) AS hi
+      FROM e),
+    q AS (
+      SELECT vec_id, label, lo, hi,
+             (hi - lo) / 255.0 AS scale,
+             list_transform(v, x -> CAST(floor((x - lo) / ((hi - lo) / 255.0)
+                                               + 0.5) AS BIGINT)) AS codes,
+             v
+      FROM mm WHERE hi > lo)
+    SELECT vec_id, label,
+           CAST(floor(lo * 1000000 + 0.5) AS BIGINT)    AS lo_micro,
+           CAST(floor(hi * 1000000 + 0.5) AS BIGINT)    AS hi_micro,
+           array_to_string(codes, ',')                  AS codes,
+           CAST(floor(list_reduce(
+             list_transform(range(1, len(v) + 1),
+               i -> abs(v[i] - (lo + codes[i] * ((hi - lo) / 255.0)))),
+             (a, b) -> greatest(a, b)) * 1000000 + 0.5) AS BIGINT)
+             AS max_err_micro
+    FROM q
+    """,
+    tags=("llm", "embedding"),
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 (asymmetric min/max) quantization — the
+    compression every serving-scale vector store applies — plus the
+    reconstruction max-error audit that tells you whether recall will
+    survive it. All arithmetic is a fixed IEEE expression chain
+    (min/max fold, one division, floor-round, absolute residual fold
+    with greatest), so codes and error bounds are byte-identical in
+    both engines; outputs are micro-units/CSV (harness-safe scalars).
+    Scale: pure scan-side expressions — no shuffle, no state; the
+    codes column is the 4×-smaller payload downstream ANN stages
+    read. Degenerate constant vectors (hi == lo) are dropped
+    identically in both engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = to_double_array("embedding")
+    lo = F.array_min(v)
+    hi = F.array_max(v)
+    scale = (hi - lo) / F.lit(255.0)
+    codes = F.transform(v, lambda x: F.floor((x - lo) / scale + F.lit(0.5)).cast("long"))
+    recon_err = F.zip_with(
+        v, codes, lambda x, c: F.abs(x - (lo + c.cast("double") * scale))
+    )
+    return (
+        e.filter(hi > lo)
+        .select(
+            "vec_id",
+            "label",
+            F.floor(lo * 1_000_000 + F.lit(0.5)).cast("long").alias("lo_micro"),
+            F.floor(hi * 1_000_000 + F.lit(0.5)).cast("long").alias("hi_micro"),
+            F.array_join(F.transform(codes, lambda c: c.cast("string")), ",").alias(
+                "codes"
+            ),
+            F.floor(F.array_max(recon_err) * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("max_err_micro"),
+        )
+    )
 
 
 @register(

@@ -123,3 +123,27 @@ def test_substring_dedup_finds_shared_passage(spark, tmp_path):
     assert got[1] == [(4, 15, 12)]
     # doc 2: tokens 3..14
     assert got[2] == [(3, 14, 12)]
+
+
+def test_vocab_coverage_monotone(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["q_vocab_coverage"].run(spark, sf_dir).collect(),
+        key=lambda r: r.vocab_size,
+    )
+    assert [r.vocab_size for r in rows] == [64, 128, 256, 512]
+    for a, b in zip(rows, rows[1:]):
+        assert a.covered_tokens <= b.covered_tokens
+        assert a.coverage <= b.coverage <= 1.0
+    assert rows[0].coverage > 0
+
+
+def test_embed_quantize_roundtrip_bounded(spark, sf_dir):
+    """Codes are in [0, 255]; the max reconstruction error cannot
+    exceed half a quantization step (plus micro rounding)."""
+    rows = REGISTRY["q_embed_quantize"].run(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        codes = [int(c) for c in r.codes.split(",")]
+        assert all(0 <= c <= 255 for c in codes)
+        step_micro = (r.hi_micro - r.lo_micro) / 255.0
+        assert r.max_err_micro <= step_micro / 2 + 2
