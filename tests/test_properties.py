@@ -93,3 +93,25 @@ def test_round6_quantizer_matches_duckdb(x):
         f"SELECT floor({x!r}::DOUBLE * 1000000 + 0.5) / 1000000"
     ).fetchone()[0]
     assert py == db
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=0, max_value=100_000), st.integers(min_value=1, max_value=64))
+def test_ntile_formula_matches_window_semantics(n, k):
+    """The positional ntile formula (functions/distributed.py) must
+    reproduce the SQL window function's bucket assignment for every
+    (n, k): first n%k buckets take n//k+1 rows, the rest n//k."""
+    q, r = divmod(n, k)
+    head = r * (q + 1)
+
+    def formula(pos: int) -> int:
+        if pos < head:
+            return pos // (q + 1) + 1
+        return r + (pos - head) // q + 1 if q else pos + 1
+
+    # reference semantics: walk buckets the way NTILE deals rows
+    sizes = [q + 1] * r + [q] * (k - r)
+    expect = []
+    for b, s in enumerate(sizes, start=1):
+        expect.extend([b] * s)
+    assert [formula(p) for p in range(n)] == expect
