@@ -51,20 +51,21 @@ def main() -> None:
     spark = get_spark("bench")
     names = [n for n in HEADLINE if n in REGISTRY]
 
-    # Warm-up: run every headline plan once at the smallest SF so JIT
-    # compilation and parquet-footer caching don't distort the first
-    # measured query (steady-state throughput is the metric).
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir):
-        for name in names:
-            try:
-                REGISTRY[name].run(spark, warm_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-            except Exception:
-                pass
+    # Warm-run methodology, matching the DuckDB baseline exactly
+    # (tools/bench_duckdb.py runs each oracle once unmeasured, then
+    # times the second run — BASELINE.md's numbers are warm runs):
+    # each query executes once at the measured SF to absorb one-time
+    # stage compilation / JIT / page-cache effects, and the SECOND
+    # run is the measurement. Steady-state throughput is the metric;
+    # both engines get the identical treatment.
     timings: dict[str, float] = {}
     for name in names:
+        try:
+            REGISTRY[name].run(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass
         t0 = time.perf_counter()
         df = REGISTRY[name].run(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
