@@ -25,7 +25,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["with_global_position", "with_global_running_sum", "ntile_from_position"]
+__all__ = [
+    "with_global_position",
+    "with_global_running_sum",
+    "with_global_running_max",
+    "ntile_from_position",
+]
 
 
 def _range_partitioned(df: DataFrame, order_by: list[Column | str]):
@@ -89,6 +94,48 @@ def with_global_running_sum(
     return (
         rp.join(F.broadcast(off_df), "_pid")
         .withColumn(out_col, F.sum(val_col).over(w) + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+
+
+def with_global_running_max(
+    df: DataFrame,
+    order_by: list[Column | str],
+    val_col: str,
+    out_col: str,
+    exclusive: bool = False,
+) -> DataFrame:
+    """Running max under a total order, two-phase: per-partition
+    maxima roll into prefix offsets (max over all PRECEDING range
+    partitions), the partition-local window takes `greatest` of the
+    local frame and the offset. With ``exclusive`` the frame ends at
+    the previous row (prefix-exclusive envelope — the skyline shape);
+    the first row's result is NULL, exactly like the one-task
+    window it replaces."""
+    spark, k, rp = _range_partitioned(df, order_by)
+    maxes = {
+        r["_pid"]: r["m"]
+        for r in rp.groupBy("_pid").agg(F.max(val_col).alias("m")).collect()
+    }
+    offs, run = [], None
+    for p in range(k):
+        offs.append((p, run))
+        m = maxes.get(p)
+        if m is not None:
+            run = m if run is None else max(run, m)
+    val_type = dict(df.dtypes)[val_col]
+    off_df = spark.createDataFrame(offs, f"_pid int, _off {val_type}")
+    end = -1 if exclusive else Window.currentRow
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    return (
+        rp.join(F.broadcast(off_df), "_pid")
+        # greatest() ignores NULL operands, so the offset seeds later
+        # partitions and the global first row stays NULL (exclusive)
+        .withColumn(out_col, F.greatest(F.max(val_col).over(w), F.col("_off")))
         .drop("_pid", "_off")
     )
 

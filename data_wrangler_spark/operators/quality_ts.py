@@ -472,9 +472,12 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow stats in one dimension and useless ones in the other).
     The Morton code is plain integer bit-math (identical in both
     engines); file assignment is a deterministic NTILE over the code
-    order. At 100 TB this query IS the layout job's planning step:
-    write with repartitionByRange(zval) and the same envelopes
-    materialize as row-group statistics."""
+    order, computed TWO-PHASE (range partition on zval + broadcast
+    offsets + positional bucket arithmetic, functions/distributed.py)
+    — the very repartitionByRange(zval) a real layout job writes
+    with, so no one-task sort. At 100 TB this query IS the layout
+    job's planning step: the same envelopes materialize as row-group
+    statistics."""
     o = load_table(spark, sf_dir, "orders")
     coded = o.select(
         "o_orderkey",
@@ -486,8 +489,15 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = coded.withColumn(
         "zval", _z_interleave(F.col("xdim"), F.col("ydim")).cast("bigint")
     )
-    w = Window.orderBy("zval", "o_orderkey")
-    filed = z.withColumn("file_id", F.ntile(ZORDER_FILES).over(w).cast("int"))
+    from data_wrangler_spark.functions.distributed import (
+        ntile_from_position,
+        with_global_position,
+    )
+
+    pos, n = with_global_position(z, [F.col("zval"), F.col("o_orderkey")])
+    filed = pos.withColumn(
+        "file_id", ntile_from_position(F.col("_pos"), n, ZORDER_FILES)
+    )
     return filed.groupBy("file_id").agg(
         F.count("*").alias("n_rows"),
         F.min("xdim").alias("x_min"),

@@ -354,11 +354,15 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
         )
     )
+    from data_wrangler_spark.functions.distributed import with_global_running_max
+
     per_x = agg.groupBy("total_spent").agg(F.max("n_orders").alias("max_y"))
-    w = Window.orderBy(F.col("total_spent").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
+    # prefix-exclusive envelope, two-phase (range partitions + offset
+    # maxima, functions/distributed.py) — no one-task sort over the
+    # distinct-spend frame
+    env = with_global_running_max(
+        per_x, [F.col("total_spent").desc()], "max_y", "env", exclusive=True
     )
-    env = per_x.withColumn("env", F.max("max_y").over(w))
     return (
         agg.join(env, "total_spent")
         .filter(

@@ -378,10 +378,18 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("cnt"))
         )
 
+    # top-N first via orderBy+limit (TakeOrderedAndProject — per-task
+    # heaps over the pair-count table), THEN rank the ≤BPE_TOPN
+    # surviving rows; the global window never sees more than N rows
     rank_w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
     stages = []
     for s in range(BPE_ROUNDS + 1):
-        ranked = pair_counts(w).withColumn("rnk", F.row_number().over(rank_w))
+        ranked = (
+            pair_counts(w)
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(BPE_TOPN)
+            .withColumn("rnk", F.row_number().over(rank_w))
+        )
         stages.append(ranked.withColumn("stage", F.lit(s)))
         if s < BPE_ROUNDS:
             top = ranked.filter(F.col("rnk") == 1).select(
