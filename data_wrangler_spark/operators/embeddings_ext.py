@@ -392,11 +392,15 @@ def kmeans_fit_arr(spark: SparkSession, sf_dir: str):
             "embedding", lambda xf: F.floor(xf.cast("double") * KM_Q).cast("long")
         ).alias("xs"),
     ).cache()
+    # top-K by the md5 seed key via orderBy+limit (per-task heaps);
+    # the rank window then runs on K rows only
+    seed_key = _md5_long(F.col("vec_id").cast("string"))
     seed_w = Window.orderBy(_md5_long(F.col("vec_id").cast("string")), "vec_id")
     seed = (
         e.select("vec_id")
+        .orderBy(seed_key, "vec_id")
+        .limit(KM_K)
         .withColumn("cl", F.row_number().over(seed_w))
-        .filter(F.col("cl") <= KM_K)
     )
     seed_rows = (
         seed.join(v_arr, "vec_id").select("cl", "xs").orderBy("cl").collect()
