@@ -192,3 +192,51 @@ def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@register(
+    "q_join_skewed",
+    oracle="""
+    WITH skewed AS (
+      SELECT CASE WHEN o_custkey % 10 < 9 THEN 1 ELSE o_custkey END AS sk_custkey,
+             o_totalprice
+      FROM orders)
+    SELECT c.c_custkey, c.c_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(s.o_totalprice AS DECIMAL(22,6))) AS DOUBLE) AS total_spend
+    FROM skewed s
+    JOIN customer c ON c.c_custkey = s.sk_custkey
+    GROUP BY 1, 2
+    """,
+    tags=("ext", "join", "skew"),
+)
+def q_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law-key join via explicit salting (plans/skew.py). The
+    fixture keyspace is uniform, so the hot key is synthesized: ~90%
+    of orders collapse onto custkey 1 (`o_custkey % 10 < 9 → 1`) —
+    the shape of a real power-law entity key at 100 TB. The salted
+    join replicates the customer side over 8 salt values and spreads
+    the hot key's rows by hash(o_orderkey) % 8, so no single task owns
+    90% of the probe side even when AQE's skew splitting is off (it
+    cannot split broadcast-ineligible hash joins). Result aggregates
+    per customer with a decimal-exact spend sum — oracle is the plain
+    unsalted join, proving the salt is semantically invisible."""
+    from data_wrangler_spark.plans.skew import salted_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_custkey") % 10 < 9, F.lit(1).cast("long"))
+        .otherwise(F.col("o_custkey"))
+        .alias("sk_custkey"),
+        "o_totalprice",
+        "o_orderkey",
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    joined = salted_join(
+        o, c, "sk_custkey", "c_custkey", salt_cols=["o_orderkey"], n_salts=8
+    )
+    return joined.groupBy("c_custkey", "c_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(22,6)"))
+        .cast("double")
+        .alias("total_spend"),
+    )

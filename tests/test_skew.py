@@ -35,3 +35,44 @@ def test_salted_join_left_keeps_unmatched(spark, sf_dir):
     )
     # every nation appears; nations without suppliers carry nulls
     assert out.select("n_nationkey").distinct().count() == n.count()
+
+
+def test_q_join_skewed_plan_salts_hot_key(spark, sf_dir):
+    """The registered skew query must actually join on the salt: with
+    broadcast disabled (the regime where salting matters — AQE cannot
+    split a broadcast-ineligible hash join), the physical join keys
+    include the _salt column and results still match the plain join."""
+    from data_wrangler_spark.operators.joins import q_join_skewed
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q_join_skewed(spark, sf_dir)
+        plan = df._jdf.queryExecution().toString()
+        assert "_salt" in plan
+        rows = {r.c_custkey: (r.n_orders, round(r.total_spend, 2)) for r in df.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    plain = (
+        o.select(
+            F.when(F.col("o_custkey") % 10 < 9, F.lit(1).cast("long"))
+            .otherwise(F.col("o_custkey"))
+            .alias("sk_custkey"),
+            "o_totalprice",
+        )
+        .join(c, F.col("c_custkey") == F.col("sk_custkey"))
+        .groupBy("c_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(22,6)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+    expect = {
+        r.c_custkey: (r.n_orders, round(r.total_spend, 2)) for r in plain.collect()
+    }
+    assert rows == expect
