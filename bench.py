@@ -58,6 +58,8 @@ def main() -> None:
     # stage compilation / JIT / page-cache effects, and the SECOND
     # run is the measurement. Steady-state throughput is the metric;
     # both engines get the identical treatment.
+    from data_wrangler_spark.functions.distributed import release_pinned
+
     timings: dict[str, float] = {}
     for name in names:
         try:
@@ -66,10 +68,12 @@ def main() -> None:
             ).save()
         except Exception:
             pass
+        release_pinned()
         t0 = time.perf_counter()
         df = REGISTRY[name].run(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        release_pinned()
 
     total = round(sum(timings.values()), 4)
     print(

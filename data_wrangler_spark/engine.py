@@ -57,6 +57,15 @@ class Engine:
             )
         )
 
+    def release_cache(self) -> int:
+        """Unpersist every frame operator builders pinned (see
+        functions/distributed.pin). Call after materializing results
+        in a long-lived session so cached partitions from many
+        queries don't accumulate; returns the number released."""
+        from data_wrangler_spark.functions.distributed import release_pinned
+
+        return release_pinned()
+
     def list_records(
         self,
         table: str,

@@ -30,7 +30,36 @@ __all__ = [
     "with_global_running_sum",
     "with_global_running_max",
     "ntile_from_position",
+    "pin",
+    "release_pinned",
 ]
+
+# Persisted frames pinned by operator builders. A registered query
+# returns a LAZY DataFrame, so the builder itself can never unpersist
+# (the cache must survive until the caller materializes the result).
+# Builders pin instead; harness loops / long-lived sessions call
+# release_pinned() after materialization (bench.py, verify_local,
+# Engine.release_cache) so cached partitions don't accumulate across
+# many queries in one session.
+_PINNED: list[DataFrame] = []
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """Track an already-persisted frame for later bulk release."""
+    _PINNED.append(df)
+    return df
+
+
+def release_pinned(blocking: bool = False) -> int:
+    """Unpersist every pinned frame; returns how many were released."""
+    n = 0
+    while _PINNED:
+        try:
+            _PINNED.pop().unpersist(blocking)
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return n
 
 
 def _range_partitioned(df: DataFrame, order_by: list[Column | str]):
@@ -39,7 +68,12 @@ def _range_partitioned(df: DataFrame, order_by: list[Column | str]):
         k = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except Exception:
         k = 32
-    rp = (
+    # persist is REQUIRED for correctness here, not just speed: the
+    # per-partition offset job and the final window job must see the
+    # same range-partition boundaries (repartitionByRange samples), so
+    # the shuffled frame is pinned and released by the caller's
+    # harness via release_pinned().
+    rp = pin(
         df.repartitionByRange(k, *order_by)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
@@ -75,7 +109,15 @@ def with_global_running_sum(
     """Running sum of an integral column under a total order, two-
     phase: per-partition sums roll into broadcast offsets, the local
     window adds them. (Integral values only — offsets round-trip
-    through driver Python.)"""
+    through driver Python, so fractional inputs would be silently
+    truncated; reject them up front.)"""
+    val_type = dict(df.dtypes)[val_col]
+    if val_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"with_global_running_sum requires an integral val_col; "
+            f"{val_col!r} is {val_type!r} (cast or scale to integer "
+            f"micro-units first)"
+        )
     spark, k, rp = _range_partitioned(df, order_by)
     sums = {
         r["_pid"]: r["s"]

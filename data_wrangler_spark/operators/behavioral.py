@@ -326,7 +326,7 @@ def q_cum_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum, functions/distributed.py) so even an unbounded time axis
     never funnels through a one-task sort. All-integer arithmetic —
     exact at any scale."""
-    from data_wrangler_spark.functions.distributed import with_global_running_sum
+    from data_wrangler_spark.functions.distributed import with_global_running_sum, pin
 
     ev = load_table(spark, sf_dir, "events")
     first_seen = ev.groupBy("user_id").agg(
@@ -386,10 +386,11 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from data_wrangler_spark.functions.distributed import (
         ntile_from_position,
+        pin,
         with_global_position,
     )
 
-    base = base.persist()
+    base = pin(base.persist())
     orderings = {
         "r_score": [F.col("recency_days"), F.col("o_custkey")],
         "f_score": [F.col("frequency").desc(), F.col("o_custkey")],

@@ -35,6 +35,7 @@ from data_wrangler_spark.functions.vectors import (
     sql_round6,
     to_double_array,
 )
+from data_wrangler_spark.functions.distributed import pin
 from data_wrangler_spark.registry import register
 
 N_MINHASH = 16  # minhash signature length
@@ -110,7 +111,7 @@ def _minhash_signatures(d: DataFrame) -> DataFrame:
             F.conv(F.substring(F.md5(s), 13, 11), 16, 10).cast("long").alias("h2"),
         ),
     )
-    base = sh.select("doc_id", hs.alias("hs")).persist(StorageLevel.MEMORY_AND_DISK)
+    base = pin(sh.select("doc_id", hs.alias("hs")).persist(StorageLevel.MEMORY_AND_DISK))
 
     def g(j: int):
         # factory keeps the transform lambda 1-arg (a j=j default
@@ -355,8 +356,12 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     any shingle's join fan-out at CAP². At the fixture SFs the
     observed max df (≤ ~25) is far below the cap, so results are
     bit-identical to the uncapped join; tests pin the hot-shingle
-    behavior explicitly. The hot set is ≤ |postings|/CAP entries by
-    construction — always broadcastable."""
+    behavior explicitly. The hot set never touches the driver: the
+    plan branches on a 1-row existence probe only, and the
+    subtraction is a left_anti join against the hot-shingle frame
+    (AQE broadcasts it when small, shuffles when not) — no
+    collected literal array, so a pathological corpus where the hot
+    set itself is large cannot blow up the driver or Catalyst."""
     from pyspark import StorageLevel
 
     from data_wrangler_spark.functions.text import words
@@ -371,33 +376,29 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0.3s at sf0.1), and the table feeds the df-cap scan plus three
     # downstream consumers (two join sides + sizes). ~2 MB per 5k
     # docs; at corpus scale this is a checkpoint to storage instead.
-    sh0 = sh0.persist(StorageLevel.MEMORY_AND_DISK)
-    # the hot set is ≤ |postings|/CAP entries BY CONSTRUCTION — a
-    # bounded scalar fetch (not a data collect), so the plan can
-    # branch on it: a healthy corpus (no hot shingle) skips the
-    # subtraction stage entirely, a skewed one subtracts the literal
-    # array map-side (array_except keeps sizes a scan-side expression)
-    hot = [
-        r["shingle"]
-        for r in (
-            sh0.select(F.explode("shingles").alias("shingle"))
-            .groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > JACCARD_DF_CAP)
-            .collect()
+    sh0 = pin(sh0.persist(StorageLevel.MEMORY_AND_DISK))
+    # branch on a 1-row existence probe only (cheap bounded scalar —
+    # never the hot set itself): a healthy corpus (no hot shingle)
+    # keeps sizes a scan-side array expression and skips the
+    # subtraction stage entirely; a skewed one subtracts hot shingles
+    # with a left_anti join at the exploded level, where sizes become
+    # a per-doc count — identical to the oracle's NOT IN + COUNT(*)
+    hot_df = (
+        sh0.select(F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > JACCARD_DF_CAP)
+        .select("shingle")
+    )
+    any_hot = bool(hot_df.limit(1).count())
+    if any_hot:
+        ex = sh0.select("doc_id", F.explode("shingles").alias("shingle")).join(
+            hot_df, "shingle", "left_anti"
         )
-    ]
-    if hot:
-        sh = sh0.select(
-            "doc_id",
-            F.array_except(
-                "shingles", F.array(*[F.lit(s) for s in hot])
-            ).alias("shingles"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     else:
-        sh = sh0
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+        sizes = sh0.select("doc_id", F.size("shingles").alias("n_sh"))
+        ex = sh0.select("doc_id", F.explode("shingles").alias("shingle"))
     a = ex.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = ex.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
@@ -523,6 +524,7 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_sh", F.size("shingles"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    pin(sh)
     ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
     # global rarity order: document frequency per shingle (one agg on
     # the token key), joined back — at scale this is the same df table

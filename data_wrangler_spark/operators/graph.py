@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from data_wrangler_spark.catalog import load_table
+from data_wrangler_spark.functions.distributed import pin
 from data_wrangler_spark.registry import register
 
 PR_ITERATIONS = 8
@@ -197,6 +198,7 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("v")).alias("nbrs"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    pin(adj0)
     n_nodes = adj0.count()  # materialize; also bounds the degree map
     deg = (
         adj0.select(F.col("u").alias("node"), F.size("nbrs").alias("d"))
@@ -232,6 +234,7 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_list("hi").alias("nbrs"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    pin(adj)
     adj.count()
     # edge stream re-derived map-side from adj: each row already
     # carries N⁺(lo), so closing needs only ONE join (on hi)

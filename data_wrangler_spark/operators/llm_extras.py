@@ -43,6 +43,7 @@ from data_wrangler_spark.functions.vectors import (
     sql_round6,
     to_double_array,
 )
+from data_wrangler_spark.functions.distributed import pin
 from data_wrangler_spark.registry import register
 
 REPETITION_DUP_FRAC = 0.2  # Gopher-style duplicate-bigram gate
@@ -91,8 +92,10 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bind + persist the gram array before explode: Generate inlines
     # its child per emitted row (see SCALE.md "measured lessons" #2)
-    g = d.select("doc_id", bigrams_from_words(F.col("w")).alias("grams")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    g = pin(
+        d.select("doc_id", bigrams_from_words(F.col("w")).alias("grams")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
     c = (
         g.select("doc_id", F.explode("grams").alias("gram"))
@@ -148,8 +151,10 @@ def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     d = load_table(spark, sf_dir, "documents").select(words("text").alias("w"))
-    g = d.select(bigrams_from_words(F.col("w")).alias("grams")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    g = pin(
+        d.select(bigrams_from_words(F.col("w")).alias("grams")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
     big = (
         g.select(F.explode("grams").alias("gram"))
@@ -161,6 +166,7 @@ def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c12"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    pin(big)
     uni = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
     return (
         big.filter(F.col("c12") >= NGRAM_MIN_COUNT)
@@ -225,16 +231,20 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", words("text").alias("w")
     )
-    g = d.select("doc_id", bigrams_from_words(F.col("w")).alias("grams")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    g = pin(
+        d.select("doc_id", bigrams_from_words(F.col("w")).alias("grams")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
     bg = g.select("doc_id", F.explode("grams").alias("gram")).select(
         "doc_id",
         F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("w1"),
         F.split_part(F.col("gram"), F.lit(" "), F.lit(2)).alias("w2"),
     )
-    big = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    big = pin(
+        bg.groupBy("w1", "w2").agg(F.count("*").alias("c12")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
     uni = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
     lp = big.join(uni, "w1").select(
@@ -450,6 +460,7 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "e.pos", "e.gram")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    pin(g)
     dup = (
         g.groupBy("gram")
         .agg(F.count("*").alias("c"))

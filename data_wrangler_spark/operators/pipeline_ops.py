@@ -35,6 +35,7 @@ from data_wrangler_spark.functions.text import (
     words,
 )
 from data_wrangler_spark.operators.dedup import _md5_long, _sql_md5_long
+from data_wrangler_spark.functions.distributed import pin
 from data_wrangler_spark.registry import register
 
 SAMPLE_PCT = 10          # q_sample_hash keeps hash%100 < 10 → ~10%
@@ -382,6 +383,7 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    pin(edges)
     d = load_table(spark, sf_dir, "documents")
     labels = d.select(
         F.col("doc_id").alias("node"), F.col("doc_id").alias("label")

@@ -58,11 +58,38 @@ def fetch_page(endpoint: str, page: int, perpage: int) -> list[dict]:
     """
     if endpoint.startswith(("http://", "https://")):
         import json
+        import time
+        import urllib.error
         import urllib.request
 
         url = f"{endpoint}?page={page}&perpage={perpage}"
-        with urllib.request.urlopen(url, timeout=30) as resp:
-            return json.loads(resp.read().decode("utf-8"))
+        # Bounded retry with backoff: a page fetch IS a Spark task, so
+        # without this, one transient 5xx/timeout fails the task and —
+        # after Spark's task retries re-run the whole partition — the
+        # job. 4xx responses don't retry (they won't heal).
+        last_err: Exception | None = None
+        for attempt in range(4):
+            if attempt:
+                time.sleep(0.5 * (2 ** (attempt - 1)))
+            try:
+                with urllib.request.urlopen(url, timeout=30) as resp:
+                    body = resp.read().decode("utf-8")
+                try:
+                    return json.loads(body)
+                except ValueError as e:
+                    raise ValueError(
+                        f"restapi: non-JSON response from {url}: "
+                        f"{body[:200]!r}"
+                    ) from e
+            except urllib.error.HTTPError as e:
+                last_err = RuntimeError(
+                    f"restapi: GET {url} failed with HTTP {e.code} {e.reason}"
+                )
+                if e.code < 500:  # client error — retrying won't help
+                    raise last_err from e
+            except (urllib.error.URLError, TimeoutError, OSError) as e:
+                last_err = RuntimeError(f"restapi: GET {url} failed: {e}")
+        raise last_err
     lo = page * perpage
     return [
         {"id": i, "name": f"item_{i}", "value": float((i * 37) % 1000) / 4.0}

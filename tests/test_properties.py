@@ -115,3 +115,30 @@ def test_ntile_formula_matches_window_semantics(n, k):
     for b, s in enumerate(sizes, start=1):
         expect.extend([b] * s)
     assert [formula(p) for p in range(n)] == expect
+
+
+def test_running_sum_rejects_non_integral(spark):
+    """Fractional val_col would be silently truncated by the driver
+    offset round-trip — must raise instead."""
+    import pytest
+    from data_wrangler_spark.functions.distributed import with_global_running_sum
+
+    df = spark.createDataFrame([(1, 1.5), (2, 2.5)], "k int, v double")
+    with pytest.raises(TypeError, match="integral"):
+        with_global_running_sum(df, ["k"], "v", "rs")
+
+
+def test_release_pinned_unpersists(spark):
+    from pyspark.sql import functions as F
+
+    from data_wrangler_spark.functions.distributed import (
+        release_pinned,
+        with_global_position,
+    )
+
+    release_pinned()  # drain anything earlier tests pinned
+    df = spark.range(100).withColumn("k", (F.col("id") % 7).cast("int"))
+    out, n = with_global_position(df, ["k", "id"])
+    assert n == 100 and out.count() == 100
+    assert release_pinned() >= 1
+    assert release_pinned() == 0  # idempotent

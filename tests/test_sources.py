@@ -198,3 +198,49 @@ def test_restapi_true_http_roundtrip_and_pruning(spark):
         assert set(seen_pages) == {6, 7}
     finally:
         srv.shutdown()
+
+
+def test_restapi_fetch_retries_transient_5xx():
+    """One transient 500 must not fail the fetch (a page fetch is a
+    Spark task); 404 must fail immediately with a descriptive error."""
+    import json
+    import threading
+    import pytest
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    calls = {"n": 0}
+
+    class Flaky(BaseHTTPRequestHandler):
+        def do_GET(self):
+            calls["n"] += 1
+            if "/notfound" in self.path:
+                self.send_response(404)
+                self.end_headers()
+                return
+            if calls["n"] == 1:  # first hit: transient failure
+                self.send_response(503)
+                self.end_headers()
+                return
+            body = json.dumps([{"id": 0, "name": "x", "value": 1.0}]).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Flaky)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from data_wrangler_spark.sources.restapi import fetch_page
+
+        recs = fetch_page(f"http://127.0.0.1:{port}/api", 0, 1)
+        assert recs == [{"id": 0, "name": "x", "value": 1.0}]
+        assert calls["n"] == 2  # 503 then success
+
+        with pytest.raises(RuntimeError, match="HTTP 404"):
+            fetch_page(f"http://127.0.0.1:{port}/notfound", 0, 1)
+    finally:
+        srv.shutdown()

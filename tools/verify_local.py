@@ -78,6 +78,7 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     from data_wrangler_spark.session import get_spark
+    from data_wrangler_spark.functions.distributed import release_pinned
     import __spark_entry__ as entry_mod
 
     spark = get_spark("verify_local")
@@ -94,7 +95,9 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             scols = sorted(sdf.columns)
             srows = [tuple(r[c] for c in scols) for r in sdf.collect()]
+            release_pinned()
         except Exception:
+            release_pinned()
             results[name] = {"status": "SPARK_ERROR", "err": traceback.format_exc(limit=3)}
             n_fail += 1
             print(f"✗ {name}: SPARK_ERROR")
