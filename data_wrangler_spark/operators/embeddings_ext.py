@@ -290,8 +290,8 @@ def q_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     this data). Cited shape: IVF coarse quantizer (q_sim_search_ivf)
     — this replaces its rows-only ml KMeans with an exactly-
     verifiable trainer."""
-    v_arr, cen = kmeans_fit_arr(spark, sf_dir)
-    return kmeans_assign_np(v_arr, cen).select(
+    v_arr, cl_ids, cmat = kmeans_fit_mat(spark, sf_dir)
+    return kmeans_assign_mat(v_arr, cl_ids, cmat).select(
         "vec_id", F.col("cl").cast("int").alias("cluster"), "dist"
     )
 
@@ -329,11 +329,8 @@ def _cen_row(cen: DataFrame) -> DataFrame:
 
 
 def kmeans_assign_np(v_arr: DataFrame, cen: DataFrame) -> DataFrame:
-    """Numpy nearest-centroid assignment: the K×dim centroid table (a
-    tiny, driver-resident operand by design) broadcasts into one
-    Arrow mapInPandas pass — int64 distances, argmin's first-minimum
-    = lowest cl, identical to the oracle's (dist, cl) rank. Returns
-    (vec_id, cl, dist) with no shuffle."""
+    """DataFrame-centroid wrapper over kmeans_assign_mat (collects the
+    K×dim table — tiny by design — then delegates)."""
     rows = cen.orderBy("cl", "dim").collect()
     ids = sorted({r["cl"] for r in rows})
     dims = max(r["dim"] for r in rows) + 1
@@ -341,12 +338,22 @@ def kmeans_assign_np(v_arr: DataFrame, cen: DataFrame) -> DataFrame:
     pos = {cl: i for i, cl in enumerate(ids)}
     for r in rows:
         cmat[pos[r["cl"]], r["dim"]] = r["c"]
-    ids_arr = np.array(ids, dtype=np.int64)
-    sc = v_arr.sparkSession.sparkContext
-    bc = sc.broadcast((ids_arr, cmat))
+    return kmeans_assign_mat(v_arr, np.array(ids, dtype=np.int64), cmat)
+
+
+def kmeans_assign_mat(
+    v_arr: DataFrame, cl_ids: np.ndarray, cmat: np.ndarray
+) -> DataFrame:
+    """Numpy nearest-centroid assignment: the K×dim centroid matrix (a
+    tiny, driver-resident operand by design) ships in the TASK CLOSURE
+    — ~K·dim ints, far below any broadcast-worthy size, and skipping
+    the broadcast round-trip saves a driver barrier per call. One
+    Arrow mapInPandas pass: int64 distances, argmin's first-minimum =
+    lowest cl, identical to the oracle's (dist, cl) rank. Returns
+    (vec_id, cl, dist) with no shuffle."""
+    ids_arr, C = cl_ids.copy(), cmat.copy()
 
     def assign(batches):
-        cl_ids, C = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -356,7 +363,7 @@ def kmeans_assign_np(v_arr: DataFrame, cen: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
-                    "cl": cl_ids[a],
+                    "cl": ids_arr[a],
                     "dist": dist[np.arange(len(a)), a],
                 }
             )
@@ -370,19 +377,20 @@ def _trunc_div(s: int, n: int) -> int:
     return s // n if s >= 0 else -((-s) // n)
 
 
-def kmeans_fit_arr(spark: SparkSession, sf_dir: str):
+def kmeans_fit_mat(spark: SparkSession, sf_dir: str):
     """Run the integer k-means with an Arrow/numpy iteration and a
     DRIVER-RESIDENT centroid table — the same design as
     pyspark.ml.KMeans (centroids are O(K·dim) and live on the
     driver; only per-partition partial sums move). Per iteration:
     one mapInPandas pass emits K·dim partial sums + counts per
-    partition (int64 — exact in any accumulation order), one tiny
-    groupBy merges them, one K·dim-row collect updates the
-    centroids. No n-row shuffle at all. argmin ties break to the
+    partition (int64 — exact in any accumulation order), collected
+    directly (≤ n_partitions × K rows) and tree-merged in numpy on
+    the driver — ONE job, zero shuffles, zero sort, per iteration.
+    No n-row shuffle at all. argmin ties break to the
     lowest cl (np.argmin returns the first minimum over the
     cl-ascending centroid matrix) — identical to the oracle's
-    (dist, cl) rank. Returns (v_arr [vec_id, xs], final centroids
-    [cl, dim, c])."""
+    (dist, cl) rank. Returns (v_arr [vec_id, xs], cl id vector,
+    K×dim centroid matrix)."""
     from data_wrangler_spark.operators.dedup import _md5_long
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -393,27 +401,30 @@ def kmeans_fit_arr(spark: SparkSession, sf_dir: str):
         ).alias("xs"),
     ).cache()
     # top-K by the md5 seed key via orderBy+limit (per-task heaps);
-    # the rank window then runs on K rows only
+    # the K rows come back already in seed order, so cl = 1..K is
+    # assigned driver-side — one job that also materializes the
+    # v_arr cache, replacing the former window + join round trip
     seed_key = _md5_long(F.col("vec_id").cast("string"))
-    seed_w = Window.orderBy(_md5_long(F.col("vec_id").cast("string")), "vec_id")
-    seed = (
-        e.select("vec_id")
-        .orderBy(seed_key, "vec_id")
-        .limit(KM_K)
-        .withColumn("cl", F.row_number().over(seed_w))
-    )
     seed_rows = (
-        seed.join(v_arr, "vec_id").select("cl", "xs").orderBy("cl").collect()
+        v_arr.select("vec_id", "xs", seed_key.alias("sk"))
+        .orderBy("sk", "vec_id")
+        .limit(KM_K)
+        .collect()
     )
-    cl_ids = np.array([r["cl"] for r in seed_rows], dtype=np.int64)
+    cl_ids = np.arange(1, KM_K + 1, dtype=np.int64)
     cmat = np.vstack([np.asarray(r["xs"], dtype=np.int64) for r in seed_rows])
 
-    from data_wrangler_spark.session import shuffle_width
+    # the iteration loop is shuffle-free (per-task partials collect
+    # into a driver-side int64 merge), so no shuffle sizing needed
+    cl_ids, cmat = _km_loop(spark, v_arr, cl_ids, cmat)
+    return v_arr, cl_ids, cmat
 
-    # the per-iteration merge shuffles only the K×dim partial grid —
-    # size the shuffle width to that keyspace (session.shuffle_width)
-    with shuffle_width(spark, int(cmat.size)):
-        cl_ids, cmat = _km_loop(spark, v_arr, cl_ids, cmat)
+
+def kmeans_fit_arr(spark: SparkSession, sf_dir: str):
+    """DataFrame-centroid wrapper over kmeans_fit_mat for consumers
+    that join centroids relationally (kmeans_assign, the IVF cell
+    probe)."""
+    v_arr, cl_ids, cmat = kmeans_fit_mat(spark, sf_dir)
 
     cen_rows = [
         (int(cl), int(dim_i), int(cmat[i, dim_i]))
@@ -426,10 +437,11 @@ def kmeans_fit_arr(spark: SparkSession, sf_dir: str):
 
 def _km_loop(spark, v_arr, cl_ids, cmat):
     for _ in range(KM_ITER):
-        bc = spark.sparkContext.broadcast((cl_ids, cmat))
+        # the K×dim grid ships in the task closure — no broadcast
+        # round-trip per iteration (it is ~K·dim ints)
+        ids, C = cl_ids.copy(), cmat.copy()
 
         def partials(batches):
-            ids, C = bc.value
             k, d = C.shape
             for pdf in batches:
                 if not len(pdf):
@@ -449,30 +461,30 @@ def _km_loop(spark, v_arr, cl_ids, cmat):
                     }
                 )
 
-        merged = (
-            v_arr.mapInPandas(partials, "cl long, n long, s array<long>")
-            .select("cl", "n", F.posexplode("s").alias("dim", "sx"))
-            .groupBy("cl", "dim")
-            .agg(F.sum("n").alias("nn"), F.sum("sx").alias("sx"))
-            .collect()
-        )
-        # n is the partition-local count replicated across that row's
-        # dims, so per-(cl, dim) sum(n) is the cluster's true count
-        by_cl: dict[int, dict[int, tuple[int, int]]] = {}
-        for r in merged:
-            by_cl.setdefault(r["cl"], {})[r["dim"]] = (r["sx"], r["nn"])
-        cl_ids = np.array(sorted(by_cl), dtype=np.int64)
-        dims = cmat.shape[1]
+        # Tree-combine, not shuffle: each task already emitted ≤K rows
+        # of (cl, count, dim-sum array), so the whole iteration's
+        # partials are ≤ n_partitions × K rows — a bounded grid, not
+        # data. Collect them directly and merge in int64 numpy on the
+        # driver (order-independent exact arithmetic). This replaces
+        # the former posexplode → groupBy(cl, dim) → collect, which
+        # paid a full shuffle stage + a second job per iteration for
+        # an aggregate whose input was already tiny.
+        parts = v_arr.mapInPandas(
+            partials, "cl long, n long, s array<long>"
+        ).collect()
+        acc: dict[int, tuple[int, np.ndarray]] = {}
+        for r in parts:
+            n0, s0 = acc.get(r["cl"], (0, None))
+            s = np.asarray(r["s"], dtype=np.int64)
+            acc[r["cl"]] = (n0 + r["n"], s if s0 is None else s0 + s)
+        cl_ids = np.array(sorted(acc), dtype=np.int64)
         cmat = np.vstack(
             [
                 np.array(
-                    [
-                        _trunc_div(*by_cl[cl][dim_i])
-                        for dim_i in range(dims)
-                    ],
+                    [_trunc_div(int(s_arr[d]), n) for d in range(len(s_arr))],
                     dtype=np.int64,
                 )
-                for cl in cl_ids
+                for n, s_arr in (acc[cl] for cl in cl_ids)
             ]
         )
     return cl_ids, cmat
