@@ -74,6 +74,25 @@ class UnknownIdentifierError(ValueError):
     """Raised when a dynamic table/column identifier fails validation."""
 
 
+# Opt-in reuse of table DataFrame *objects* across queries in one
+# session: every load_table call otherwise re-lists the path and
+# re-reads parquet footers at analysis time — a fixed ~10-30 ms per
+# table per query that dominates sub-second queries in a harness
+# running the whole registry back-to-back. This caches only the lazy
+# plan (schema + file index), NOT data — scans still hit storage, so
+# engine-vs-engine benchmarks stay honest. Off by default because a
+# long-lived session would not see files replaced under the path.
+_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_DF_CACHE_ON = False
+
+
+def enable_table_df_cache(on: bool = True) -> None:
+    global _DF_CACHE_ON
+    _DF_CACHE_ON = on
+    if not on:
+        _DF_CACHE.clear()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one named table from ``{sf_dir}/{name}.parquet``.
 
@@ -87,10 +106,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise UnknownIdentifierError(f"unknown table: {name!r}")
+    key = (id(spark), sf_dir, name)
+    if _DF_CACHE_ON and key in _DF_CACHE:
+        return _DF_CACHE[key]
     apply_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if _DF_CACHE_ON:
+        _DF_CACHE[key] = df
     return df
 
 

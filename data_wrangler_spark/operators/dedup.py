@@ -356,12 +356,13 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     any shingle's join fan-out at CAP². At the fixture SFs the
     observed max df (≤ ~25) is far below the cap, so results are
     bit-identical to the uncapped join; tests pin the hot-shingle
-    behavior explicitly. The hot set never touches the driver: the
-    plan branches on a 1-row existence probe only, and the
-    subtraction is a left_anti join against the hot-shingle frame
-    (AQE broadcasts it when small, shuffles when not) — no
-    collected literal array, so a pathological corpus where the hot
-    set itself is large cannot blow up the driver or Catalyst."""
+    behavior explicitly. The hot set never touches the driver AND
+    costs no separate job: the subtraction is an always-on left_anti
+    join against the hot-shingle frame inside the one query DAG (AQE
+    broadcasts it when tiny or empty, shuffles when not) — no
+    collected literal array and no blocking existence probe, so a
+    pathological corpus where the hot set itself is large cannot
+    blow up the driver or Catalyst."""
     from pyspark import StorageLevel
 
     from data_wrangler_spark.functions.text import words
@@ -377,12 +378,13 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # downstream consumers (two join sides + sizes). ~2 MB per 5k
     # docs; at corpus scale this is a checkpoint to storage instead.
     sh0 = pin(sh0.persist(StorageLevel.MEMORY_AND_DISK))
-    # branch on a 1-row existence probe only (cheap bounded scalar —
-    # never the hot set itself): a healthy corpus (no hot shingle)
-    # keeps sizes a scan-side array expression and skips the
-    # subtraction stage entirely; a skewed one subtracts hot shingles
-    # with a left_anti join at the exploded level, where sizes become
-    # a per-doc count — identical to the oracle's NOT IN + COUNT(*)
+    # hot-shingle subtraction as a plan stage, not a driver branch:
+    # the df agg map-side-combines to one (shingle, df) row per
+    # distinct shingle, the anti-join broadcasts when the hot set is
+    # tiny/empty (the healthy-corpus case — AQE sees the runtime
+    # size) and shuffles when a skewed corpus makes it large. Sizes
+    # are the per-doc count AFTER subtraction — identical to the
+    # oracle's NOT IN + COUNT(*). No collect, no blocking probe job.
     hot_df = (
         sh0.select(F.explode("shingles").alias("shingle"))
         .groupBy("shingle")
@@ -390,15 +392,12 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > JACCARD_DF_CAP)
         .select("shingle")
     )
-    any_hot = bool(hot_df.limit(1).count())
-    if any_hot:
-        ex = sh0.select("doc_id", F.explode("shingles").alias("shingle")).join(
-            hot_df, "shingle", "left_anti"
-        )
-        sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    else:
-        sizes = sh0.select("doc_id", F.size("shingles").alias("n_sh"))
-        ex = sh0.select("doc_id", F.explode("shingles").alias("shingle"))
+    ex = pin(
+        sh0.select("doc_id", F.explode("shingles").alias("shingle"))
+        .join(hot_df, "shingle", "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = ex.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = ex.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
