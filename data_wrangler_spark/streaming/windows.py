@@ -235,15 +235,33 @@ def _staged_events(spark: SparkSession, sf_dir: str, tag: str, n_copies: int = 1
     return base, ev
 
 
-@register("q_stream_watermark", tags=("stream", "stateful"))  # rows-only: append-mode emission
+@register(
+    "q_stream_watermark",
+    oracle=f"""
+    WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+    SELECT {_sql_bucket('ts', 300)} AS w_start,
+           {_sql_bucket('ts', 300)} + INTERVAL 5 MINUTE AS w_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    HAVING {_sql_bucket('ts', 300)} + INTERVAL 5 MINUTE <= (SELECT w FROM wm)
+    """,
+    tags=("stream", "stateful"),
+)
 def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling aggregation under a REAL stream: events
-    split at the 80% time-quantile into two files, streamed one file
-    per micro-batch. The 10-minute watermark advances after batch 1,
-    so append mode emits exactly the windows closed by it; the tail
-    windows stay in state — the late-data-bounding behavior this
-    operator exists to pin. Deterministic, but append-emission
-    semantics aren't SQL-expressible → rows-only + pytest pins."""
+    split at the 80% time point into two files, streamed one file per
+    micro-batch. Append mode emits exactly the windows the advancing
+    watermark closes; the tail windows stay in state — the
+    late-data-bounding behavior this operator exists to pin. The
+    emission is deterministic AND SQL-expressible: with availableNow
+    + no-data-batch finalization the terminal watermark is
+    max(ts) - 10min, so the emitted set is precisely the windows
+    whose end ≤ that bound — the oracle's HAVING predicate. The
+    tail-retention semantics (windows above the bound withheld) are
+    additionally pinned in tests/test_streaming.py."""
     base, ev = _staged_events(spark, sf_dir, "wm", split_frac=0.8)
     stream = (
         spark.readStream.schema(ev.schema)
