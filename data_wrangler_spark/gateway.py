@@ -5,20 +5,23 @@ Every named query the reference ships in its config
 the driver schema, so a user of the reference can run the same
 catalog unchanged in spirit:
 
-| reference (db.query)      | template here      | mapping |
-|---------------------------|--------------------|---------|
-| test.invoicesByDate       | invoicesByDate     | invoices→orders, date→o_orderdate |
-| test.lineItems            | lineItems          | line_items→lineitem, invoice_id→l_orderkey |
-| test.anyById              | anyById            | $relation + id → validated IDENTIFIER params |
-| otherdb.descTable         | descTable          | `desc $table` → DESCRIBE IDENTIFIER(:table) |
-| otherdb.ticketAnswers     | ticketAnswers      | ticket→orders, answer→lineitem |
-| otherdb.freeForm          | freeForm           | $x/$y/$z identifiers + '$q' value |
-| otherdb.anyByField        | anyByField         | $relation/$field identifiers |
-| salesforce.accounts       | accounts           | account→supplier (id, accountnumber→s_name, name) |
+| reference (db.query)      | template here          | mapping |
+|---------------------------|------------------------|---------|
+| test.invoicesByDate       | test.invoicesByDate    | invoices→orders, date→o_orderdate |
+| test.lineItems            | test.lineItems         | line_items→lineitem, invoice_id→l_orderkey |
+| test.anyById              | test.anyById           | $relation + id → validated IDENTIFIER params |
+| otherdb.descTable         | otherdb.descTable      | `desc $table` → DESCRIBE IDENTIFIER(:table) |
+| otherdb.ticketAnswers     | otherdb.ticketAnswers  | ticket→orders, answer→lineitem |
+| otherdb.freeForm          | otherdb.freeForm       | $x/$y/$z identifiers + '$q' value |
+| otherdb.anyByField        | otherdb.anyByField     | $relation/$field identifiers |
+| salesforce.accounts       | salesforce.accounts    | account→supplier (id, accountnumber→s_name, name) |
 
-The reference's multi-database namespaces collapse into one Spark
-catalog (SURVEY §1.5): federation is a table-name concern, not an
-engine concern.
+Query names are scoped per source database exactly as the reference
+scopes its per-db query maps (`config.json:19-24` vs `:33-38`;
+`index.js:57,113`): two backends may define the same query name
+without collision, and bare names remain usable when unambiguous.
+TABLE namespaces still collapse into one Spark catalog (SURVEY §1.5):
+federation is a table-name concern, not an engine concern.
 """
 
 from __future__ import annotations
@@ -35,11 +38,13 @@ def reference_catalog(spark: SparkSession, sf_dir: str) -> SQLTemplates:
         "invoicesByDate",
         "SELECT * FROM orders WHERE o_orderdate = ?",
         doc="config.json:20 — select * from invoices where date = ?",
+        db="test",
     )
     reg.register(
         "lineItems",
         "SELECT * FROM lineitem WHERE l_orderkey = ?",
         doc="config.json:21 — select * from line_items where invoice_id = ?",
+        db="test",
     )
     reg.register(
         "anyById",
@@ -47,11 +52,13 @@ def reference_catalog(spark: SparkSession, sf_dir: str) -> SQLTemplates:
         doc="config.json:22 — select * from $relation where id = ? "
         "(our schema has per-table pk names, so the pk is a second "
         "validated identifier)",
+        db="test",
     )
     reg.register(
         "descTable",
         "DESCRIBE TABLE IDENTIFIER(:table)",
         doc="config.json:34 — desc $table",
+        db="otherdb",
     )
     reg.register(
         "ticketAnswers",
@@ -60,20 +67,24 @@ def reference_catalog(spark: SparkSession, sf_dir: str) -> SQLTemplates:
         "WHERE t.o_orderkey = ?",
         doc="config.json:36 — select t.id, a.* from ticket t inner join "
         "answer a on (t.id = a.ticket_id) where t.id = ?",
+        db="otherdb",
     )
     reg.register(
         "freeForm",
         "SELECT IDENTIFIER(:x) FROM IDENTIFIER(:y) WHERE IDENTIFIER(:z) = :q",
         doc="config.json:23 — select $x from $y where $z = '$q'",
+        db="otherdb",
     )
     reg.register(
         "anyByField",
         "SELECT * FROM IDENTIFIER(:relation) WHERE IDENTIFIER(:field) = ?",
         doc="config.json:37 — select * from $relation where $field = ?",
+        db="otherdb",
     )
     reg.register(
         "accounts",
         "SELECT s_suppkey AS id, s_name AS accountnumber, s_name AS name FROM supplier",
         doc="config.json:57 — select id, accountnumber, name from account",
+        db="salesforce",
     )
     return reg

@@ -43,6 +43,11 @@ class MissingParameterError(ValueError):
     """A declared template parameter was not supplied (index.js:294-296)."""
 
 
+class AmbiguousTemplateError(KeyError):
+    """A bare template name matches queries in more than one database
+    namespace — the caller must qualify it as ``db.name``."""
+
+
 @dataclass(frozen=True)
 class SQLTemplate:
     name: str
@@ -55,12 +60,25 @@ class SQLTemplate:
 
 @dataclass
 class SQLTemplates:
-    """Per-catalog template registry: ``register`` then ``run``."""
+    """Per-catalog template registry: ``register`` then ``run``.
+
+    Names are scoped per source database the way the reference scopes
+    its query maps per backend (`config.json:19-24` vs `:33-38`; the
+    per-db ``queryInfo`` maps at `index.js:57,113`): registering with
+    ``db="test"`` stores the template under ``test.<name>``, and two
+    databases may therefore define the same query name without
+    colliding. Lookup accepts the qualified ``db.name`` always, and a
+    bare name as a convenience when exactly one namespace defines it
+    (AmbiguousTemplateError otherwise)."""
 
     catalog: Catalog
     _templates: dict[str, SQLTemplate] = field(default_factory=dict)
 
-    def register(self, name: str, sql: str, doc: str = "") -> SQLTemplate:
+    def register(
+        self, name: str, sql: str, doc: str = "", db: str | None = None
+    ) -> SQLTemplate:
+        if db is not None:
+            name = f"{db}.{name}"
         if name in self._templates:
             raise ValueError(f"duplicate template: {name}")
         # rewrite ? slots (outside string literals) to :p1..:pN
@@ -105,10 +123,26 @@ class SQLTemplates:
         return sorted(self._templates)
 
     def get(self, name: str) -> SQLTemplate:
-        return self._templates[name]
+        if name in self._templates:
+            return self._templates[name]
+        # bare-name convenience lookup across db namespaces
+        matches = [
+            k
+            for k in self._templates
+            if "." in k and k.rsplit(".", 1)[1] == name
+        ]
+        if len(matches) == 1:
+            return self._templates[matches[0]]
+        if matches:
+            raise AmbiguousTemplateError(
+                f"template name {name!r} exists in multiple databases "
+                f"({sorted(matches)}); qualify it as db.name"
+            )
+        raise KeyError(name)
 
     def run(self, spark: SparkSession, name: str, *positional, **named) -> DataFrame:
-        tpl = self._templates[name]
+        tpl = self.get(name)
+        name = tpl.name
         if len(positional) != tpl.n_positional:
             raise MissingParameterError(
                 f"{name}: expected {tpl.n_positional} positional params, "

@@ -13,18 +13,49 @@ def ref(spark, sf_dir):
 
 
 def test_all_reference_queries_registered(ref):
+    """Per-db namespaces mirror config.json's query maps exactly."""
     assert ref.names() == sorted(
         [
-            "invoicesByDate",
-            "lineItems",
-            "anyById",
-            "descTable",
-            "ticketAnswers",
-            "freeForm",
-            "anyByField",
-            "accounts",
+            "test.invoicesByDate",
+            "test.lineItems",
+            "test.anyById",
+            "otherdb.descTable",
+            "otherdb.ticketAnswers",
+            "otherdb.freeForm",
+            "otherdb.anyByField",
+            "salesforce.accounts",
         ]
     )
+
+
+def test_qualified_and_bare_lookup_agree(ref):
+    assert ref.get("test.lineItems") is ref.get("lineItems")
+
+
+def test_same_query_name_in_two_dbs_does_not_collide(spark, ref, sf_dir):
+    """The reference scopes names per backend (index.js:57,113); two
+    databases defining the same query name must coexist, a bare
+    lookup must refuse to guess, and qualified lookups must run the
+    right template."""
+    import pytest
+
+    from data_wrangler_spark.catalog import Catalog
+    from data_wrangler_spark.plans.templates import (
+        AmbiguousTemplateError,
+        SQLTemplates,
+    )
+
+    reg = SQLTemplates(Catalog(spark, sf_dir))
+    reg.register("rowcount", "SELECT COUNT(*) AS n FROM orders", db="test")
+    reg.register("rowcount", "SELECT COUNT(*) AS n FROM nation", db="otherdb")
+    with pytest.raises(AmbiguousTemplateError):
+        reg.get("rowcount")
+    n_orders = reg.run(spark, "test.rowcount").collect()[0].n
+    n_nation = reg.run(spark, "otherdb.rowcount").collect()[0].n
+    assert n_nation == 25 and n_orders > n_nation
+    # same (db, name) twice IS a collision
+    with pytest.raises(ValueError):
+        reg.register("rowcount", "SELECT 1", db="test")
 
 
 def test_invoices_by_date(spark, ref, sf_dir):
