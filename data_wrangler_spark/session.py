@@ -97,3 +97,35 @@ def get_spark(app_name: str = "data_wrangler_spark", cpus: int | None = None) ->
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return apply_runtime_confs(spark)
+
+
+ROCKSDB_STATE_STORE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@contextmanager
+def rocksdb_state_store(spark: SparkSession):
+    """Run streaming queries under the RocksDB state-store provider.
+
+    The default HDFS-backed provider keeps every state row on the JVM
+    heap — fine for bounded test streams, an OOM risk for the
+    large-state operators at 100 TB (session windows over millions of
+    users, dedup keys over a day's events). RocksDB spills state to
+    local disk with incremental checkpointing; this context flips
+    ``spark.sql.streaming.stateStore.providerClass`` for queries
+    STARTED inside it (the provider is bound per query at first
+    checkpoint, so already-running queries are unaffected)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, ROCKSDB_STATE_STORE_PROVIDER)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

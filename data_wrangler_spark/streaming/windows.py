@@ -17,7 +17,9 @@ built on Structured Streaming semantics:
 
 Scale notes: streaming state (session windows, dedup keys) lives in
 the state store — at scale use the RocksDB provider
-(`spark.sql.streaming.stateStore.providerClass`) and watermark delays
+(`session.rocksdb_state_store` flips
+`spark.sql.streaming.stateStore.providerClass`; drop-in equality is
+pinned in tests/test_streaming.py) and watermark delays
 tight enough to bound state; `spark.sql.shuffle.partitions` fixes the
 state-store shard count at the first run of a checkpoint.
 """

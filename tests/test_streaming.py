@@ -124,3 +124,27 @@ def test_stream_left_join_matches_and_proven_nonconversions(spark, sf_dir):
         assert not any(
             vts <= pts <= vts + timedelta(minutes=30) for pts in by_user.get(u, [])
         ), f"user {u} view {vts} actually converted"
+
+
+def test_stateful_stream_under_rocksdb_provider(spark, sf_dir):
+    """The RocksDB state store must be a drop-in: the same stateful
+    query (watermarked tumbling agg over a real two-batch stream)
+    returns identical rows under it — the provider only changes WHERE
+    state lives, never results. This is the config path large-state
+    streams use at scale instead of the on-heap default."""
+    from data_wrangler_spark.session import rocksdb_state_store
+
+    baseline = {
+        (r.w_start, r.w_end, r.event_type): (r.n_events, r.total_value)
+        for r in REGISTRY["q_stream_watermark"].run(spark, sf_dir).collect()
+    }
+    with rocksdb_state_store(spark):
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            .endswith("RocksDBStateStoreProvider")
+        )
+        under_rocks = {
+            (r.w_start, r.w_end, r.event_type): (r.n_events, r.total_value)
+            for r in REGISTRY["q_stream_watermark"].run(spark, sf_dir).collect()
+        }
+    assert under_rocks == baseline and len(baseline) > 0
