@@ -1,0 +1,63 @@
+"""Dynamic operator-plugin loading — the reference's extension surface.
+
+The reference extends its gateway by loading plugin modules at config
+time: `require('./plugins/' + pname)` (`/root/reference/index.js:
+140-157`), each plugin exporting `auth` + `routes`
+(`/root/reference/plugins/salesforce.js:11-14`). The Spark-native
+mirror loads a Python module — by dotted import path or by .py file
+path — and hands it the engine's `register` decorator so it can add
+named queries (with oracles, tags, defaults) to the same registry the
+built-in operators use. A plugin's queries are first-class: they show
+up in `Engine.names()`, `__spark_entry__.queries()`, and the
+correctness harness like any other operator.
+
+Auth (the other half of the reference's plugin contract) is declared
+out of analytic scope with the rest of G7/G8 (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import importlib
+import importlib.util
+import os
+import sys
+
+from data_wrangler_spark.registry import REGISTRY, register
+
+
+class PluginError(ValueError):
+    """Module not loadable, or it lacks the register_queries hook."""
+
+
+def load_plugin(module_or_path: str) -> list[str]:
+    """Load one plugin and return the query names it registered.
+
+    ``module_or_path`` is a dotted module path (``my_pkg.my_plugin``)
+    or a filesystem path to a ``.py`` file. The module must expose
+    ``register_queries(register)`` taking the engine's register
+    decorator. Name collisions with existing queries raise (the
+    registry already enforces uniqueness), so a plugin cannot
+    silently shadow a built-in operator.
+    """
+    if module_or_path.endswith(".py") and os.path.exists(module_or_path):
+        mod_name = f"dws_plugin_{os.path.splitext(os.path.basename(module_or_path))[0]}"
+        spec = importlib.util.spec_from_file_location(mod_name, module_or_path)
+        if spec is None or spec.loader is None:
+            raise PluginError(f"cannot load plugin file: {module_or_path!r}")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[mod_name] = mod
+        spec.loader.exec_module(mod)
+    else:
+        try:
+            mod = importlib.import_module(module_or_path)
+        except ImportError as e:
+            raise PluginError(f"cannot import plugin {module_or_path!r}: {e}") from e
+
+    hook = getattr(mod, "register_queries", None)
+    if not callable(hook):
+        raise PluginError(
+            f"plugin {module_or_path!r} has no register_queries(register) hook"
+        )
+    before = set(REGISTRY)
+    hook(register)
+    return sorted(set(REGISTRY) - before)
