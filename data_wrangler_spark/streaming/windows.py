@@ -368,7 +368,30 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(joined, "q_stream_join")
 
 
-@register("q_stream_left_join", tags=("stream", "join"))  # rows-only: emission semantics
+@register(
+    "q_stream_left_join",
+    oracle="""
+    WITH v AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'view'),
+    p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM p))
+                  - INTERVAL 40 MINUTE AS w),
+    m AS (
+      SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+             v.user_id, v.ts AS view_ts, p.ts AS purchase_ts
+      FROM v JOIN p ON v.user_id = p.user_id
+                   AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE)
+    SELECT view_id, purchase_id, user_id, view_ts, purchase_ts FROM m
+    UNION ALL
+    SELECT v.event_id, CAST(NULL AS BIGINT), v.user_id, v.ts,
+           CAST(NULL AS TIMESTAMP)
+    FROM v
+    WHERE v.event_id NOT IN (SELECT view_id FROM m)
+      AND v.ts + INTERVAL 30 MINUTE <= (SELECT w FROM wm)
+    """,
+    tags=("stream", "join"),
+)
 def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER stream-stream interval join: every view, paired
     with each purchase by the same user within the next 30 minutes,
@@ -376,12 +399,15 @@ def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     still arrive. This is the semantics inner joins can't express —
     'did NOT convert' is only decidable after the watermark passes
     view_ts + 30min, so null rows emit late, from evicted state.
-    Views too close to the end of input stay withheld (their
-    no-match proof never completes) — emission semantics, hence
-    rows-only + pytest pins: matched rows ≡ the inner join's set,
-    and every null row truly has no purchase in its window. Scale
-    notes are q_stream_join's: state bounded to the watermark
-    horizon per side, shuffled once on user_id."""
+    The emission is deterministic AND SQL-expressible: matches are
+    the full inner-join set, and with availableNow + no-data-batch
+    finalization the terminal watermark is
+    min(max view_ts, max purchase_ts) - 40min, so the emitted null
+    rows are exactly the unmatched views whose no-match proof
+    completed (view_ts + 30min ≤ that bound) — views closer to the
+    end of input stay withheld, which the oracle's predicate
+    reproduces. Scale notes are q_stream_join's: state bounded to
+    the watermark horizon per side, shuffled once on user_id."""
     base, ev = _staged_events(spark, sf_dir, "slj", split_frac=0.7)
 
     def side(event_type: str, alias: str) -> DataFrame:
