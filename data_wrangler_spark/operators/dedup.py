@@ -543,6 +543,15 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+    # The candidate table is tiny in BYTES but each row costs an
+    # array_intersect over ~|doc| shingles in the verify stage — AQE's
+    # byte-based coalescing would funnel that CPU-bound work into 1-2
+    # tasks (measured single-task verify at sf0.1). An explicit fixed-
+    # width repartition keeps the verify spread across the cluster;
+    # the width tracks the session shuffle setting, so at 100 TB it is
+    # the data-path width, not a constant.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cand = cand.repartition(n_part, "doc_a")
     sa = sh.select(
         F.col("doc_id").alias("doc_a"),
         F.col("shingles").alias("sh_a"),
