@@ -480,3 +480,125 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.col("w"), F.col("start_tok") + 1, F.lit(CHUNK_TOKENS)), " "
         ).alias("chunk_text"),
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("join", "scan", "merge")  # fixture mid-frequency tokens
+
+
+def _sql_bm25_term(i: int, term: str) -> str:
+    """DuckDB per-term idf_micro * tfnorm_micro, operand chain
+    IDENTICAL to the Spark side (see q_bm25)."""
+    idf = (
+        f"CAST(floor(CAST(CAST(ln((g.n_docs - g.df{i} + 0.5) / (g.df{i} + 0.5) + 1) "
+        f"AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT)"
+    )
+    tfn = (
+        f"CAST(floor(CAST(b.tf{i} AS DOUBLE) * {BM25_K1 + 1} / "
+        f"(CAST(b.tf{i} AS DOUBLE) + {BM25_K1} * ({1 - BM25_B} + {BM25_B} * "
+        f"(CAST(b.dl AS DOUBLE) * CAST(g.n_docs AS DOUBLE) / CAST(g.sum_dl AS DOUBLE)))) "
+        f"* 1000000) AS BIGINT)"
+    )
+    return f"({idf} * {tfn})"
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n             ".join(
+        f"CAST(len(list_filter(w, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    score = " + ".join(_sql_bm25_term(i, t) for i, t in enumerate(BM25_TERMS))
+    return f"""
+    WITH d AS (SELECT doc_id, {sql_words('text')} AS w FROM documents),
+    b AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+             {tf_cols}
+          FROM d),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS BIGINT) AS sum_dl, {df_cols} FROM b)
+    SELECT b.doc_id, {score} AS score_micro
+    FROM b, g
+    WHERE {score} > 0
+    """
+
+
+@register("q_bm25", oracle=_bm25_oracle(), tags=("llm", "text", "retrieval"))
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring of every document against a fixed term
+    set — the retrieval primitive (Robertson/Lucene idf variant:
+    ln((N - df + ½)/(df + ½) + 1)) a training-data pipeline uses for
+    corpus triage and hard-negative mining. One scan computes per-doc
+    tf/dl as array expressions; corpus stats (N, Σdl, per-term df)
+    are ONE 1-row aggregate broadcast back — no second scan, no
+    driver collect. Exactness: ln squeezes through float32 (the
+    q_entropy parity guard) then everything is integer micro-units;
+    the tf-normalization double chain is operand-for-operand
+    identical in the oracle, so scores hash-match bit-for-bit.
+    At 100 TB this is a scan + a broadcast — no shuffle of the
+    corpus at all."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words("text").alias("w")
+    )
+    def tf_of(term: str):
+        # factory keeps the filter lambda 1-arg (a t=t default would
+        # make PySpark treat it as an (element, index) lambda)
+        return F.size(F.filter("w", lambda x: x == F.lit(term))).cast("long")
+
+    b = d.select(
+        "doc_id",
+        F.size("w").cast("long").alias("dl"),
+        *[tf_of(t).alias(f"tf{i}") for i, t in enumerate(BM25_TERMS)],
+    )
+    g = b.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).cast("long").alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    j = b.crossJoin(F.broadcast(g))
+
+    def term_score(i: int) -> F.Column:
+        idf = (
+            F.floor(
+                F.log(
+                    (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5))
+                    / (F.col(f"df{i}") + F.lit(0.5))
+                    + F.lit(1)
+                )
+                .cast("float")
+                .cast("double")
+                * 1_000_000
+            )
+        ).cast("long")
+        tfn = (
+            F.floor(
+                F.col(f"tf{i}").cast("double")
+                * F.lit(BM25_K1 + 1)
+                / (
+                    F.col(f"tf{i}").cast("double")
+                    + F.lit(BM25_K1)
+                    * (
+                        F.lit(1 - BM25_B)
+                        + F.lit(BM25_B)
+                        * (
+                            F.col("dl").cast("double")
+                            * F.col("n_docs").cast("double")
+                            / F.col("sum_dl").cast("double")
+                        )
+                    )
+                )
+                * 1_000_000
+            )
+        ).cast("long")
+        return idf * tfn
+
+    score = sum((term_score(i) for i in range(len(BM25_TERMS))), F.lit(0).cast("long"))
+    return j.select("doc_id", score.alias("score_micro")).filter(
+        F.col("score_micro") > 0
+    )

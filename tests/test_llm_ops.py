@@ -314,3 +314,27 @@ def test_jaccard_df_cap_drops_hot_shingle(spark, tmp_path):
     }
     # hot-shingle-only docs produce no pairs at all
     assert got == {(90001, 90002): pytest.approx(1 / 3)}
+
+
+def test_bm25_scores_only_term_bearing_docs(spark, sf_dir):
+    """Every scored doc contains at least one query term; every doc
+    containing a term is scored; idf/tf-norm components are positive."""
+    from pyspark.sql import functions as F
+
+    from data_wrangler_spark.catalog import load_table
+    from data_wrangler_spark.functions.text import words
+    from data_wrangler_spark.operators.text_analysis import BM25_TERMS, q_bm25
+
+    scored = {r.doc_id: r.score_micro for r in q_bm25(spark, sf_dir).collect()}
+    assert scored and all(v > 0 for v in scored.values())
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", words("text").alias("w")
+    )
+    has_term = {
+        r.doc_id
+        for r in d.filter(
+            F.arrays_overlap("w", F.array(*[F.lit(t) for t in BM25_TERMS]))
+        ).collect()
+    }
+    assert set(scored) == has_term
