@@ -240,3 +240,49 @@ def q_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_spend"),
     )
+
+
+@register(
+    "q_join_range_bucketed",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, c.c_custkey, c.c_acctbal
+    FROM supplier s JOIN customer c
+      ON c.c_acctbal BETWEEN s.s_acctbal - 100 AND s.s_acctbal
+    """,
+    tags=("ext", "join", "range"),
+)
+def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RANGE JOIN SCALE PATH, demonstrated: identical semantics to
+    q_join_range (its oracle is the same SQL), but instead of the
+    broadcast-nested-loop O(n·m) plan, the interval predicate becomes
+    an equi-join. Each supplier's 100-wide window [s_acctbal-100,
+    s_acctbal] spans at most two width-100 bins, so the supplier side
+    explodes into those two bin keys (2× a dimension, not the fact),
+    both sides equi-join on the bin, and the exact BETWEEN predicate
+    remains as a residual filter. A pair can match in only one bin
+    (the customer's), so no dedup step is needed. At 100 TB this is
+    one co-partitioned shuffle on the bin key — the plan
+    broadcast-nested-loop cannot give you — with per-bin fan-out
+    bounded by the bin population, and skewed bins handled by AQE or
+    plans/skew.salted_join composed on the same key."""
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    sbin = F.floor(F.col("s_acctbal") / 100).cast("long")
+    s2 = s.select(
+        "s_suppkey",
+        "s_name",
+        "s_acctbal",
+        F.explode(F.array(sbin, sbin - 1)).alias("bk"),
+    )
+    c2 = c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.floor(F.col("c_acctbal") / 100).cast("long").alias("bk"),
+    )
+    return (
+        s2.join(c2, "bk")
+        .filter(
+            F.col("c_acctbal").between(F.col("s_acctbal") - 100, F.col("s_acctbal"))
+        )
+        .select("s_suppkey", "s_name", "c_custkey", "c_acctbal")
+    )

@@ -76,3 +76,18 @@ def test_q_join_skewed_plan_salts_hot_key(spark, sf_dir):
         r.c_custkey: (r.n_orders, round(r.total_spend, 2)) for r in plain.collect()
     }
     assert rows == expect
+
+
+def test_range_bucketed_equals_nested_loop_and_plans_hash_join(spark, sf_dir):
+    """The bucketized range join must return exactly the nested-loop
+    join's rows while planning as an equi (hash) join, not BNLJ."""
+    from data_wrangler_spark.operators.joins import (
+        q_join_range,
+        q_join_range_bucketed,
+    )
+
+    a = sorted(map(tuple, q_join_range(spark, sf_dir).collect()))
+    b = sorted(map(tuple, q_join_range_bucketed(spark, sf_dir).collect()))
+    assert a == b and a
+    plan = q_join_range_bucketed(spark, sf_dir)._jdf.queryExecution().toString()
+    assert "HashJoin" in plan and "BroadcastNestedLoopJoin" not in plan
