@@ -371,3 +371,52 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey", "c_name", "total_spent", "n_orders")
     )
+
+
+@register(
+    "q_quantile_bins",
+    oracle="""
+    WITH t AS (
+      SELECT l_extendedprice,
+             NTILE(4) OVER (ORDER BY l_extendedprice, l_orderkey,
+                            l_linenumber) AS bin
+      FROM lineitem)
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(22,6))) AS DOUBLE)
+             AS total
+    FROM t GROUP BY 1
+    """,
+    tags=("ext", "stats", "window"),
+)
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-FREQUENCY binning — the quantile counterpart of
+    q_hist_value's fixed-width histogram: every price lands in one of
+    4 population-balanced bins, then per-bin count / bounds /
+    decimal-exact sum. A naive global NTILE is a one-task sort; this
+    runs TWO-PHASE over the raw rows (range partition on the full
+    unique order → broadcast per-partition offsets → positional
+    bucket arithmetic, functions/distributed.py), byte-identical to
+    the oracle's NTILE at any partition count. The pk tiebreak
+    (orderkey, linenumber) makes the order total, so bucket
+    boundaries are deterministic even among equal prices."""
+    from data_wrangler_spark.functions.distributed import (
+        ntile_from_position,
+        with_global_position,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    pos, n = with_global_position(
+        li, [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")]
+    )
+    binned = pos.withColumn("bin", ntile_from_position(F.col("_pos"), n, 4))
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+        F.sum(F.col("l_extendedprice").cast("decimal(22,6)"))
+        .cast("double")
+        .alias("total"),
+    )
