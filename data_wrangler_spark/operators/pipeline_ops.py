@@ -638,3 +638,69 @@ def q_mix_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("cap"))
         .select("doc_id", "lang", "source", "rk")
     )
+
+
+@register(
+    "q_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS (
+      SELECT doc_id, {sql_shingles_of('w', 3)} AS shingles
+      FROM (SELECT doc_id, {sql_words('text')} AS w FROM documents)),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sh sa ON sa.doc_id = i.doc_a
+      JOIN sh sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.n_inter AS DOUBLE)
+              / (len(sa.shingles) + len(sb.shingles) - i.n_inter)
+            >= {CLUSTER_THRESHOLD}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS label FROM documents
+      UNION
+      SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node),
+    comp AS (SELECT node AS doc_id, MIN(label) AS component
+             FROM reach GROUP BY node),
+    ranked AS (
+      SELECT c.doc_id, c.component, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rk
+      FROM comp c JOIN documents d USING (doc_id))
+    SELECT doc_id, component, n_chars, (rk = 1) AS keep
+    FROM ranked
+    """,
+    tags=("llm", "dedup"),
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION step of the dedup pipeline: after pair generation
+    (q_dedup_jaccard) and cluster resolution (q_dedup_cluster), keep
+    ONE document per near-dup cluster — the longest (n_chars, doc_id
+    tiebreak), the usual "best representative" policy — and mark the
+    rest for removal. Composition of already-verified stages: the
+    cluster labels come from the same iterative min-label propagation
+    (vs. the oracle's recursive-CTE closure), the keeper rank is a
+    per-component window over cluster-sized frames (no global sort).
+    Singleton docs keep themselves, so `WHERE keep` IS the deduped
+    corpus — the output a user materializes."""
+    from data_wrangler_spark.registry import REGISTRY
+
+    comp = REGISTRY["q_dedup_cluster"].run(spark, sf_dir).select(
+        "doc_id", "component"
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("component").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        comp.join(d, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .select("doc_id", "component", "n_chars", (F.col("rk") == 1).alias("keep"))
+    )
