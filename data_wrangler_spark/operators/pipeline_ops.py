@@ -704,3 +704,46 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .select("doc_id", "component", "n_chars", (F.col("rk") == 1).alias("keep"))
     )
+
+
+# Per-language keep rates (percent): downsample the dominant language,
+# keep the rest — the standard corpus re-balancing shape. Languages
+# not in the map keep the default rate.
+STRATA_RATES = {"en": 25, "zh": 80}
+STRATA_DEFAULT = 50
+
+
+def _strata_rate_sql() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(STRATA_RATES.items())
+    )
+    return f"CASE {cases} ELSE {STRATA_DEFAULT} END"
+
+
+@register(
+    "q_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE {_sql_md5_long("CAST(doc_id AS VARCHAR)", seed=7)} % 100
+          < ({_strata_rate_sql()})
+    """,
+    tags=("llm", "sampling"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: each language stratum keeps
+    its OWN rate (downsample dominant 'en' to 25%, keep 'zh' at 80%,
+    default 50%) — the corpus re-balancing primitive q_sample_hash's
+    single global rate cannot express. Same md5-threshold mechanism
+    (seeded differently, so the two samples are independent), so
+    membership is a pure scan-side predicate: reproducible on any
+    engine, no shuffle, no state, and a doc's fate never depends on
+    other rows — the property that lets a 100 TB sample re-run
+    incrementally on new partitions only. Rates live in one CASE
+    expression; both engines evaluate the identical predicate."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.lit(STRATA_DEFAULT)
+    for k, v in sorted(STRATA_RATES.items()):
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    keep = _md5_long(F.col("doc_id").cast("string"), seed=7) % 100 < rate
+    return d.filter(keep).select("doc_id", "lang", "source", "n_chars")
