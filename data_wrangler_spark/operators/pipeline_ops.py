@@ -389,25 +389,34 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
     ).localCheckpoint()
 
-    for _ in range(25):  # diameter bound; dedup graphs converge in ~3-5
-        prop = labels.join(edges, labels["node"] == edges["src"]).select(
-            F.col("dst").alias("node"), F.col("label")
-        )
-        new = (
-            labels.unionByName(prop)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
-        )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            break
+    from data_wrangler_spark.session import shuffle_width
+
+    # the per-iteration shuffles move a |docs|-sized keyspace; on a
+    # foreign session with default 200 shuffle partitions each round
+    # pays 200 near-empty tasks twice — clamp width to the keyspace
+    # (shuffle_width only ever narrows, so the 100 TB path is
+    # unaffected)
+    n_docs = labels.count()
+    with shuffle_width(spark, n_docs):
+        for _ in range(25):  # diameter bound; converges in ~3-5
+            prop = labels.join(edges, labels["node"] == edges["src"]).select(
+                F.col("dst").alias("node"), F.col("label")
+            )
+            new = (
+                labels.unionByName(prop)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint()
+            )
+            changed = (
+                new.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                break
     edges.unpersist()
 
     wc = Window.partitionBy("component")
