@@ -566,3 +566,64 @@ def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
           LIMIT 2) t
         """
     )
+
+
+@register(
+    "q_upsert_merge",
+    oracle="""
+    WITH changes AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(o_totalprice * 1.1 AS DOUBLE) AS o_totalprice,
+             o_orderdate, o_orderpriority, 'U' AS op
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM orders),
+             o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+             o_orderpriority, 'I' AS op
+      FROM orders WHERE o_orderkey % 13 = 0)
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM changes
+    UNION ALL
+    SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.o_totalprice,
+           b.o_orderdate, b.o_orderpriority
+    FROM orders b
+    WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+    """,
+    tags=("ext", "cdc", "merge"),
+)
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (SCD1 upsert snapshot) on plain Spark —
+    the apply step that pairs with q_scd2_intervals' history build: a
+    deterministic change feed (every 7th order updated with a 10%
+    price bump, every 13th re-keyed past the max key as an insert)
+    merges into the base so changed keys take the new row, new keys
+    append, untouched keys pass through. The plan is ONE left_anti
+    hash join on the key plus a union — exactly what a table-format
+    MERGE compiles to when the change feed is not broadcastable; at
+    100 TB both sides shuffle on o_orderkey and AQE picks the join
+    strategy. The driver-side max-key scalar the oracle computes in a
+    subquery comes from a 1-row aggregate cross-joined (broadcast),
+    not a collect."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ]
+    maxk = o.agg(F.max("o_orderkey").alias("max_k"))
+    updates = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_totalprice", (F.col("o_totalprice") * 1.1).cast("double"))
+        .select(*cols)
+    )
+    inserts = (
+        o.filter(F.col("o_orderkey") % 13 == 0)
+        .crossJoin(F.broadcast(maxk))
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("max_k"))
+        .select(*cols)
+    )
+    changes = updates.unionByName(inserts)
+    untouched = o.select(*cols).join(
+        changes.select("o_orderkey"), "o_orderkey", "left_anti"
+    )
+    return changes.unionByName(untouched)
