@@ -174,18 +174,47 @@ def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_approx_distinct", tags=("ext", "agg", "approx"))  # rows-only: HLL≠exact
+@register(
+    "q_agg_approx_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers_exact,
+           TRUE                                      AS approx_within_bound,
+           CAST(COUNT(*) AS BIGINT)                  AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("ext", "agg", "approx"),
+)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate — the scale path for distinct
-    counting (no Expand, mergeable sketches, bounded memory). Oracle
-    omitted by contract: DuckDB's approx_count_distinct uses a
-    different sketch; driver records rows-only."""
+    counting (no Expand, mergeable sketches, bounded memory).
+
+    DuckDB's approx_count_distinct uses a different sketch, so the
+    raw estimate can't cross-check; instead the query verifies the
+    sketch's accuracy CONTRACT exactly: it computes both the HLL
+    estimate (rsd=0.02) and the exact distinct count, and returns the
+    exact count plus a boolean asserting |approx-exact| ≤ 5·rsd·exact.
+    The oracle replays the exact count and pins the flag TRUE — a
+    hash-matchable check that still exercises the approx operator.
+    """
+    bound = 5 * 0.02
     return (
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_customers_approx"),
+            F.countDistinct("o_custkey").alias("n_customers_exact"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("_approx"),
             F.count("*").alias("n_orders"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_customers_exact",
+            (
+                F.abs(F.col("_approx") - F.col("n_customers_exact"))
+                <= F.lit(bound) * F.col("n_customers_exact")
+            ).alias("approx_within_bound"),
+            "n_orders",
         )
     )
 

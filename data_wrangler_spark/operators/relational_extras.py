@@ -124,17 +124,58 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_approx_percentile", tags=("ext", "agg", "approx"))  # rows-only: GK sketch ≠ t-digest
+@register(
+    "q_agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5)       AS median_qty_exact,
+           TRUE                                 AS median_in_rank_band,
+           quantile_cont(l_extendedprice, 0.9)  AS p90_price_exact,
+           TRUE                                 AS p90_in_rank_band
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("ext", "agg", "approx"),
+)
 def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles (Greenwald–Khanna sketch) — the 100 TB
     path for q_agg_percentile: mergeable, bounded-memory, no per-group
-    sort. DuckDB's approx_quantile is a different sketch (t-digest),
-    so the check is rows-only; tests/test_approx.py bounds the error
-    against the exact percentiles instead."""
+    sort.
+
+    DuckDB's approx_quantile is a different sketch (t-digest), so the
+    raw estimate can't cross-check; instead the query verifies GK's
+    rank-error CONTRACT exactly: accuracy=10000 guarantees the
+    returned value sits within ±1/10000 rank of the target, so it
+    must lie inside the exact [q-0.01, q+0.01] value band (100× the
+    guaranteed slack). The query computes both the sketch estimate
+    and the exact band per group and returns the exact percentile
+    plus the in-band boolean; the oracle replays the exact percentile
+    and pins the flag TRUE — hash-matchable, still exercising GK.
+    """
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_quantity", 0.5, 10000).alias("median_qty_approx"),
-        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90_price_approx"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.5).alias("median_qty_exact"),
+            F.percentile_approx("l_quantity", 0.5, 10000).alias("_med_a"),
+            F.percentile("l_quantity", 0.49).alias("_med_lo"),
+            F.percentile("l_quantity", 0.51).alias("_med_hi"),
+            F.percentile("l_extendedprice", 0.9).alias("p90_price_exact"),
+            F.percentile_approx("l_extendedprice", 0.9, 10000).alias("_p90_a"),
+            F.percentile("l_extendedprice", 0.89).alias("_p90_lo"),
+            F.percentile("l_extendedprice", 0.91).alias("_p90_hi"),
+        )
+        .select(
+            "l_returnflag",
+            "median_qty_exact",
+            F.col("_med_a").between(F.col("_med_lo"), F.col("_med_hi")).alias(
+                "median_in_rank_band"
+            ),
+            "p90_price_exact",
+            F.col("_p90_a").between(F.col("_p90_lo"), F.col("_p90_hi")).alias(
+                "p90_in_rank_band"
+            ),
+        )
     )
 
 
