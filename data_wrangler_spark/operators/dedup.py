@@ -422,6 +422,105 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.filter(F.col("jaccard") >= 0.05).select("doc_a", "doc_b", "jaccard")
 
 
+CONTAIN_T = 0.5  # containment threshold (|A∩B| / |A|)
+
+
+@register(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH sh0 AS (
+      SELECT doc_id, {sql_shingles_of('w', 3)} AS shingles
+      FROM (SELECT doc_id, {sql_words('text')} AS w FROM documents)),
+    ex0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh0),
+    hot AS (
+      SELECT shingle FROM (
+        SELECT shingle, COUNT(*) AS df FROM ex0 GROUP BY 1)
+      WHERE df > {JACCARD_DF_CAP}),
+    ex AS (SELECT doc_id, shingle FROM ex0
+           WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+              FROM ex GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    dirs AS (
+      SELECT i.doc_a AS doc_sub, i.doc_b AS doc_super,
+             CAST(i.n_inter AS DOUBLE) / sa.n_sh AS containment
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      UNION ALL
+      SELECT i.doc_b AS doc_sub, i.doc_a AS doc_super,
+             CAST(i.n_inter AS DOUBLE) / sb.n_sh AS containment
+      FROM inter i
+      JOIN sizes sb ON sb.doc_id = i.doc_b)
+    SELECT doc_sub, doc_super, containment
+    FROM dirs WHERE containment >= {CONTAIN_T}
+    """,
+    tags=("llm", "dedup"),
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT (|A∩B| / |A|) — the subset-
+    document detector Jaccard structurally misses: a paragraph quoted
+    inside a 100× longer page has tiny Jaccard (union is huge) but
+    containment ≈ 1 from the short side. Directional by definition,
+    so each undirected intersection row fans into both (sub, super)
+    orientations and is thresholded against the CONTAINED side's
+    size. Same scale armor as q_dedup_jaccard: hot-shingle df cap as
+    an in-DAG anti-join (no driver collect), intersections via one
+    shingle-keyed equi-join with a < b (each pair counted once), and
+    the per-doc size table broadcast onto the pair stream. The
+    direction fan-out is a map-side select-union — no extra shuffle.
+    """
+    from pyspark import StorageLevel
+
+    from data_wrangler_spark.functions.text import words
+
+    d = load_table(spark, sf_dir, "documents")
+    sh0 = d.select("doc_id", words("text").alias("w")).select(
+        "doc_id", shingles_from_words(F.col("w"), 3).alias("shingles")
+    )
+    # persist: the explode child re-evaluates per element otherwise
+    # (see q_dedup_jaccard) and the table feeds df-cap + join sides
+    sh0 = pin(sh0.persist(StorageLevel.MEMORY_AND_DISK))
+    hot_df = (
+        sh0.select(F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > JACCARD_DF_CAP)
+        .select("shingle")
+    )
+    ex = pin(
+        sh0.select("doc_id", F.explode("shingles").alias("shingle"))
+        .join(hot_df, "shingle", "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = ex.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = ex.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    paired = inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+    fwd = paired.select(
+        F.col("doc_a").alias("doc_sub"),
+        F.col("doc_b").alias("doc_super"),
+        (F.col("n_inter").cast("double") / F.col("n_a")).alias("containment"),
+    )
+    rev = paired.select(
+        F.col("doc_b").alias("doc_sub"),
+        F.col("doc_a").alias("doc_super"),
+        (F.col("n_inter").cast("double") / F.col("n_b")).alias("containment"),
+    )
+    return fwd.unionAll(rev).filter(F.col("containment") >= CONTAIN_T)
+
+
 @register(
     "q_dedup_embed",
     oracle=f"""

@@ -1,0 +1,208 @@
+"""Format round-trips and snapshot diffing.
+
+The reference gateway serves rows as JSON over HTTP and delegates all
+storage to its backends (`/root/reference/index.js:431-492`); a Spark
+engine owns its sinks, so the interchange formats are first-class
+operators here:
+
+- q_csv_roundtrip / q_jsonl_roundtrip: write a deterministic
+  projection to CSV / JSON-lines in scratch, read it back with an
+  explicit schema, and return the row set. The oracle computes the
+  same projection straight from parquet — a hash match proves the
+  sink+source pair lost nothing, row by row.
+- q_cdc_diff: change-data-capture between two snapshots (full outer
+  join on the primary key → insert/update/delete classification) —
+  the standard incremental-pipeline primitive.
+
+Exactness: everything that crosses a text format is integers or
+strings (prices in cents, timestamps formatted once on the parquet
+side), so no float-printing round-trip can diverge. Scale: the writes
+shard per partition (one file per task, no coalesce(1)); the CDC join
+is a single co-partitioned shuffle on the key with no skew (pk is
+unique on both sides).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from data_wrangler_spark.catalog import load_table
+from data_wrangler_spark.registry import register
+
+_IO_SCRATCH = "/root/repo/.scratch/io"
+
+# Shared projection: text-safe orders rows (cents + ISO date string).
+_ORDERS_TEXT_ORACLE = """
+    SELECT o_orderkey,
+           o_orderstatus,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM orders
+"""
+
+
+def _orders_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("price_cents"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+    )
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(sf_dir.rstrip("/"))
+
+
+@register(
+    "q_csv_roundtrip",
+    oracle=_ORDERS_TEXT_ORACLE,
+    tags=("ext", "source", "sink"),
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source round-trip: the orders projection is written
+    once per sf as sharded CSV (header, one file per task — never
+    coalesce(1); at 100 TB the write parallelism IS the read
+    parallelism), then read back with an explicit schema (no
+    inferSchema — that is a full extra pass at scale). The returned
+    rows come from the CSV files; the oracle reads parquet directly,
+    so the hash match certifies the text round-trip row-for-row."""
+    path = f"{_IO_SCRATCH}/{_sf_tag(sf_dir)}/orders_csv"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        _orders_text(spark, sf_dir).write.mode("overwrite").option(
+            "header", True
+        ).csv(path)
+    schema = (
+        "o_orderkey long, o_orderstatus string, price_cents long, order_date string"
+    )
+    return spark.read.schema(schema).option("header", True).csv(path)
+
+
+@register(
+    "q_jsonl_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS value_micro,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+    """,
+    tags=("ext", "source", "sink"),
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source round-trip over events, including a
+    nested-JSON hop: the original `props` JSON string is carried
+    through the jsonl file and parsed AFTER the round-trip
+    (get_json_object on the re-read side), so the check covers both
+    the line format and the nested extraction. Explicit read schema;
+    sharded files; value quantized to micro-units before the write so
+    no double ever meets a text format."""
+    path = f"{_IO_SCRATCH}/{_sf_tag(sf_dir)}/events_jsonl"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        ev = load_table(spark, sf_dir, "events")
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.floor(F.col("value") * 1_000_000 + 0.5)
+            .cast("long")
+            .alias("value_micro"),
+            "props",
+        ).write.mode("overwrite").json(path)
+    schema = (
+        "event_id long, user_id long, event_type string, "
+        "value_micro long, props string"
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value_micro",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+
+
+# CDC fixture: two deterministic snapshots derived from orders.
+#   A = orders before 1996-07-01
+#   B = orders before 1997-07-01, minus keys ≡ 3 (mod 97)  [deletes]
+#       with +500 cents on keys ≡ 0 (mod 10)               [updates]
+_CDC_SNAP_A = """
+      SELECT o_orderkey AS pk,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderdate < TIMESTAMP '1996-07-01'
+"""
+_CDC_SNAP_B = """
+      SELECT o_orderkey AS pk,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+               + CASE WHEN o_orderkey % 10 = 0 THEN 500 ELSE 0 END AS cents
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-07-01' AND o_orderkey % 97 <> 3
+"""
+
+
+@register(
+    "q_cdc_diff",
+    oracle=f"""
+    WITH a AS ({_CDC_SNAP_A}),
+         b AS ({_CDC_SNAP_B})
+    SELECT coalesce(a.pk, b.pk) AS pk,
+           CASE WHEN a.pk IS NULL THEN 'I'
+                WHEN b.pk IS NULL THEN 'D'
+                ELSE 'U' END AS change_type,
+           a.cents AS old_cents,
+           b.cents AS new_cents
+    FROM a FULL OUTER JOIN b ON a.pk = b.pk
+    WHERE a.pk IS NULL OR b.pk IS NULL OR a.cents <> b.cents
+    """,
+    tags=("ext", "cdc"),
+)
+def q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot CDC: classify every key as Insert / Update / Delete
+    between two table versions via one full outer join on the primary
+    key. Both snapshots derive deterministically from orders (a later
+    cutoff adds inserts; a modular key filter injects deletes; a cent
+    bump injects updates) so the diff is exactly reproducible. Scale:
+    pk is unique per side → the join is a skew-free co-partitioned
+    shuffle; unchanged rows are dropped BEFORE the result
+    materializes (the common case at 100 TB — most of the table is
+    unchanged, and it never leaves the join stage). This is the batch
+    complement of the MERGE apply step (q_upsert_merge)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    snap_a = o.filter(F.col("o_orderdate") < "1996-07-01").select(
+        F.col("o_orderkey").alias("pk"), cents.alias("cents")
+    )
+    snap_b = (
+        o.filter(
+            (F.col("o_orderdate") < "1997-07-01") & (F.col("o_orderkey") % 97 != 3)
+        )
+        .select(
+            F.col("o_orderkey").alias("pk"),
+            (
+                cents
+                + F.when(F.col("o_orderkey") % 10 == 0, F.lit(500)).otherwise(0)
+            ).alias("cents"),
+        )
+    )
+    a = snap_a.select(F.col("pk").alias("pk_a"), F.col("cents").alias("old_cents"))
+    b = snap_b.select(F.col("pk").alias("pk_b"), F.col("cents").alias("new_cents"))
+    j = a.join(b, a.pk_a == b.pk_b, "full_outer")
+    return (
+        j.filter(
+            F.col("pk_a").isNull()
+            | F.col("pk_b").isNull()
+            | (F.col("old_cents") != F.col("new_cents"))
+        )
+        .select(
+            F.coalesce("pk_a", "pk_b").alias("pk"),
+            F.when(F.col("pk_a").isNull(), "I")
+            .when(F.col("pk_b").isNull(), "D")
+            .otherwise("U")
+            .alias("change_type"),
+            "old_cents",
+            "new_cents",
+        )
+    )

@@ -278,6 +278,82 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cooccurrence_pmi",
+    oracle=f"""
+    WITH w AS (SELECT {sql_words('text')} AS w FROM documents),
+    g AS (SELECT unnest({sql_bigrams_of('w')}) AS gram FROM w),
+    big AS (
+      SELECT string_split(gram, ' ')[1] AS w1,
+             string_split(gram, ' ')[2] AS w2,
+             CAST(COUNT(*) AS BIGINT) AS c12
+      FROM g GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(c12) AS BIGINT) AS t FROM big),
+    m1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM big GROUP BY 1),
+    m2 AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM big GROUP BY 1)
+    SELECT b.w1, b.w2, b.c12,
+           CAST(floor(CAST(CAST(
+             ln(CAST(b.c12 AS DOUBLE) * tot.t / (m1.c1 * m2.c2))
+           AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT) AS pmi_micro
+    FROM big b
+    JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN tot
+    WHERE b.c12 >= {NGRAM_MIN_COUNT}
+    """,
+    tags=("llm", "text"),
+)
+def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over adjacent word pairs — the
+    collocation / phrase-mining statistic (PMI = ln(p(w1,w2) /
+    (p(w1)·p(w2)))), computed as ln(c12·T / (c1·c2)) on exact 64-bit
+    counts. Both marginals and the total derive from the ONE bigram
+    aggregate (a single corpus pass); the integer products stay under
+    2^53 so the double ratio is bit-identical cross-engine, and ln
+    squeezes through float32 (the q_entropy parity guard) before
+    micro flooring. Scale: the marginal tables have vocabulary
+    cardinality — broadcast joins onto the bigram table; the 1-row
+    total is a broadcast cross join; nothing reshuffles the corpus.
+    """
+    from pyspark import StorageLevel
+
+    d = load_table(spark, sf_dir, "documents").select(words("text").alias("w"))
+    g = d.select(F.explode(bigrams_from_words(F.col("w"))).alias("gram"))
+    big = pin(
+        g.select(
+            F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("gram"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = big.agg(F.sum("c12").alias("t"))
+    m1 = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    m2 = big.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    return (
+        big.filter(F.col("c12") >= NGRAM_MIN_COUNT)
+        .join(F.broadcast(m1), "w1")
+        .join(F.broadcast(m2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.floor(
+                F.log(
+                    F.col("c12").cast("double")
+                    * F.col("t")
+                    / (F.col("c1") * F.col("c2"))
+                )
+                .cast("float")
+                .cast("double")
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+
+
+@register(
     "q_mix_temperature",
     oracle=f"""
     WITH n AS (

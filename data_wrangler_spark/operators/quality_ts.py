@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from data_wrangler_spark.catalog import load_table
+from data_wrangler_spark.functions.distributed import pin
 from data_wrangler_spark.operators.aggregates import _osum, dsum
 from data_wrangler_spark.registry import register
 
@@ -362,6 +363,119 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BASKET_TOP_N)
         .select("part_a", "part_b", "n_orders")
     )
+
+
+RULE_MIN_SUPPORT = 3  # a-priori support floor (orders containing the pair)
+
+
+@register(
+    "q_assoc_rules",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_tx FROM items),
+    supp AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS s
+      FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {RULE_MIN_SUPPORT}),
+    rules AS (
+      SELECT part_a AS antecedent, part_b AS consequent, n_ab FROM pairs
+      UNION ALL
+      SELECT part_b AS antecedent, part_a AS consequent, n_ab FROM pairs),
+    scored AS (
+      SELECT r.antecedent, r.consequent, r.n_ab,
+             sa.s AS supp_ante,
+             CAST(floor(CAST(r.n_ab AS DOUBLE) * 1000000 / sa.s) AS BIGINT)
+               AS conf_micro,
+             CAST(floor(CAST(r.n_ab * n.n_tx AS DOUBLE) * 1000000
+                        / (sa.s * sc.s)) AS BIGINT) AS lift_micro
+      FROM rules r
+      JOIN supp sa ON sa.l_partkey = r.antecedent
+      JOIN supp sc ON sc.l_partkey = r.consequent
+      CROSS JOIN n),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY lift_micro DESC, antecedent, consequent) AS rk
+      FROM scored)
+    SELECT antecedent, consequent, n_ab, supp_ante, conf_micro, lift_micro
+    FROM ranked WHERE rk <= {BASKET_TOP_N}
+    """,
+    tags=("ext", "behavioral"),
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (A → B) from order baskets: support-floored
+    pair counts fan into both directions, then confidence
+    (n_ab / supp(A)) and lift (n_ab·N / (supp(A)·supp(B))) in exact
+    integer micro-units — every operand is a 64-bit count whose
+    products stay under 2^53, so the floored double division is
+    bit-identical cross-engine, no float comparison anywhere. Scale:
+    the a-priori support floor (HAVING) cuts the pair table BEFORE
+    the direction fan-out and scoring joins; supports are
+    value-domain-sized → broadcast; the top-N plans as
+    TakeOrderedAndProject. The pair self-join hashes on l_orderkey,
+    bounded by per-order basket width like q_basket_pairs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = pin(li.select("l_orderkey", "l_partkey").distinct().persist())
+    n_tx = items.select(F.countDistinct("l_orderkey").alias("n_tx"))
+    supp = items.groupBy("l_partkey").agg(F.count("*").alias("s"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= RULE_MIN_SUPPORT)
+    )
+    rules = pairs.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "n_ab",
+    ).unionAll(
+        pairs.select(
+            F.col("part_b").alias("antecedent"),
+            F.col("part_a").alias("consequent"),
+            "n_ab",
+        )
+    )
+    sa = supp.select(F.col("l_partkey").alias("antecedent"), F.col("s").alias("supp_ante"))
+    sc = supp.select(F.col("l_partkey").alias("consequent"), F.col("s").alias("supp_cons"))
+    scored = (
+        rules.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sc), "consequent")
+        .crossJoin(F.broadcast(n_tx))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            "supp_ante",
+            F.floor(F.col("n_ab").cast("double") * 1_000_000 / F.col("supp_ante"))
+            .cast("long")
+            .alias("conf_micro"),
+            F.floor(
+                (F.col("n_ab") * F.col("n_tx")).cast("double")
+                * 1_000_000
+                / (F.col("supp_ante") * F.col("supp_cons"))
+            )
+            .cast("long")
+            .alias("lift_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift_micro").desc(), "antecedent", "consequent"
+    ).limit(BASKET_TOP_N)
 
 
 @register(

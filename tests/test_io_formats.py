@@ -1,0 +1,79 @@
+"""Round-trip sinks, CDC diff, and the round-3 analytics additions
+(PMI co-occurrence, containment dedup, association rules)."""
+
+from pyspark.sql import functions as F
+
+from data_wrangler_spark import REGISTRY
+from data_wrangler_spark.catalog import load_table
+
+
+def test_csv_roundtrip_preserves_every_row(spark, sf_dir):
+    back = REGISTRY["q_csv_roundtrip"].run(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    assert back.count() == orders.count()
+    # spot-check one row's values survived the text hop
+    src = orders.orderBy("o_orderkey").limit(1).collect()[0]
+    got = back.filter(F.col("o_orderkey") == src.o_orderkey).collect()[0]
+    assert got.price_cents == int(src.o_totalprice * 100 + 0.5)
+    assert got.order_date == src.o_orderdate.strftime("%Y-%m-%d")
+
+
+def test_jsonl_roundtrip_parses_nested_prop(spark, sf_dir):
+    back = REGISTRY["q_jsonl_roundtrip"].run(spark, sf_dir)
+    assert back.count() == load_table(spark, sf_dir, "events").count()
+    # prop_k parsed AFTER the round-trip must be non-null everywhere
+    assert back.filter(F.col("prop_k").isNull()).count() == 0
+
+
+def test_cdc_diff_classifies_consistently(spark, sf_dir):
+    diff = REGISTRY["q_cdc_diff"].run(spark, sf_dir)
+    rows = diff.collect()
+    assert rows, "fixture windows should produce changes"
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.change_type, []).append(r)
+    # inserts have no old image, deletes no new image, updates both
+    assert all(r.old_cents is None and r.new_cents is not None for r in by_type["I"])
+    assert all(r.old_cents is not None and r.new_cents is None for r in by_type["D"])
+    assert all(
+        r.old_cents is not None and r.new_cents is not None and r.old_cents != r.new_cents
+        for r in by_type["U"]
+    )
+    # every update is exactly the +500-cent fixture bump on keys ≡ 0 (mod 10)
+    assert all(r.new_cents - r.old_cents == 500 and r.pk % 10 == 0 for r in by_type["U"])
+
+
+def test_cooccurrence_pmi_marginal_identity(spark, sf_dir):
+    pmi = REGISTRY["q_cooccurrence_pmi"].run(spark, sf_dir)
+    rows = pmi.collect()
+    assert rows
+    # PMI of a pair that dominates both marginals is positive;
+    # sanity: micro values are bounded by ln(T)·1e6 in magnitude
+    import math
+
+    t_bound = math.log(10_000_000) * 1_000_000
+    assert all(abs(r.pmi_micro) < t_bound for r in rows)
+
+
+def test_containment_is_asymmetric_and_bounded(spark, sf_dir):
+    cont = REGISTRY["q_dedup_containment"].run(spark, sf_dir)
+    rows = cont.collect()
+    assert rows, "fixture corpus contains near-dup docs"
+    assert all(0.5 <= r.containment <= 1.0 for r in rows)
+    # directionality: the pair set keys on (sub, super) — no dup keys
+    keys = [(r.doc_sub, r.doc_super) for r in rows]
+    assert len(keys) == len(set(keys))
+
+
+def test_assoc_rules_confidence_and_lift_contract(spark, sf_dir):
+    rules = REGISTRY["q_assoc_rules"].run(spark, sf_dir).collect()
+    assert rules
+    for r in rules:
+        assert r.antecedent != r.consequent
+        assert 0 < r.conf_micro <= 1_000_000  # confidence = P(B|A) ≤ 1
+        assert r.n_ab >= 3  # support floor applied
+        # confidence formula holds exactly in integer micro-units
+        assert r.conf_micro == r.n_ab * 1_000_000 // r.supp_ante
+    # ranking is by lift desc with full tiebreak
+    lifts = [(-r.lift_micro, r.antecedent, r.consequent) for r in rules]
+    assert lifts == sorted(lifts)
