@@ -125,6 +125,56 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_orc_roundtrip",
+    oracle=_ORDERS_TEXT_ORACLE,
+    tags=("ext", "source", "sink"),
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round-trip — the third interchange format
+    beside CSV and JSON-lines, exercising Spark's native ORC
+    reader/writer (columnar, predicate-pushdown-capable like
+    parquet). Same projection and oracle as q_csv_roundtrip, so the
+    hash match certifies the ORC hop row-for-row."""
+    path = f"{_IO_SCRATCH}/{_sf_tag(sf_dir)}/orders_orc"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        _orders_text(spark, sf_dir).write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+@register(
+    "q_partitioned_write_prune",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+           o_orderstatus
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("ext", "sink", "layout"),
+)
+def q_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition pruning: orders are
+    written once per sf partitioned by o_orderstatus
+    (`.../o_orderstatus=F/...`), then the read filters on the
+    partition column — the scan must touch ONLY the matching
+    directory, never the other partitions' files. That directory
+    pruning (PartitionFilters in the physical scan, asserted in
+    tests/test_io_formats.py) is the single most important layout
+    lever at 100 TB: a date/tenant-partitioned table turns a full
+    scan into a file-listing of one subtree. The oracle replays the
+    filter on the raw table, proving the layout lost nothing."""
+    path = f"{_IO_SCRATCH}/{_sf_tag(sf_dir)}/orders_by_status"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        _orders_text(spark, sf_dir).select(
+            "o_orderkey", "price_cents", "o_orderstatus"
+        ).write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "price_cents", "o_orderstatus")
+    )
+
+
 # CDC fixture: two deterministic snapshots derived from orders.
 #   A = orders before 1996-07-01
 #   B = orders before 1997-07-01, minus keys ≡ 3 (mod 97)  [deletes]

@@ -286,3 +286,61 @@ def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "c_custkey", "c_acctbal")
     )
+
+
+_BUCKET_N = 8  # bucket count for the co-located join demo
+
+
+@register(
+    "q_join_bucketed",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+    tags=("ext", "join", "layout"),
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join: both sides are persisted once
+    per sf as bucketed tables on the join key (bucketBy(8, custkey) +
+    sortBy), so the join consumes the on-disk hash layout instead of
+    shuffling either side — with broadcast disabled the physical plan
+    is a SortMergeJoin with ZERO Exchange (asserted in
+    tests/test_io_formats.py). This is THE pre-partitioning lever for
+    a 100 TB fact repeatedly joined on the same key: the shuffle is
+    paid once at write time and amortized over every subsequent join
+    or aggregation on that key. Bucket count scales with data (8 here;
+    thousands on a cluster); AQE cannot give you this — it still
+    shuffles, bucketing doesn't. The oracle replays the plain join on
+    the raw tables, proving the layout changed nothing semantically."""
+    import os as _os
+
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/root/repo/.scratch/bucketed/{tag}"
+    names = {"orders": f"bkt_orders_{tag}", "customer": f"bkt_customer_{tag}"}
+    keys = {"orders": "o_custkey", "customer": "c_custkey"}
+    for tbl, name in names.items():
+        if not spark.catalog.tableExists(name):
+            (
+                _t(spark, sf_dir, tbl)
+                .write.mode("overwrite")
+                .bucketBy(_BUCKET_N, keys[tbl])
+                .sortBy(keys[tbl])
+                .option("path", f"{base}/{name}")
+                .saveAsTable(name)
+            )
+    o = spark.table(names["orders"])
+    c = spark.table(names["customer"])
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("sum_cents"),
+        )
+    )

@@ -516,3 +516,80 @@ def q_stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out)
+
+
+@register(
+    "q_stream_upsert_state",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_id AS last_event_id,
+           event_type AS last_event_type, ts AS last_ts
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("stream", "sink", "stateful"),
+)
+def q_stream_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming UPSERT through foreachBatch: the canonical
+    'materialized latest-row-per-key table' sink. Events stream in
+    two micro-batches; each batch merges into the persisted state as
+    union(previous state, batch) → keep ROW_NUMBER()=1 per user by
+    (ts, event_id) DESC — written to a NEW versioned directory per
+    batchId, so a re-delivered batch (foreachBatch's at-least-once
+    contract) simply rewrites the same version: idempotent by
+    construction, no partial-overwrite window. The returned frame
+    reads the final version from disk; the oracle computes
+    latest-per-user over the whole table — batch boundaries must not
+    change the answer (upsert is associative), and the full tiebreak
+    makes 'latest' engine-independent. At 100 TB the state table is
+    key-partitioned and each merge touches only the partitions a
+    batch's keys hash to (or becomes MERGE INTO on a lakehouse
+    table); the merge-then-swap-version shape here is that same
+    pattern with the directory as the transaction boundary."""
+    from pyspark.sql import Window as W
+
+    base, ev = _staged_events(spark, sf_dir, "upsert", split_frac=0.5)
+    state_root = os.path.join(SCRATCH, "upsert_state", uuid.uuid4().hex[:8])
+    os.makedirs(state_root, exist_ok=True)
+    latest: dict[str, str | None] = {"path": None}
+
+    cols = ["user_id", "last_event_id", "last_event_type", "last_ts"]
+    rn_w = W.partitionBy("user_id").orderBy(
+        F.col("last_ts").desc(), F.col("last_event_id").desc()
+    )
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        incoming = batch_df.select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("ts").alias("last_ts"),
+        )
+        if latest["path"] is not None:
+            prev = batch_df.sparkSession.read.parquet(latest["path"])
+            incoming = prev.unionByName(incoming)
+        merged = (
+            incoming.withColumn("rn", F.row_number().over(rn_w))
+            .filter(F.col("rn") == 1)
+            .select(*cols)
+        )
+        vdir = os.path.join(state_root, f"v{batch_id:05d}")
+        merged.write.mode("overwrite").parquet(vdir)
+        latest["path"] = vdir
+
+    ckpt = os.path.join(SCRATCH, "ckpt", f"upsert_{uuid.uuid4().hex[:8]}")
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+        .writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert latest["path"] is not None
+    return spark.read.parquet(latest["path"])

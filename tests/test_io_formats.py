@@ -77,3 +77,49 @@ def test_assoc_rules_confidence_and_lift_contract(spark, sf_dir):
     # ranking is by lift desc with full tiebreak
     lifts = [(-r.lift_micro, r.antecedent, r.consequent) for r in rules]
     assert lifts == sorted(lifts)
+
+
+def test_orc_roundtrip_matches_csv_roundtrip(spark, sf_dir):
+    csv = REGISTRY["q_csv_roundtrip"].run(spark, sf_dir)
+    orc = REGISTRY["q_orc_roundtrip"].run(spark, sf_dir)
+    assert csv.exceptAll(orc).count() == 0
+    assert orc.exceptAll(csv).count() == 0
+
+
+def test_partitioned_read_prunes_directories(spark, sf_dir):
+    df = REGISTRY["q_partitioned_write_prune"].run(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the filter must reach the scan as a PartitionFilter (directory
+    # pruning), not a post-scan Filter over all partitions
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "o_orderstatus" in pf.group(1), plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = REGISTRY["q_join_bucketed"].run(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        # the bucketed layout replaces both join-side shuffles; no
+        # exchange may hash on the join key
+        assert "hashpartitioning(o_custkey" not in plan, plan
+        assert "hashpartitioning(c_custkey" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_stream_upsert_state_is_latest_per_user(spark, sf_dir):
+    from data_wrangler_spark.catalog import load_table as _lt
+
+    state = REGISTRY["q_stream_upsert_state"].run(spark, sf_dir)
+    ev = _lt(spark, sf_dir, "events")
+    assert state.count() == ev.select("user_id").distinct().count()
+    # the state must never hold an event older than another event of
+    # the same user
+    j = state.join(ev, "user_id").filter(F.col("ts") > F.col("last_ts"))
+    assert j.count() == 0
