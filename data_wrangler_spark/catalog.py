@@ -74,6 +74,28 @@ class UnknownIdentifierError(ValueError):
     """Raised when a dynamic table/column identifier fails validation."""
 
 
+def scratch_tag(sf_dir: str, source_table: str = "orders") -> str:
+    """Collision- and staleness-safe cache key for per-sf scratch
+    artifacts (roundtrip sinks, bucketed tables, persisted indexes).
+
+    Keyed on the ABSOLUTE path (two fixture dirs sharing a basename
+    get distinct caches) plus the source parquet's (mtime, size), so
+    regenerated fixtures invalidate the key instead of serving stale
+    bytes behind a _SUCCESS marker."""
+    import hashlib
+    import os
+
+    abs_dir = os.path.abspath(sf_dir.rstrip("/"))
+    src = os.path.join(abs_dir, f"{source_table}.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        stamp = "nosrc"
+    digest = hashlib.md5(f"{abs_dir}|{stamp}".encode()).hexdigest()[:10]
+    return f"{os.path.basename(abs_dir)}_{digest}"
+
+
 # Opt-in reuse of table DataFrame *objects* across queries in one
 # session: every load_table call otherwise re-lists the path and
 # re-reads parquet footers at analysis time — a fixed ~10-30 ms per

@@ -194,11 +194,20 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw estimate can't cross-check; instead the query verifies the
     sketch's accuracy CONTRACT exactly: it computes both the HLL
     estimate (rsd=0.02) and the exact distinct count, and returns the
-    exact count plus a boolean asserting |approx-exact| ≤ 5·rsd·exact.
-    The oracle replays the exact count and pins the flag TRUE — a
-    hash-matchable check that still exercises the approx operator.
-    """
-    bound = 5 * 0.02
+    exact count plus a boolean asserting the estimate sits inside a
+    10·rsd band. The oracle replays the exact count and pins the flag
+    TRUE — a hash-matchable check that still exercises the sketch.
+
+    Two deliberate caveats. (1) This VERIFICATION query runs the
+    exact aggregate next to the sketch, so it does not exhibit the
+    approx path's scale profile — in production the call is the
+    approx expression alone; this query is the accuracy audit you run
+    on a sampled stratum. (2) HLL's rsd is a standard error, not a
+    hard bound, so the in-query band is a loose 10·rsd (estimates
+    this far off would make the sketch unusable anyway); the tight
+    5·rsd pin lives in tests/test_approx.py, where a miss is a test
+    failure rather than a correctness-gate mismatch."""
+    bound = 10 * 0.02
     return (
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")

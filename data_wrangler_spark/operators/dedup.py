@@ -311,13 +311,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JACCARD_DF_CAP = 256  # stop-shingle document-frequency cap
 
-
-@register(
-    "q_dedup_jaccard",
-    oracle=f"""
-    WITH sh0 AS (
-      SELECT doc_id, {sql_shingles_of('w', 3)} AS shingles
-      FROM (SELECT doc_id, {sql_words('text')} AS w FROM documents)),
+# Shared oracle CTE prefix: the "informative shingle universe" —
+# 3-word shingles minus those with df > cap, plus per-doc sizes and
+# the undirected pairwise intersection counts. Used verbatim by the
+# q_dedup_jaccard and q_dedup_containment oracles so the df-cap
+# semantics cannot diverge between them.
+_EFFECTIVE_SHINGLES_CTE = f"""
+    sh0 AS (
+      SELECT doc_id, {{shingles}} AS shingles
+      FROM (SELECT doc_id, {{words}} AS w FROM documents)),
     ex0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh0),
     hot AS (
       SELECT shingle FROM (
@@ -332,6 +334,57 @@ JACCARD_DF_CAP = 256  # stop-shingle document-frequency cap
              CAST(COUNT(*) AS BIGINT) AS n_inter
       FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
+"""
+
+
+def _effective_shingle_pairs(spark: SparkSession, sf_dir: str):
+    """Spark side of _EFFECTIVE_SHINGLES_CTE: returns (sizes, inter).
+
+    sh0 is persisted once (Generate would otherwise re-evaluate the
+    shingle transform per exploded element — measured ~50×, see
+    q_dedup_jaccard's docstring) and feeds the df-cap scan plus both
+    join sides; the hot-shingle subtraction is an always-on left_anti
+    join INSIDE the query DAG (AQE broadcasts the tiny/empty hot set
+    at runtime) — no driver collect, no literal array, no blocking
+    probe job, so a pathological corpus where the hot set itself is
+    large cannot blow up the driver or Catalyst."""
+    from pyspark import StorageLevel
+
+    from data_wrangler_spark.functions.text import words
+
+    d = load_table(spark, sf_dir, "documents")
+    sh0 = d.select("doc_id", words("text").alias("w")).select(
+        "doc_id", shingles_from_words(F.col("w"), 3).alias("shingles")
+    )
+    sh0 = pin(sh0.persist(StorageLevel.MEMORY_AND_DISK))
+    hot_df = (
+        sh0.select(F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > JACCARD_DF_CAP)
+        .select("shingle")
+    )
+    ex = pin(
+        sh0.select("doc_id", F.explode("shingles").alias("shingle"))
+        .join(hot_df, "shingle", "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = ex.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = ex.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return sizes, inter
+
+
+@register(
+    "q_dedup_jaccard",
+    oracle=f"""
+    WITH {_EFFECTIVE_SHINGLES_CTE.format(shingles=sql_shingles_of('w', 3), words=sql_words('text'))}
     SELECT i.doc_a, i.doc_b,
            CAST(i.n_inter AS DOUBLE)
              / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
@@ -362,50 +415,9 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts it when tiny or empty, shuffles when not) — no
     collected literal array and no blocking existence probe, so a
     pathological corpus where the hot set itself is large cannot
-    blow up the driver or Catalyst."""
-    from pyspark import StorageLevel
-
-    from data_wrangler_spark.functions.text import words
-
-    d = load_table(spark, sf_dir, "documents")
-    sh0 = d.select("doc_id", words("text").alias("w")).select(
-        "doc_id", shingles_from_words(F.col("w"), 3).alias("shingles")
-    )
-    # Materialize the shingle arrays once: Generate (explode) inlines
-    # its child expression into the codegen'd emit loop, re-running
-    # the whole shingle transform PER ELEMENT (~50×; measured 16s vs
-    # 0.3s at sf0.1), and the table feeds the df-cap scan plus three
-    # downstream consumers (two join sides + sizes). ~2 MB per 5k
-    # docs; at corpus scale this is a checkpoint to storage instead.
-    sh0 = pin(sh0.persist(StorageLevel.MEMORY_AND_DISK))
-    # hot-shingle subtraction as a plan stage, not a driver branch:
-    # the df agg map-side-combines to one (shingle, df) row per
-    # distinct shingle, the anti-join broadcasts when the hot set is
-    # tiny/empty (the healthy-corpus case — AQE sees the runtime
-    # size) and shuffles when a skewed corpus makes it large. Sizes
-    # are the per-doc count AFTER subtraction — identical to the
-    # oracle's NOT IN + COUNT(*). No collect, no blocking probe job.
-    hot_df = (
-        sh0.select(F.explode("shingles").alias("shingle"))
-        .groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > JACCARD_DF_CAP)
-        .select("shingle")
-    )
-    ex = pin(
-        sh0.select("doc_id", F.explode("shingles").alias("shingle"))
-        .join(hot_df, "shingle", "left_anti")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = ex.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = ex.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
+    blow up the driver or Catalyst (pipeline shared with
+    q_dedup_containment via _effective_shingle_pairs)."""
+    sizes, inter = _effective_shingle_pairs(spark, sf_dir)
     # sizes is tiny (one int per doc) — broadcast both lookups so the
     # 1M-pair intersection table never shuffles again
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
@@ -428,23 +440,7 @@ CONTAIN_T = 0.5  # containment threshold (|A∩B| / |A|)
 @register(
     "q_dedup_containment",
     oracle=f"""
-    WITH sh0 AS (
-      SELECT doc_id, {sql_shingles_of('w', 3)} AS shingles
-      FROM (SELECT doc_id, {sql_words('text')} AS w FROM documents)),
-    ex0 AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh0),
-    hot AS (
-      SELECT shingle FROM (
-        SELECT shingle, COUNT(*) AS df FROM ex0 GROUP BY 1)
-      WHERE df > {JACCARD_DF_CAP}),
-    ex AS (SELECT doc_id, shingle FROM ex0
-           WHERE shingle NOT IN (SELECT shingle FROM hot)),
-    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
-              FROM ex GROUP BY 1),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(COUNT(*) AS BIGINT) AS n_inter
-      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
+    WITH {_EFFECTIVE_SHINGLES_CTE.format(shingles=sql_shingles_of('w', 3), words=sql_words('text'))},
     dirs AS (
       SELECT i.doc_a AS doc_sub, i.doc_b AS doc_super,
              CAST(i.n_inter AS DOUBLE) / sa.n_sh AS containment
@@ -471,40 +467,10 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     an in-DAG anti-join (no driver collect), intersections via one
     shingle-keyed equi-join with a < b (each pair counted once), and
     the per-doc size table broadcast onto the pair stream. The
-    direction fan-out is a map-side select-union — no extra shuffle.
-    """
-    from pyspark import StorageLevel
-
-    from data_wrangler_spark.functions.text import words
-
-    d = load_table(spark, sf_dir, "documents")
-    sh0 = d.select("doc_id", words("text").alias("w")).select(
-        "doc_id", shingles_from_words(F.col("w"), 3).alias("shingles")
-    )
-    # persist: the explode child re-evaluates per element otherwise
-    # (see q_dedup_jaccard) and the table feeds df-cap + join sides
-    sh0 = pin(sh0.persist(StorageLevel.MEMORY_AND_DISK))
-    hot_df = (
-        sh0.select(F.explode("shingles").alias("shingle"))
-        .groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > JACCARD_DF_CAP)
-        .select("shingle")
-    )
-    ex = pin(
-        sh0.select("doc_id", F.explode("shingles").alias("shingle"))
-        .join(hot_df, "shingle", "left_anti")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = ex.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = ex.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
+    direction fan-out is a map-side select-union — no extra shuffle
+    (pipeline shared with q_dedup_jaccard via
+    _effective_shingle_pairs)."""
+    sizes, inter = _effective_shingle_pairs(spark, sf_dir)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     paired = inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")

@@ -28,7 +28,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from data_wrangler_spark.catalog import load_table
+from data_wrangler_spark.catalog import load_table, scratch_tag
 from data_wrangler_spark.registry import register
 
 _IO_SCRATCH = "/root/repo/.scratch/io"
@@ -53,8 +53,10 @@ def _orders_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sf_tag(sf_dir: str) -> str:
-    return os.path.basename(sf_dir.rstrip("/"))
+def _sf_tag(sf_dir: str, source_table: str = "orders") -> str:
+    # collision- and staleness-safe (abs path + source mtime/size):
+    # a regenerated fixture or a same-basename dir gets a fresh key
+    return scratch_tag(sf_dir, source_table)
 
 
 @register(
@@ -99,7 +101,7 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the line format and the nested extraction. Explicit read schema;
     sharded files; value quantized to micro-units before the write so
     no double ever meets a text format."""
-    path = f"{_IO_SCRATCH}/{_sf_tag(sf_dir)}/events_jsonl"
+    path = f"{_IO_SCRATCH}/{_sf_tag(sf_dir, 'events')}/events_jsonl"
     if not os.path.exists(f"{path}/_SUCCESS"):
         ev = load_table(spark, sf_dir, "events")
         ev.select(

@@ -316,9 +316,11 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     thousands on a cluster); AQE cannot give you this — it still
     shuffles, bucketing doesn't. The oracle replays the plain join on
     the raw tables, proving the layout changed nothing semantically."""
-    import os as _os
+    from data_wrangler_spark.catalog import scratch_tag
 
-    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # staleness/collision-safe key (abs path + source mtime), dots
+    # stripped so the tag is a valid SQL identifier fragment
+    tag = scratch_tag(sf_dir, "orders").replace(".", "_")
     base = f"/root/repo/.scratch/bucketed/{tag}"
     names = {"orders": f"bkt_orders_{tag}", "customer": f"bkt_customer_{tag}"}
     keys = {"orders": "o_custkey", "customer": "c_custkey"}

@@ -653,7 +653,9 @@ def q_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer is provably identical."""
     import os as _os
 
-    sf_tag = _os.path.basename(sf_dir.rstrip("/"))
+    from data_wrangler_spark.catalog import scratch_tag as _stag
+
+    sf_tag = _stag(sf_dir, "events")
     path = f"{_ROLLUP_SCRATCH}/{sf_tag}"
     marker = f"{path}/_SUCCESS"
     if not _os.path.exists(marker):
@@ -716,7 +718,9 @@ def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math as _math
     import os as _os
 
-    sf_tag = _os.path.basename(sf_dir.rstrip("/"))
+    from data_wrangler_spark.catalog import scratch_tag as _stag
+
+    sf_tag = _stag(sf_dir, "documents")
     frag = f"{_COMPACT_SCRATCH}/{sf_tag}/fragmented"
     comp = f"{_COMPACT_SCRATCH}/{sf_tag}/compacted"
     if not _os.path.exists(f"{comp}/_SUCCESS"):

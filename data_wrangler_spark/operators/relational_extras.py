@@ -145,13 +145,18 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's approx_quantile is a different sketch (t-digest), so the
     raw estimate can't cross-check; instead the query verifies GK's
     rank-error CONTRACT exactly: accuracy=10000 guarantees the
-    returned value sits within ±1/10000 rank of the target, so it
-    must lie inside the exact [q-0.01, q+0.01] value band (100× the
-    guaranteed slack). The query computes both the sketch estimate
-    and the exact band per group and returns the exact percentile
-    plus the in-band boolean; the oracle replays the exact percentile
-    and pins the flag TRUE — hash-matchable, still exercising GK.
-    """
+    returned value sits within ±1/10000 rank of the target (a HARD
+    guarantee, unlike HLL's standard error), so it must lie inside
+    the exact [q-0.01, q+0.01] value band (100× the guaranteed
+    slack). The query computes both the sketch estimate and the exact
+    band per group and returns the exact percentile plus the in-band
+    boolean; the oracle replays the exact percentile and pins the
+    flag TRUE — hash-matchable, still exercising GK.
+
+    Note this VERIFICATION query runs exact percentiles next to the
+    sketch, so it does not exhibit the approx path's scale profile —
+    in production the call is percentile_approx alone; this query is
+    the accuracy audit you run on a sampled stratum."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")

@@ -365,7 +365,9 @@ def q_sim_search_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import numpy as np
 
-    sf_tag = _os.path.basename(sf_dir.rstrip("/"))
+    from data_wrangler_spark.catalog import scratch_tag as _stag
+
+    sf_tag = _stag(sf_dir, "embeddings")
     base = f"{_IVF_SCRATCH}/{sf_tag}"
     vec_path, cen_path = f"{base}/vectors", f"{base}/centroids"
     if not _os.path.exists(f"{base}/_DONE"):

@@ -32,6 +32,7 @@ def test_cdc_diff_classifies_consistently(spark, sf_dir):
     by_type = {}
     for r in rows:
         by_type.setdefault(r.change_type, []).append(r)
+    assert set(by_type) == {"I", "D", "U"}, f"missing change class: {set(by_type)}"
     # inserts have no old image, deletes no new image, updates both
     assert all(r.old_cents is None and r.new_cents is not None for r in by_type["I"])
     assert all(r.old_cents is not None and r.new_cents is None for r in by_type["D"])
