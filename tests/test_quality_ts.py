@@ -115,8 +115,10 @@ def test_compact_files_reduces_file_count(spark, sf_dir):
         COMPACT_TARGET_BYTES,
     )
 
+    from data_wrangler_spark.catalog import scratch_tag
+
     REGISTRY["q_compact_files"].run(spark, sf_dir).collect()
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    sf_tag = scratch_tag(sf_dir, "documents")
     frag = f"{_COMPACT_SCRATCH}/{sf_tag}/fragmented"
     comp = f"{_COMPACT_SCRATCH}/{sf_tag}/compacted"
 
