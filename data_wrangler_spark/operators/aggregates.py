@@ -377,3 +377,65 @@ def q_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev_dec").cast("double").alias("revenue"),
         (F.col("rev_dec").cast("double") / total.cast("double")).alias("pct_of_total"),
     )
+
+
+@register(
+    "q_agg_skewed",
+    oracle=f"""
+    WITH sk AS (
+      SELECT CASE WHEN l_suppkey % 10 < 9 THEN 1 ELSE l_suppkey END AS sk_suppkey,
+             l_orderkey, l_extendedprice
+      FROM lineitem)
+    SELECT sk_suppkey,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT)                   AS n_rows,
+           {_osum('l_extendedprice')}                 AS revenue
+    FROM sk
+    GROUP BY 1
+    """,
+    tags=("ext", "agg", "skew"),
+)
+def q_agg_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law-key COUNT DISTINCT via salted two-phase aggregation
+    (plans/skew.salted_distinct_count) — the groupBy counterpart of
+    q_join_skewed. Plain count/sum skew is already fixed by map-side
+    partial aggregation; the agg that is NOT is per-key distinct,
+    because the distinct STATE itself concentrates: with ~90% of
+    lineitem collapsed onto one synthetic supplier key (l_suppkey %
+    10 < 9 → 1, the same power-law synthesis as q_join_skewed), one
+    task would have to hold and dedup that key's entire order-id set.
+    Phase 1 groups by (key, hash(l_orderkey) % 16): a given order id
+    always lands in the same shard, so shard-distinct counts are
+    disjoint and their sum is exactly COUNT(DISTINCT). The hot key's
+    state spreads over 16 tasks; phase 2 merges 16 integers per key.
+    Mergeable companions (row count, exact decimal revenue) ride the
+    same two phases. Oracle is the plain single-phase GROUP BY,
+    proving the sharding is semantically invisible. At 100 TB this
+    is how any per-entity distinct over a power-law entity key has
+    to run; n_shards scales with the measured hot-key share."""
+    from data_wrangler_spark.plans.skew import salted_distinct_count
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_suppkey") % 10 < 9, F.lit(1).cast("long"))
+        .otherwise(F.col("l_suppkey"))
+        .alias("sk_suppkey"),
+        "l_orderkey",
+        "l_extendedprice",
+    )
+    two_phase = salted_distinct_count(
+        li,
+        key_cols=["sk_suppkey"],
+        val_col="l_orderkey",
+        n_shards=16,
+        out_col="n_orders",
+        extra_aggs=[
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(22,6)")).alias("rev_dec"),
+        ],
+    )
+    return two_phase.select(
+        "sk_suppkey",
+        "n_orders",
+        "n_rows",
+        F.col("rev_dec").cast("double").alias("revenue"),
+    )

@@ -44,3 +44,42 @@ def salted_join(
         small_s, (bkey == skey) & (big_s["_salt"] == small_s["_salt"]), how
     )
     return joined.drop("_salt")
+
+
+def salted_distinct_count(
+    df: DataFrame,
+    key_cols: list[str],
+    val_col: str,
+    n_shards: int = 16,
+    out_col: str = "n_distinct",
+    extra_aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Two-phase COUNT(DISTINCT val) per key with the distinct state
+    salted over ``n_shards`` shards.
+
+    Plain per-key count-distinct is the aggregation AQE cannot save:
+    the distinct STATE (not the row count) concentrates on the hot
+    key, so one task must hold and dedup that key's entire value set.
+    Sharding by ``hash(val) % n_shards`` splits the state: a given
+    value always lands in the same shard, so per-shard distinct
+    counts are disjoint and their per-key sum is exactly the global
+    distinct count. The hot key's state now spreads over ``n_shards``
+    tasks; phase 2 merges ≤ n_shards small integers per key.
+
+    ``extra_aggs`` are additional MERGEABLE aggregates (counts,
+    decimal sums) computed per shard in phase 1; callers re-merge
+    them in phase 2 (they arrive suffixed ``_shard``).
+    """
+    shard = F.pmod(F.hash(F.col(val_col)), F.lit(n_shards)).alias("_shard")
+    phase1 = df.groupBy(*[F.col(k) for k in key_cols], shard).agg(
+        F.count_distinct(F.col(val_col)).alias("_pd"),
+        *(extra_aggs or []),
+    )
+    return phase1.groupBy(*key_cols).agg(
+        F.sum("_pd").alias(out_col),
+        *[
+            F.sum(c).alias(c)
+            for c in phase1.columns
+            if c not in (*key_cols, "_shard", "_pd")
+        ],
+    )

@@ -91,3 +91,41 @@ def test_range_bucketed_equals_nested_loop_and_plans_hash_join(spark, sf_dir):
     assert a == b and a
     plan = q_join_range_bucketed(spark, sf_dir)._jdf.queryExecution().toString()
     assert "HashJoin" in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q_agg_skewed_two_phase_and_equals_plain(spark, sf_dir):
+    """The salted distinct must (a) actually shard phase 1 on _shard
+    (visible in the analyzed plan's first aggregate grouping) and
+    (b) merge back to exactly the single-phase COUNT(DISTINCT)."""
+    from data_wrangler_spark.operators.aggregates import q_agg_skewed
+
+    df = q_agg_skewed(spark, sf_dir)
+    plan = df._jdf.queryExecution().toString()
+    assert "_shard" in plan
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = (
+        li.select(
+            F.when(F.col("l_suppkey") % 10 < 9, F.lit(1).cast("long"))
+            .otherwise(F.col("l_suppkey"))
+            .alias("sk_suppkey"),
+            "l_orderkey",
+        )
+        .groupBy("sk_suppkey")
+        .agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    )
+    expect = {r.sk_suppkey: r.n_orders for r in plain.collect()}
+    got = {r.sk_suppkey: r.n_orders for r in df.collect()}
+    assert got == expect
+
+
+def test_salted_distinct_count_disjoint_shards(spark):
+    """Same value → same shard, so shard counts sum to the exact
+    distinct count even when one key holds every row."""
+    from data_wrangler_spark.plans.skew import salted_distinct_count
+
+    df = spark.range(10000).select(
+        F.lit("hot").alias("k"), (F.col("id") % 137).alias("v")
+    )
+    out = salted_distinct_count(df, ["k"], "v", n_shards=8).collect()
+    assert out[0].n_distinct == 137
