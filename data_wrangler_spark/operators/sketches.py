@@ -213,3 +213,118 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("bloom_pass") & ~F.col("true_match"), 1).otherwise(0)
         ).alias("n_false_pos"),
     )
+
+
+KMV_K = 256          # retained minimum hash values
+KMV_SPACE = 1 << 48  # 48-bit hash space (12 md5 hex digits)
+KMV_SHARDS = 4       # arbitrary data split for the merge proof
+KMV_BAND_PCT = 20    # |est-exact| acceptance band (σ ≈ 1/√(K-2) ≈ 6.3%)
+
+
+def _kmv_h(col):
+    """48-bit md5-derived hash — cross-engine (see dedup._md5_long)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 12), 16, 10).cast("long")
+
+
+def _sql_kmv_h(expr: str) -> str:
+    return f"(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 12))::BIGINT)"
+
+
+@register(
+    "q_sketch_kmv",
+    oracle=f"""
+    WITH vals AS (SELECT DISTINCT l_orderkey AS v FROM lineitem),
+    h AS (SELECT {_sql_kmv_h('v')} AS h FROM vals),
+    kth AS (SELECT max(h) AS hk, CAST(count(*) AS BIGINT) AS k
+            FROM (SELECT h FROM h ORDER BY h LIMIT {KMV_K})),
+    exact AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM vals),
+    shard_h AS (
+      SELECT DISTINCT l_suppkey % {KMV_SHARDS} AS shard,
+             {_sql_kmv_h('l_orderkey')} AS h
+      FROM lineitem),
+    shard_kept AS (
+      SELECT h FROM (
+        SELECT h, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h) AS rn
+        FROM shard_h) WHERE rn <= {KMV_K}),
+    merged AS (SELECT max(h) AS hk_merged
+               FROM (SELECT DISTINCT h FROM shard_kept ORDER BY h LIMIT {KMV_K}))
+    SELECT k.k, k.hk AS kth_min_hash,
+           ({KMV_K - 1} * {KMV_SPACE}) // k.hk        AS est_distinct,
+           e.n_exact                                  AS exact_distinct,
+           abs(({KMV_K - 1} * {KMV_SPACE}) // k.hk - e.n_exact) AS abs_err,
+           (abs(({KMV_K - 1} * {KMV_SPACE}) // k.hk - e.n_exact) * 100
+              <= e.n_exact * {KMV_BAND_PCT})          AS within_band,
+           (m.hk_merged = k.hk)                       AS merge_exact
+    FROM kth k, exact e, merged m
+    """,
+    tags=("ext", "sketch"),
+)
+def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch —
+    the mergeable distinct estimator whose arithmetic, unlike HLL's,
+    is fully replayable cross-engine: keep the K smallest 48-bit md5
+    hashes of the distinct values; the K-th minimum h_K estimates
+    |D| ≈ (K-1)·2^48 / h_K (Bar-Yossef et al. 2002), here in pure
+    BIGINT integer division so Spark and DuckDB agree bit-for-bit.
+
+    Two properties are pinned in the SAME result row: (a) the
+    estimate lands within the contract band of the exact distinct
+    count, and (b) MERGEABILITY — the corpus is split into 4
+    arbitrary overlapping shards (by l_suppkey, NOT by value), each
+    shard keeps its own bottom-K, and merging (union → distinct →
+    bottom-K) reproduces the global K-th minimum exactly, because a
+    shard's value set is a subset of the global set, so every global
+    bottom-K hash survives in any shard that contains it.
+
+    Scale: the sketch state is K longs per (shard of the) corpus; the
+    global bottom-K is one TakeOrderedAndProject (per-partition top-K
+    then a K-row driver merge — no global sort), the per-shard pass
+    is a bounded rank-≤K window, and the final row assembles three
+    broadcast 1-row frames. This is how COUNT DISTINCT dashboards
+    run over 100 TB: per-partition bottom-K partials, K-row merges,
+    never a shuffle of the raw values."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.select(F.col("l_orderkey").alias("v")).distinct()
+    h = vals.select(_kmv_h(F.col("v")).alias("h"))
+
+    kth = (
+        h.orderBy("h")
+        .limit(KMV_K)
+        .agg(F.max("h").alias("hk"), F.count("*").cast("long").alias("k"))
+    )
+    exact = vals.agg(F.count("*").cast("long").alias("n_exact"))
+
+    shard_h = li.select(
+        (F.col("l_suppkey") % KMV_SHARDS).alias("shard"),
+        _kmv_h(F.col("l_orderkey")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("shard").orderBy("h")
+    shard_kept = (
+        shard_h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .select("h")
+    )
+    merged = (
+        shard_kept.distinct()
+        .orderBy("h")
+        .limit(KMV_K)
+        .agg(F.max("h").alias("hk_merged"))
+    )
+
+    est = F.expr(f"div({KMV_K - 1}L * {KMV_SPACE}L, hk)")
+    return (
+        kth.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(merged))
+        .select(
+            "k",
+            F.col("hk").alias("kth_min_hash"),
+            est.alias("est_distinct"),
+            F.col("n_exact").alias("exact_distinct"),
+            F.abs(est - F.col("n_exact")).alias("abs_err"),
+            (F.abs(est - F.col("n_exact")) * 100 <= F.col("n_exact") * KMV_BAND_PCT)
+            .alias("within_band"),
+            (F.col("hk_merged") == F.col("hk")).alias("merge_exact"),
+        )
+    )

@@ -23,3 +23,28 @@ def test_bloom_has_no_false_negatives(spark, sf_dir):
         # every true match passes the bloom ⟺ pass = true + false_pos
         assert r.n_bloom_pass == r.n_true_match + r.n_false_pos
         assert 0 <= r.n_false_pos <= r.n_orders - r.n_true_match
+
+
+def test_kmv_matches_independent_python_replay(spark, sf_dir):
+    """The k-th minimum hash and the estimate must equal a hashlib
+    replay of the same 48-bit bottom-K construction, and both pinned
+    invariants (band + merge) must hold."""
+    import hashlib
+
+    from data_wrangler_spark.catalog import load_table
+    from data_wrangler_spark.operators.sketches import KMV_K, KMV_SPACE, q_sketch_kmv
+
+    row = q_sketch_kmv(spark, sf_dir).collect()[0]
+
+    vals = {
+        r.l_orderkey
+        for r in load_table(spark, sf_dir, "lineitem").select("l_orderkey").collect()
+    }
+    hashes = sorted(
+        int(hashlib.md5(str(v).encode()).hexdigest()[:12], 16) for v in vals
+    )
+    hk = hashes[KMV_K - 1]
+    assert row.kth_min_hash == hk
+    assert row.est_distinct == (KMV_K - 1) * KMV_SPACE // hk
+    assert row.exact_distinct == len(vals)
+    assert row.within_band and row.merge_exact
