@@ -879,3 +879,89 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold.alias("ewma_micro"),
         (fold / F.lit(float(EWMA_SCALE))).alias("ewma"),
     )
+
+
+_ROLLUP_INC_SCRATCH = "/root/repo/.scratch/rollup_inc"
+
+
+@register(
+    "q_rollup_incremental",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {_osum('value')} AS sum_value,
+           CAST(COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS n_hours
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("ext", "timeseries", "layout"),
+)
+def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL materialized-view refresh — the maintenance step
+    q_rollup_serve's docstring promises. The hourly rollup is built
+    in two physically separate jobs: a base build over every day
+    BEFORE the newest one, then an incremental refresh that reads
+    ONLY the newest day's raw events (the filter prunes at the scan)
+    and APPENDS its hourly partials as a new day partition — the raw
+    history is never re-read. Serving re-aggregates the combined
+    partials to days; the oracle is the full recompute over raw
+    events, so a hash match proves append-only refresh ≡ rebuild.
+
+    That equivalence is exactly the mergeability argument: the
+    partials carry (count, exact decimal sum), both associative, and
+    each hourly bucket lives in exactly one day partition, so the
+    increment can never double-count. n_hours (= rollup rows per
+    day×type) pins that no partial was written twice.
+
+    Scale: this is the only sane refresh at 100 TB — the nightly job
+    costs O(new day), not O(history); partition-granular appends are
+    atomic per the parquet committer's staging rename; a late-data
+    re-statement overwrites just that day's partition (dynamic
+    partition overwrite), and serving still reads |hours|×|types|
+    rows, never the event log."""
+    import os as _os
+
+    from data_wrangler_spark.catalog import scratch_tag as _stag
+
+    path = f"{_ROLLUP_INC_SCRATCH}/{_stag(sf_dir, 'events')}"
+    done = f"{path}/_DONE_INC"
+
+    def hourly(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"),
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            "event_type",
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(22,6)")).alias("sum_dec"),
+        )
+
+    if not _os.path.exists(done):
+        ev = load_table(spark, sf_dir, "events")
+        day = F.date_trunc("day", "ts").cast("date")
+        # bounded 1-row scalar: the newest day in the fixture
+        dmax = ev.agg(F.max(day).alias("d")).collect()[0].d
+        (
+            hourly(ev.filter(day < F.lit(dmax)))
+            .repartition("day")
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(path)
+        )
+        (
+            hourly(ev.filter(day == F.lit(dmax)))
+            .repartition("day")
+            .write.mode("append")
+            .partitionBy("day")
+            .parquet(path)
+        )
+        with open(done, "w") as fh:
+            fh.write("base+increment\n")
+
+    rollup = spark.read.parquet(path)
+    return rollup.groupBy("day", "event_type").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_dec").cast("double").alias("sum_value"),
+        F.count("*").cast("long").alias("n_hours"),
+    )

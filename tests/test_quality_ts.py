@@ -153,3 +153,24 @@ def test_ewma_bounded_by_value_range(spark, sf_dir):
         lo, hi = bounds[r.user_id]
         assert lo - 1e-5 <= r.ewma <= hi + 1e-5
         assert r.n_events >= 1
+
+
+def test_rollup_incremental_layout_and_marker(spark, sf_dir):
+    """The incremental build must leave per-day hive partitions plus
+    the completion marker, and the newest day must be present (it is
+    written by the separate append job)."""
+    import os
+
+    from data_wrangler_spark.catalog import load_table, scratch_tag
+    from data_wrangler_spark.operators.quality_ts import _ROLLUP_INC_SCRATCH
+
+    from pyspark.sql import functions as F
+
+    REGISTRY["q_rollup_incremental"].run(spark, sf_dir).collect()
+    path = f"{_ROLLUP_INC_SCRATCH}/{scratch_tag(sf_dir, 'events')}"
+    assert os.path.exists(f"{path}/_DONE_INC")
+    days = {e.name for e in os.scandir(path) if e.name.startswith("day=")}
+    ev = load_table(spark, sf_dir, "events")
+    dmax = ev.agg(F.max(F.date_trunc("day", "ts").cast("date"))).collect()[0][0]
+    assert f"day={dmax.isoformat()}" in days
+    assert len(days) > 1
