@@ -506,3 +506,175 @@ def q_sim_search_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(IVFX_TOPK)
     )
+
+
+# ── Product quantization (PQ) ANN ──────────────────────────────────
+PQ_M = 8        # subspaces
+PQ_SUB = 8      # dims per subspace (PQ_M × PQ_SUB = 64 = embedding dim)
+PQ_NCENT = 16   # centroids per subspace codebook
+PQ_TOPK = 10
+PQ_SHORTLIST = 64  # ADC candidates kept for the exact re-rank stage
+PQ_Q = 1 << 20  # micro-unit quantizer (same as kmeans: floor(x·2^20))
+
+
+def _pq_sql() -> str:
+    """DuckDB replay of the ENTIRE PQ pipeline: quantize → codebook →
+    encode (argmin per subspace, (dist, c) tiebreak) → ADC score →
+    top-k. Integer BIGINT arithmetic throughout."""
+    idx8 = "[1,2,3,4,5,6,7,8]"
+    ms = "[" + ",".join(str(m) for m in range(PQ_M)) + "]"
+    sk = "(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT)"
+
+    def subdist(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform({idx8}, i -> "
+            f"({a}[mm.m*{PQ_SUB}+i]-{b}[mm.m*{PQ_SUB}+i])"
+            f"*({a}[mm.m*{PQ_SUB}+i]-{b}[mm.m*{PQ_SUB}+i])))"
+        )
+
+    return f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {PQ_Q}) AS BIGINT)) AS xs
+      FROM embeddings),
+    qsel AS (SELECT min(vec_id) AS qid FROM embeddings),
+    anchors AS (
+      SELECT xs, CAST(ROW_NUMBER() OVER (ORDER BY sk, vec_id) - 1 AS INT) AS c
+      FROM (SELECT vec_id, xs, {sk} AS sk FROM v)
+      QUALIFY ROW_NUMBER() OVER (ORDER BY sk, vec_id) <= {PQ_NCENT}),
+    dists AS (
+      SELECT v.vec_id, v.label, mm.m, a.c, {subdist('v.xs', 'a.xs')} AS d
+      FROM v CROSS JOIN unnest({ms}) AS mm(m) CROSS JOIN anchors a),
+    codes AS (
+      SELECT vec_id, label, m, c
+      FROM dists
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, c) = 1),
+    qv AS (SELECT xs FROM v, qsel WHERE vec_id = qid),
+    adct AS (
+      SELECT mm.m, a.c, {subdist('qv.xs', 'a.xs')} AS t
+      FROM qv CROSS JOIN unnest({ms}) AS mm(m) CROSS JOIN anchors a),
+    scored AS (
+      SELECT c.vec_id, c.label,
+             list_transform(list(c.c ORDER BY c.m), x -> CAST(x AS INT)) AS code,
+             CAST(SUM(t.t) AS BIGINT) AS adc_dist
+      FROM codes c
+      JOIN adct t ON t.m = c.m AND t.c = c.c, qsel
+      WHERE c.vec_id <> qsel.qid
+      GROUP BY c.vec_id, c.label),
+    shortlist AS (
+      SELECT * FROM scored ORDER BY adc_dist, vec_id LIMIT {PQ_SHORTLIST})
+    SELECT s.vec_id, s.label, s.code, s.adc_dist,
+           CAST(list_sum(list_transform(generate_series(1, {PQ_M * PQ_SUB}),
+             i -> (v.xs[i]-qv.xs[i])*(v.xs[i]-qv.xs[i]))) AS BIGINT) AS l2_dist
+    FROM shortlist s
+    JOIN v ON v.vec_id = s.vec_id, qv
+    ORDER BY l2_dist, s.vec_id
+    LIMIT {PQ_TOPK}
+    """
+
+
+@register("q_sim_search_pq", oracle=_pq_sql(), tags=("llm", "similarity"))
+def q_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) — the third ANN
+    family next to LSH (q_sim_search_lsh) and IVF (q_sim_search_ivf*),
+    and the one that compresses the CORPUS: each 64-dim vector becomes
+    8 one-byte codes (one per 8-dim subspace, nearest of 16 codebook
+    centroids), and query-time scoring is Asymmetric Distance
+    Computation — one 8×16 lookup table of exact query↔centroid
+    subspace distances, so scoring a vector is 8 table lookups + adds,
+    never a 64-dim float op. Everything runs in 2^20 micro-unit BIGINT
+    arithmetic (the kmeans_exact quantizer), the codebook is the 16
+    md5-seed-smallest corpus vectors (same seeding discipline as
+    kmeans), and argmin ties break to the lowest code. The ADC pass
+    keeps a PQ_SHORTLIST-deep candidate heap which an EXACT integer-L2
+    re-rank reduces to the final top-10 (the IVF-PQ production shape:
+    the compressed scan prunes, the exact distance decides) — and the
+    DuckDB oracle replays codebook, encoding, ADC table, shortlist,
+    and re-rank bit-for-bit: the whole approximation is under the
+    exact gate.
+
+    Scale: encoding is one mapInPandas scan (the 16×64 codebook and
+    the ADC table ride the task closure — no join, no shuffle);
+    stored codes are 8 bytes/vector (128× smaller than float32·64),
+    which is the point: at 100 TB the code table fits where the raw
+    embeddings cannot, ADC scans it at memory bandwidth, and the
+    ranking is a TakeOrderedAndProject k-heap. In production the
+    encode runs once at ingest and persists; IVF cell partitioning
+    composes on top (IVF-PQ) to prune the scan itself."""
+    from data_wrangler_spark.operators.dedup import _md5_long
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v_arr = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda xf: F.floor(xf.cast("double") * PQ_Q).cast("long")
+        ).alias("xs"),
+    )
+    qid = e.agg(F.min("vec_id")).collect()[0][0]
+
+    # codebook: bounded driver scalars — 16 anchor rows + 1 query row
+    sk = _md5_long(F.col("vec_id").cast("string"))
+    seed_rows = (
+        v_arr.select("vec_id", "xs", sk.alias("sk"))
+        .orderBy("sk", "vec_id")
+        .limit(PQ_NCENT)
+        .collect()
+    )
+    cb = np.vstack([np.asarray(r["xs"], dtype=np.int64) for r in seed_rows])
+    qxs = np.asarray(
+        v_arr.filter(F.col("vec_id") == qid).select("xs").collect()[0]["xs"],
+        dtype=np.int64,
+    )
+
+    # ADC lookup table T[m, c]: exact query↔centroid subspace distances
+    adct = np.empty((PQ_M, PQ_NCENT), dtype=np.int64)
+    for m in range(PQ_M):
+        s = slice(m * PQ_SUB, (m + 1) * PQ_SUB)
+        diff = qxs[s][None, :] - cb[:, s]
+        adct[m] = (diff * diff).sum(axis=1)
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["xs"].to_numpy()).astype(np.int64)
+            codes = np.empty((len(pdf), PQ_M), dtype=np.int32)
+            adc = np.zeros(len(pdf), dtype=np.int64)
+            for m in range(PQ_M):
+                s = slice(m * PQ_SUB, (m + 1) * PQ_SUB)
+                d = ((X[:, None, s] - cb[None, :, s]) ** 2).sum(axis=2)
+                cm = d.argmin(axis=1)  # first minimum → lowest c
+                codes[:, m] = cm
+                adc += adct[m, cm]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "code": list(codes),
+                    "adc_dist": adc,
+                }
+            )
+
+    scored = v_arr.filter(F.col("vec_id") != qid).mapInPandas(
+        encode, "vec_id long, label int, code array<int>, adc_dist long"
+    )
+    shortlist = scored.orderBy("adc_dist", "vec_id").limit(PQ_SHORTLIST)
+
+    # exact re-rank of the ADC shortlist (the IVF-PQ production shape:
+    # compressed scan prunes, exact distance decides) — the query's
+    # quantized components ride as a 64-literal array, the shortlist
+    # side broadcasts (≤ PQ_SHORTLIST rows)
+    qlit = F.array(*[F.lit(int(x)) for x in qxs])
+    l2 = F.aggregate(
+        F.zip_with(F.col("xs"), qlit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    rer = F.broadcast(shortlist).join(v_arr.select("vec_id", "xs"), "vec_id")
+    return (
+        rer.select("vec_id", "label", "code", "adc_dist", l2.alias("l2_dist"))
+        .orderBy("l2_dist", "vec_id")
+        .limit(PQ_TOPK)
+    )

@@ -338,3 +338,40 @@ def test_bm25_scores_only_term_bearing_docs(spark, sf_dir):
         ).collect()
     }
     assert set(scored) == has_term
+
+
+def test_pq_search_recall_and_code_shape(spark, sf_dir):
+    """PQ+re-rank: every code is 8 subspace indices in [0,16); the
+    re-ranked top-10 recovers a usable share of the exact L2 top-10
+    (random 64-dim fixtures are the adversarial case for ANN —
+    distance concentration — so the floor is deliberately modest);
+    and re-rank distances are exact (monotone non-decreasing list)."""
+    import numpy as np
+
+    from data_wrangler_spark.catalog import load_table
+    from data_wrangler_spark.operators.similarity import (
+        PQ_M,
+        PQ_NCENT,
+        q_sim_search_pq,
+    )
+
+    rows = q_sim_search_pq(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert len(r.code) == PQ_M
+        assert all(0 <= c < PQ_NCENT for c in r.code)
+    dists = [r.l2_dist for r in rows]
+    assert dists == sorted(dists)
+
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    qid = min(vecs)
+    q = vecs[qid]
+    exact = sorted(
+        (float(((v - q) ** 2).sum()), vid) for vid, v in vecs.items() if vid != qid
+    )
+    exact10 = {vid for _, vid in exact[:10]}
+    got = {r.vec_id for r in rows}
+    assert len(got & exact10) >= 3, f"PQ recall {len(got & exact10)}/10"
