@@ -258,3 +258,149 @@ def q_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_cents",
         )
     )
+
+
+@register(
+    "q_table_fingerprint",
+    oracle="""
+    WITH o AS (
+      SELECT ('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+               CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+               || '|' || strftime(o_orderdate, '%Y-%m-%d')
+             ), 1, 15))::BIGINT AS h
+      FROM orders),
+    l AS (
+      SELECT ('0x' || substr(md5(
+               CAST(l_orderkey AS VARCHAR) || '|' ||
+               CAST(l_linenumber AS VARCHAR) || '|' ||
+               CAST(l_partkey AS VARCHAR) || '|' ||
+               CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+             ), 1, 15))::BIGINT AS h
+      FROM lineitem)
+    SELECT 'orders' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS hash_sum,
+           CAST(bit_xor(h) AS BIGINT) AS hash_xor
+    FROM o
+    UNION ALL
+    SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(h AS DECIMAL(38,0))) AS VARCHAR),
+           CAST(bit_xor(h) AS BIGINT)
+    FROM l
+    """,
+    tags=("ext", "quality", "maintenance"),
+)
+def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprints — the data-validation
+    primitive for 100 TB migrations, replications, and engine swaps:
+    serialize each row canonically (keys and strings verbatim, money
+    as half-up cents, dates as ISO strings — never raw double
+    printing, which differs across engines), hash it to a 60-bit
+    md5-derived long, and reduce with TWO order-independent
+    aggregates (exact decimal SUM — collision-resistant to row swaps
+    — and BIT_XOR — sensitive to duplicate-pair cancellation the sum
+    alone could mask... and vice versa: together a row lost, altered,
+    or duplicated moves at least one). Comparing fingerprints of two
+    copies never moves the data: each side reduces locally to one
+    row per table. This is the check q_csv_roundtrip/q_orc_roundtrip
+    do by full value comparison, collapsed to a constant-size
+    certificate — the form that works when the copies live on
+    different clusters. The oracle recomputes both fingerprints from
+    the same parquet, so the hash discipline itself is under the
+    exact gate. Scale: one scan per table, partial+final agg, zero
+    shuffle of rows (only per-partition partial states move)."""
+    from data_wrangler_spark.operators.dedup import _md5_long
+
+    o = load_table(spark, sf_dir, "orders")
+    orow = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    lrow = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").cast("string"),
+    )
+
+    def fp(df: DataFrame, row, name: str) -> DataFrame:
+        h = df.select(_md5_long(row).alias("h"))
+        return h.agg(
+            F.lit(name).alias("table_name"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("h").cast("decimal(38,0)")).cast("string").alias("hash_sum"),
+            F.expr("bit_xor(h)").cast("long").alias("hash_xor"),
+        )
+
+    return fp(o, orow, "orders").unionAll(fp(li, lrow, "lineitem"))
+
+
+@register(
+    "q_schema_evolution",
+    oracle="""
+    WITH gen AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 2 = 0 THEN NULL ELSE n_chars END AS n_chars,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS generation
+      FROM documents)
+    SELECT lang, generation,
+           CAST(COUNT(*) AS BIGINT)        AS n_docs,
+           CAST(COUNT(n_chars) AS BIGINT)  AS n_with_chars,
+           CAST(SUM(n_chars) AS BIGINT)    AS sum_chars
+    FROM gen
+    GROUP BY lang, generation
+    """,
+    tags=("ext", "source", "layout"),
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file generations — the append-only
+    lake reality at 100 TB: yesterday's files lack the column added
+    today, and the reader must union both WITHOUT rewriting history.
+    Generation 1 (even doc_ids) is written as (doc_id, lang);
+    generation 2 (odd doc_ids) adds n_chars. One read with
+    `mergeSchema=true` reconciles the footers: gen-1 rows surface
+    n_chars as NULL, gen-2 rows keep real values, and the report
+    proves both (COUNT(n_chars) counts only gen-2 rows, the exact
+    sum matches the raw table's odd-id sum — the oracle restates the
+    generation split straight from parquet).
+
+    Scale: schema reconciliation is footer-only (no data read at
+    planning); writing generations as separate directories under one
+    root is exactly how partition-append pipelines evolve. The sane
+    production knobs noted: new columns must be added NULLABLE, never
+    repurpose a name with a new type (parquet reconciliation fails —
+    by design), and pin `mergeSchema` on the READ because at scale
+    the default (first-footer schema) silently drops new columns."""
+    path = f"{_IO_SCRATCH}/{_sf_tag(sf_dir, 'documents')}/schema_evo"
+    if not os.path.exists(f"{path}/_DONE"):
+        d = load_table(spark, sf_dir, "documents")
+        (
+            d.filter(F.col("doc_id") % 2 == 0)
+            .select("doc_id", "lang")
+            .write.mode("overwrite")
+            .parquet(f"{path}/gen=1")
+        )
+        (
+            d.filter(F.col("doc_id") % 2 == 1)
+            .select("doc_id", "lang", "n_chars")
+            .write.mode("overwrite")
+            .parquet(f"{path}/gen=2")
+        )
+        with open(f"{path}/_DONE", "w") as fh:
+            fh.write("two generations\n")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/gen=1", f"{path}/gen=2"
+    )
+    gen = F.when(F.col("doc_id") % 2 == 0, F.lit(1)).otherwise(F.lit(2))
+    return merged.groupBy("lang", gen.alias("generation")).agg(
+        F.count("*").alias("n_docs"),
+        F.count("n_chars").alias("n_with_chars"),
+        F.sum("n_chars").alias("sum_chars"),
+    )

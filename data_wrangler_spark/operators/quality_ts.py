@@ -965,3 +965,116 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sum_dec").cast("double").alias("sum_value"),
         F.count("*").cast("long").alias("n_hours"),
     )
+
+
+ROLL_WINDOW_DAYS = 7  # trailing window for the rolling distinct
+
+
+@register(
+    "q_rolling_distinct",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events),
+    days AS (SELECT DISTINCT day FROM ud)
+    SELECT d.day,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+    FROM days d
+    JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+    tags=("ext", "timeseries"),
+)
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day (rolling WAU) — the
+    windowed aggregate COUNT(DISTINCT) cannot ride a frame for: the
+    distinct state is not mergeable across frame slides, so Spark
+    (correctly) refuses DISTINCT in window frames. The scalable
+    rewrite: reduce raw events to distinct (day, user) pairs first
+    (the only corpus-sized aggregation), then EXPAND each pair to the
+    ≤7 report days it contributes to (map-side `explode(sequence)` —
+    no join), semi-join the observed-day set so trailing days past
+    the fixture horizon don't appear, and count distinct users per
+    report day. Shuffle volume is bounded by |day×user| × 7 — pairs,
+    not events. The oracle states the same window as a BETWEEN join,
+    proving the expand rewrite is semantically invisible. At 100 TB
+    the pair reduction is the map-side combine; window length only
+    scales the small expand factor, and per-day distinct counting on
+    a hot day composes with plans/skew.salted_distinct_count."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    ud = ev.select(day.alias("day"), "user_id").distinct()
+    days = ud.select("day").distinct()
+    expanded = ud.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), ROLL_WINDOW_DAYS - 1))
+        ).alias("day"),
+        "user_id",
+    )
+    return (
+        expanded.join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+
+
+@register(
+    "q_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value, ts,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events),
+    seg AS (
+      SELECT user_id,
+             CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT)
+               * CAST(date_diff('second', ts, nxt) AS BIGINT) AS wv,
+             CAST(date_diff('second', ts, nxt) AS BIGINT)     AS dur
+      FROM seq WHERE nxt IS NOT NULL)
+    SELECT user_id,
+           CAST(SUM(wv) AS BIGINT)  AS num_micro,
+           CAST(SUM(dur) AS BIGINT) AS dur_seconds,
+           CAST(SUM(wv) AS DOUBLE) / SUM(dur) / 1000000 AS twa
+    FROM seg
+    GROUP BY user_id
+    HAVING SUM(dur) > 0
+    """,
+    tags=("ext", "timeseries"),
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user (the TimescaleDB `time_weight`
+    hyperfunction shape): each observation holds its value until the
+    next one (LOCF weighting), so the mean weights every reading by
+    how long it was current — the honest average for irregularly
+    sampled gauges. Arithmetic is exact: values in 10^-6 micro-units
+    (floor on the float→double promotion, identical both engines),
+    durations in whole seconds, so the weighted numerator is one
+    BIGINT sum and the final division is the only float op — both
+    engines divide identical integers. Ordering ties on ts break by
+    event_id, making LEAD deterministic.
+
+    Scale: one shuffle on user_id for the LEAD window (partition-local
+    sort, no global order), then a partial+final aggregation on the
+    same key — the second shuffle is removed by exchange reuse since
+    the partitioning matches. State per user is O(1)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        "value",
+        "ts",
+        "event_id",
+        F.lead("ts").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    dur = (F.unix_timestamp("nxt") - F.unix_timestamp("ts")).cast("long")
+    wv = F.floor(F.col("value").cast("double") * 1000000).cast("long") * dur
+    seg = seq.select("user_id", wv.alias("wv"), dur.alias("dur"))
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.sum("wv").alias("num_micro"),
+            F.sum("dur").alias("dur_seconds"),
+            (F.sum("wv").cast("double") / F.sum("dur") / 1000000).alias("twa"),
+        )
+        .filter(F.col("dur_seconds") > 0)
+    )

@@ -124,3 +124,60 @@ def test_stream_upsert_state_is_latest_per_user(spark, sf_dir):
     # the same user
     j = state.join(ev, "user_id").filter(F.col("ts") > F.col("last_ts"))
     assert j.count() == 0
+
+
+def test_fingerprint_detects_single_row_change(spark, sf_dir):
+    """The fingerprint must move when one row changes: recompute the
+    orders fingerprint with one price bumped by a cent and check both
+    aggregates differ from the registered query's."""
+    from pyspark.sql import functions as F
+
+    from data_wrangler_spark.catalog import load_table
+    from data_wrangler_spark.operators.dedup import _md5_long
+
+    base = {
+        r.table_name: (r.n_rows, r.hash_sum, r.hash_xor)
+        for r in REGISTRY["q_table_fingerprint"].run(spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    kmin = o.agg(F.min("o_orderkey")).collect()[0][0]
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long") + F.when(
+        F.col("o_orderkey") == kmin, 1
+    ).otherwise(0)
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        cents.cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+    )
+    tweaked = (
+        o.select(_md5_long(row).alias("h"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("h").cast("decimal(38,0)")).cast("string").alias("hash_sum"),
+            F.expr("bit_xor(h)").cast("long").alias("hash_xor"),
+        )
+        .collect()[0]
+    )
+    n, s, x = base["orders"]
+    assert tweaked.n_rows == n
+    assert tweaked.hash_sum != s and tweaked.hash_xor != x
+
+
+def test_schema_evolution_merges_nullable_column(spark, sf_dir):
+    """The merged read must surface n_chars as nullable with NULLs
+    exactly on generation-1 rows, and both generation dirs exist."""
+    import os
+
+    from data_wrangler_spark.operators.io_formats import _IO_SCRATCH, _sf_tag
+
+    out = REGISTRY["q_schema_evolution"].run(spark, sf_dir)
+    rows = out.collect()
+    path = f"{_IO_SCRATCH}/{_sf_tag(sf_dir, 'documents')}/schema_evo"
+    assert os.path.exists(f"{path}/gen=1") and os.path.exists(f"{path}/gen=2")
+    for r in rows:
+        if r.generation == 1:
+            assert r.n_with_chars == 0 and r.sum_chars is None
+        else:
+            assert r.n_with_chars == r.n_docs and r.sum_chars > 0

@@ -174,3 +174,57 @@ def test_rollup_incremental_layout_and_marker(spark, sf_dir):
     dmax = ev.agg(F.max(F.date_trunc("day", "ts").cast("date"))).collect()[0][0]
     assert f"day={dmax.isoformat()}" in days
     assert len(days) > 1
+
+
+def test_rolling_distinct_window_semantics(spark, sf_dir):
+    """Each day's wau equals the brute-force distinct over the
+    trailing 7 calendar days, and is >= that single day's DAU."""
+    import datetime
+
+    from data_wrangler_spark.catalog import load_table
+
+    from pyspark.sql import functions as F
+
+    ud = {
+        (r.day, r.user_id)
+        for r in load_table(spark, sf_dir, "events")
+        .select(
+            F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+        )
+        .distinct()
+        .collect()
+    }
+    rows = REGISTRY["q_rolling_distinct"].run(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        window = {
+            u
+            for (d, u) in ud
+            if 0 <= (r.day - d).days <= 6
+        }
+        assert r.wau == len(window)
+        dau = len({u for (d, u) in ud if d == r.day})
+        assert r.wau >= dau
+
+
+def test_time_weighted_avg_within_value_bounds(spark, sf_dir):
+    """A LOCF-weighted mean is a convex combination of observed
+    values (all but each user's last) — it must stay inside their
+    range, modulo the 1e-6 quantization floor."""
+    from data_wrangler_spark.catalog import load_table
+
+    from pyspark.sql import functions as F
+
+    bounds = {
+        r.user_id: (r.lo, r.hi)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    rows = REGISTRY["q_time_weighted_avg"].run(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        lo, hi = bounds[r.user_id]
+        assert lo - 1e-5 <= r.twa <= hi + 1e-5
+        assert r.dur_seconds > 0
