@@ -160,19 +160,12 @@ def _minhash_oracle() -> str:
     """
 
 
-@register("q_dedup_minhash", oracle=_minhash_oracle(), tags=("llm", "dedup"))
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates: 16 minhashes over word
-    3-gram shingles, 4 bands × 4 rows; docs sharing any band bucket
-    are candidates. Output: candidate pair + how many bands agree
-    (monotone in estimated Jaccard). The md5-derived hash family
-    (_md5_long) is reproducible in DuckDB, so this LSH pipeline is
-    fully oracle-checked — not rows-only; pytest additionally pins
-    recall against exact Jaccard."""
-    d = load_table(spark, sf_dir, "documents")
-    sigs = _minhash_signatures(d)
+def _band_table(sigs: DataFrame) -> DataFrame:
+    """signature frame → (doc_id, band, bucket): each doc's sig is
+    split into N_BANDS buckets of rows-per-band values (map-side
+    explode, fan-out ×N_BANDS — never the corpus)."""
     rows = N_MINHASH // N_BANDS
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -190,8 +183,21 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+@register("q_dedup_minhash", oracle=_minhash_oracle(), tags=("llm", "dedup"))
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: 16 minhashes over word
+    3-gram shingles, 4 bands × 4 rows; docs sharing any band bucket
+    are candidates. Output: candidate pair + how many bands agree
+    (monotone in estimated Jaccard). The md5-derived hash family
+    (_md5_long) is reproducible in DuckDB, so this LSH pipeline is
+    fully oracle-checked — not rows-only; pytest additionally pins
+    recall against exact Jaccard."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = _minhash_signatures(d)
     # hot-bucket guard: cap pathological buckets before the self-join
-    sized = bands.withColumn(
+    sized = _band_table(sigs).withColumn(
         "bsize", F.count("*").over(Window.partitionBy("band", "bucket"))
     ).filter(F.col("bsize") <= MAX_BUCKET)
     a = sized.select("band", "bucket", F.col("doc_id").alias("doc_a"))
@@ -638,3 +644,132 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return verified.filter(F.col("jaccard") >= t).select("doc_a", "doc_b", "jaccard")
+
+
+_INC_SCRATCH = "/root/repo/.scratch/dedup_inc"
+INC_EXIST_PCT = 8       # doc_id % 10 < 8 → already-ingested corpus
+INC_JAC_MICRO = 500000  # exact-Jaccard acceptance for a true dup
+
+
+def _inc_oracle() -> str:
+    rows = N_MINHASH // N_BANDS
+    h1 = "(('0x' || substr(md5(s), 1, 12))::BIGINT)"
+    h2 = "(('0x' || substr(md5(s), 13, 11))::BIGINT)"
+    sigs = ",\n        ".join(
+        f"list_min(list_transform(sh, s -> {h1} + {j} * {h2})) AS m{j}"
+        for j in range(N_MINHASH)
+    )
+
+    def band_union(src: str) -> str:
+        return "\n      UNION ALL\n      ".join(
+            f"SELECT doc_id, {b} AS band, "
+            + " || '|' || ".join(f"m{b * rows + r}::VARCHAR" for r in range(rows))
+            + f" AS bucket FROM {src}"
+            for b in range(N_BANDS)
+        )
+
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {sql_shingles_of('w', 3)} AS sh
+      FROM (SELECT doc_id, {sql_words('text')} AS w FROM documents)),
+    sig AS (SELECT doc_id, {sigs} FROM sh),
+    sig_ex AS (SELECT * FROM sig WHERE doc_id % 10 < {INC_EXIST_PCT}),
+    sig_new AS (SELECT * FROM sig WHERE doc_id % 10 >= {INC_EXIST_PCT}),
+    bands_ex AS ({band_union('sig_ex')}),
+    bands_new AS ({band_union('sig_new')}),
+    index_g AS (
+      SELECT band, bucket, doc_id FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bsize
+        FROM bands_ex)
+      WHERE bsize <= {MAX_BUCKET}),
+    cand AS (
+      SELECT n.doc_id AS doc_new, e.doc_id AS doc_old,
+             CAST(COUNT(DISTINCT n.band) AS BIGINT) AS n_bands
+      FROM bands_new n
+      JOIN index_g e ON e.band = n.band AND e.bucket = n.bucket
+      GROUP BY 1, 2),
+    shd AS (SELECT doc_id, list_distinct(sh) AS s FROM sh)
+    SELECT doc_new, doc_old, n_bands, jac_micro FROM (
+      SELECT c.doc_new, c.doc_old, c.n_bands,
+             (len(list_intersect(a.s, b.s)) * 1000000)
+               // (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+               AS jac_micro
+      FROM cand c
+      JOIN shd a ON a.doc_id = c.doc_new
+      JOIN shd b ON b.doc_id = c.doc_old)
+    WHERE jac_micro >= {INC_JAC_MICRO}
+    """
+
+
+@register("q_dedup_incremental", oracle=_inc_oracle(), tags=("llm", "dedup"))
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dedup — the production shape none of the
+    batch dedup queries exercise: new documents are checked against a
+    PERSISTED LSH band index of the already-ingested corpus, so a
+    daily ingest never re-pairs history with itself. Docs with
+    doc_id % 10 < 8 play the existing corpus: their banded minhash
+    buckets (same 16-hash/4-band family as q_dedup_minhash) are
+    written once to scratch WITH the hot-bucket guard applied at
+    build time. The remaining docs play today's batch: their bands
+    probe the stored index by (band, bucket) equi-join, candidates
+    are verified by exact shingle Jaccard (integer micro-units), and
+    pairs at ≥ 0.5 are reported as (doc_new, doc_old, n_bands,
+    jac_micro). The oracle replays index build, probe, and verify
+    from raw text — proving the persisted hop is lossless.
+
+    Scale: ingest cost is O(new batch) — sign the new docs, one
+    equi-join against the index, verify only candidates. The index
+    grows by appending the new batch's bands after the probe (same
+    append discipline as q_rollup_incremental); the bucket-size
+    guard re-derives per partition on append. History is never
+    re-shingled, never re-joined against itself — the property that
+    keeps corpus dedup affordable when 100 TB grows daily."""
+    import os as _os
+
+    from data_wrangler_spark.catalog import scratch_tag as _stag
+
+    d = load_table(spark, sf_dir, "documents")
+    exist = F.col("doc_id") % 10 < INC_EXIST_PCT
+
+    path = f"{_INC_SCRATCH}/{_stag(sf_dir, 'documents')}"
+    if not _os.path.exists(f"{path}/_SUCCESS"):
+        bands_ex = _band_table(_minhash_signatures(d.filter(exist)))
+        guarded = bands_ex.withColumn(
+            "bsize", F.count("*").over(Window.partitionBy("band", "bucket"))
+        ).filter(F.col("bsize") <= MAX_BUCKET)
+        guarded.select("band", "bucket", "doc_id").repartition(
+            "band"
+        ).write.mode("overwrite").partitionBy("band").parquet(path)
+
+    index_g = spark.read.parquet(path)
+    bands_new = _band_table(_minhash_signatures(d.filter(~exist)))
+    cand = (
+        bands_new.withColumnRenamed("doc_id", "doc_new")
+        .join(
+            index_g.withColumnRenamed("doc_id", "doc_old"),
+            ["band", "bucket"],
+        )
+        .groupBy("doc_new", "doc_old")
+        .agg(F.countDistinct("band").alias("n_bands"))
+    )
+
+    from data_wrangler_spark.functions.text import words
+
+    shd = d.select(
+        "doc_id",
+        F.array_distinct(
+            shingles_from_words(words("text"), 3)
+        ).alias("s"),
+    )
+    a = shd.select(F.col("doc_id").alias("doc_new"), F.col("s").alias("sa"))
+    b = shd.select(F.col("doc_id").alias("doc_old"), F.col("s").alias("sb"))
+    jac = F.expr(
+        "div(size(array_intersect(sa, sb)) * 1000000, "
+        "size(sa) + size(sb) - size(array_intersect(sa, sb)))"
+    )
+    return (
+        cand.join(a, "doc_new")
+        .join(b, "doc_old")
+        .select("doc_new", "doc_old", "n_bands", jac.alias("jac_micro"))
+        .filter(F.col("jac_micro") >= INC_JAC_MICRO)
+    )

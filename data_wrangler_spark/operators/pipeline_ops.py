@@ -756,3 +756,52 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
     keep = _md5_long(F.col("doc_id").cast("string"), seed=7) % 100 < rate
     return d.filter(keep).select("doc_id", "lang", "source", "n_chars")
+
+
+WEIGHTED_SAMPLE_N = 100  # q_sample_weighted: docs kept
+
+
+@register(
+    "q_sample_weighted",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(CAST(ln(
+               CAST({_sql_md5_long("CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
+               / 1152921504606846976
+             ) AS FLOAT) AS DOUBLE) / n_chars AS es_key
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, lang, n_chars, es_key
+    FROM keyed
+    ORDER BY es_key DESC, doc_id
+    LIMIT {WEIGHTED_SAMPLE_N}
+    """,
+    tags=("llm", "sampling"),
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, Efraimidis–Spirakis
+    (2006): each doc draws u from its deterministic md5 hash
+    (u=(h+1)/2^60 ∈ (0,1]) and gets key u^(1/w) with w = n_chars;
+    the N largest keys are an exact weighted sample — long docs are
+    proportionally more likely, yet the draw is reproducible across
+    runs, engines, and partitionings (the same discipline as
+    q_sample_hash, extended to weights). Ranking by u^(1/w) equals
+    ranking by ln(u)/w, which avoids pow(): ln is the one
+    transcendental and runs through the float32 parity guard
+    (q_entropy's trick), then one exact double division by the
+    integer weight — both engines order identical doubles, with
+    doc_id as the total tiebreak.
+
+    Scale: the key is a row-local scan expression; selection is
+    TakeOrderedAndProject (per-task N-heaps, N-row driver merge) —
+    no shuffle, no global sort, no rand(). This is how a weighted
+    training-mix subsample runs restartably over 100 TB."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = _md5_long(F.col("doc_id").cast("string"))
+    u = (h + 1).cast("double") / F.lit(float(1 << 60))
+    es_key = F.log(u).cast("float").cast("double") / F.col("n_chars")
+    return (
+        d.select("doc_id", "lang", "n_chars", es_key.alias("es_key"))
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(WEIGHTED_SAMPLE_N)
+    )

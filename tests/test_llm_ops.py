@@ -375,3 +375,30 @@ def test_pq_search_recall_and_code_shape(spark, sf_dir):
     exact10 = {vid for _, vid in exact[:10]}
     got = {r.vec_id for r in rows}
     assert len(got & exact10) >= 3, f"PQ recall {len(got & exact10)}/10"
+
+
+def test_dedup_incremental_probe_only_crosses_split(spark, sf_dir):
+    """Incremental dedup must only pair a NEW doc against an EXISTING
+    doc (never new-new or old-old), every reported pair must clear
+    the Jaccard gate, and the persisted band index must exist with
+    per-band partitions."""
+    import os
+
+    from data_wrangler_spark.catalog import scratch_tag
+    from data_wrangler_spark.operators.dedup import (
+        _INC_SCRATCH,
+        INC_EXIST_PCT,
+        INC_JAC_MICRO,
+        N_BANDS,
+    )
+    from data_wrangler_spark.registry import REGISTRY
+
+    rows = REGISTRY["q_dedup_incremental"].run(spark, sf_dir).collect()
+    for r in rows:
+        assert r.doc_new % 10 >= INC_EXIST_PCT
+        assert r.doc_old % 10 < INC_EXIST_PCT
+        assert r.jac_micro >= INC_JAC_MICRO
+        assert 1 <= r.n_bands <= N_BANDS
+    path = f"{_INC_SCRATCH}/{scratch_tag(sf_dir, 'documents')}"
+    bands = {e.name for e in os.scandir(path) if e.name.startswith("band=")}
+    assert len(bands) == N_BANDS
