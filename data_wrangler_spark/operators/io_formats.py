@@ -404,3 +404,87 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("n_chars").alias("n_with_chars"),
         F.sum("n_chars").alias("sum_chars"),
     )
+
+
+@register(
+    "q_join_dpp",
+    oracle="""
+    WITH pr AS (
+      SELECT CASE o_orderstatus WHEN 'F' THEN 'CLOSED'
+                                WHEN 'O' THEN 'OPEN'
+                                ELSE 'PARTIAL' END AS status_name,
+             o_orderstatus AS status_code
+      FROM (SELECT DISTINCT o_orderstatus FROM orders))
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM (SELECT o_orderkey,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) / 100.0
+                   AS o_totalprice,
+                 o_orderstatus
+          FROM orders) o
+    JOIN pr ON pr.status_code = o.o_orderstatus
+    WHERE pr.status_name = 'CLOSED'
+    GROUP BY o.o_orderstatus
+    """,
+    tags=("ext", "join", "layout"),
+)
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the scan-side optimization static
+    pruning (q_partitioned_write_prune) cannot give you: the fact
+    table is partitioned by o_orderstatus, but the query filters on
+    a DIMENSION attribute (status_name = 'CLOSED'); which fact
+    partitions survive is only known after the dim filter runs.
+    Spark's DPP inserts a runtime subquery: the filtered dim's join
+    keys are computed first and become a partition filter on the
+    fact scan, so only the o_orderstatus=F subtree is ever listed or
+    read — asserted via `dynamicpruning` in the analyzed plan
+    (tests/test_io_formats.py). At 100 TB this is THE star-schema
+    scan killer: date-dim filters ("fiscal Q3") prune a
+    date-partitioned fact without the user naming physical partition
+    values. The oracle restates the join on raw parquet.
+
+    The fact side reuses q_partitioned_write_prune's cents-exact
+    partitioned layout. The dim MUST be a stored table (persisted to
+    scratch, read back): when its attribute is instead derived
+    in-query from the join key, Catalyst's constraint propagation
+    constant-folds the dim filter into a STATIC partition filter —
+    smarter, but it would bypass the runtime-pruning path this
+    operator exists to pin. Stored data is opaque to inference, so
+    the plan carries a real `dynamicpruningexpression`."""
+    fact_path = f"{_IO_SCRATCH}/{_sf_tag(sf_dir)}/orders_by_status"
+    if not os.path.exists(f"{fact_path}/_SUCCESS"):
+        _orders_text(spark, sf_dir).select(
+            "o_orderkey", "price_cents", "o_orderstatus"
+        ).write.mode("overwrite").partitionBy("o_orderstatus").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+
+    dim_path = f"{_IO_SCRATCH}/{_sf_tag(sf_dir)}/status_dim"
+    if not os.path.exists(f"{dim_path}/_SUCCESS"):
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderstatus")
+            .distinct()
+            .select(
+                F.when(F.col("o_orderstatus") == "F", "CLOSED")
+                .when(F.col("o_orderstatus") == "O", "OPEN")
+                .otherwise("PARTIAL")
+                .alias("status_name"),
+                F.col("o_orderstatus").alias("status_code"),
+            )
+            .write.mode("overwrite")
+            .parquet(dim_path)
+        )
+    dim = spark.read.parquet(dim_path)
+    return (
+        fact.join(
+            dim.filter(F.col("status_name") == "CLOSED"),
+            fact["o_orderstatus"] == dim["status_code"],
+        )
+        .groupBy(fact["o_orderstatus"])
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("price_cents").alias("cents"),
+        )
+    )

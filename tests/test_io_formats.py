@@ -181,3 +181,13 @@ def test_schema_evolution_merges_nullable_column(spark, sf_dir):
             assert r.n_with_chars == 0 and r.sum_chars is None
         else:
             assert r.n_with_chars == r.n_docs and r.sum_chars > 0
+
+
+def test_join_dpp_plan_has_dynamic_pruning(spark, sf_dir):
+    """The fact scan must carry a runtime dynamicpruningexpression in
+    its PartitionFilters (not a constant-folded static filter), and
+    the dim side must broadcast."""
+    out = REGISTRY["q_join_dpp"].run(spark, sf_dir)
+    plan = out._jdf.queryExecution().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert "BroadcastHashJoin" in plan
