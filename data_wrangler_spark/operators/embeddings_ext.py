@@ -498,3 +498,126 @@ def kmeans_fit(spark: SparkSession, sf_dir: str):
     v_arr, cen = kmeans_fit_arr(spark, sf_dir)
     v = v_arr.select("vec_id", F.posexplode("xs").alias("dim", "x"))
     return v, cen
+
+
+PCA_Q = 1 << 20   # component quantizer (shared with kmeans)
+PCA_ITERS = 8     # power-iteration rounds
+PCA_VSCALE = 256  # per-round rescale target (max |v| after rescale)
+
+
+def _pca_oracle() -> str:
+    def fdiv(a: str, b: str) -> str:
+        # floor division exact in BOTH engines: the numerator is made
+        # exactly divisible (subtract the positive modulus), so the
+        # engine's own `//` rounding mode (DuckDB truncates, Python
+        # floors) never sees a remainder
+        return f"(({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) // ({b})"
+
+    it = """
+    w{k} AS MATERIALIZED (
+      SELECT gp.i, SUM(gp.g * v{p}.v) AS w
+      FROM gp JOIN v{p} ON v{p}.i = gp.j GROUP BY gp.i),
+    s{k} AS MATERIALIZED (SELECT MAX(ABS(w)) AS s FROM w{k}),
+    v{k} AS MATERIALIZED (SELECT i, {vexpr} AS v FROM w{k}, s{k})"""
+    iters = ",".join(
+        it.format(k=k, p=k - 1, vexpr=fdiv(f"w * {PCA_VSCALE}", "s"))
+        for k in range(1, PCA_ITERS + 1)
+    )
+    return f"""
+    WITH vq AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {PCA_Q}) AS BIGINT)) AS xs
+      FROM embeddings),
+    comp AS (
+      SELECT vec_id,
+             unnest(generate_series(1, len(xs))) AS d,
+             unnest(xs) AS x
+      FROM vq),
+    g AS (
+      SELECT a.d AS i, b.d AS j, SUM(a.x * b.x) AS gg
+      FROM comp a JOIN comp b USING (vec_id) GROUP BY 1, 2),
+    gp AS MATERIALIZED (SELECT i, j, {fdiv('gg', str(PCA_Q))} AS g FROM g),
+    v0 AS MATERIALIZED (SELECT i, 1 AS v FROM (SELECT DISTINCT i FROM gp)),
+    {iters}
+    SELECT CAST(i AS INT) AS dim, CAST(v AS BIGINT) AS v_scaled
+    FROM v{PCA_ITERS}
+    """
+
+
+@register("q_embed_pca", oracle=_pca_oracle(), tags=("llm", "embeddings"))
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus by POWER
+    ITERATION on the integer Gram matrix — PCA's top component, the
+    embedding-quality diagnostic (anisotropy: how much of the corpus
+    variance one direction soaks up), computed so every step is
+    engine- and order-independent: components quantize to 2^20
+    micro-units, the Gram matrix G[i,j] = Σ x_i·x_j accumulates in
+    int64, and each of the 3 iterations is w = G'v followed by an
+    integer rescale to max|v| = 256. Floor division runs through an
+    exactly-divisible numerator (subtract the positive modulus) so
+    DuckDB's truncating `//` and Python's flooring `//` cannot
+    disagree — the oracle replays the whole trajectory bit-for-bit.
+
+    Scale split: the only corpus-sized work is the Gram accumulation
+    — one mapInPandas pass emitting each task's 64×64 int64 partial
+    (X_partᵀX_part, a single numpy GEMM), merged by one 4096-row
+    groupBy — the same partial-collect discipline as kmeans_fit_mat.
+    The iteration itself is O(dim²) on a 64×64 matrix: driver
+    arithmetic on exact Python ints, like the K×dim centroid merge.
+    At 100 TB nothing changes: partials stay 64×64 per task
+    regardless of corpus size, and dim=4096 would still be a
+    16M-entry driver matrix.
+
+    Note on convergence: the random fixture's spectrum is nearly flat
+    (Marchenko–Pastur; λ2/λ1 ≈ 0.93–0.98), the adversarial case for
+    power iteration — 8 rounds provably lift the Rayleigh quotient to
+    ≥ 0.85·λ1 (pinned in tests/test_embeddings_ext.py) without
+    claiming full eigenvector convergence; real embedding corpora are
+    strongly anisotropic (λ1 dominant) and converge in 2-3 rounds."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v_arr = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda xf: F.floor(xf.cast("double") * PCA_Q).cast("long")
+        ).alias("xs"),
+    )
+    dim = len(e.select("embedding").first()["embedding"])
+
+    def gram(batches):
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["xs"].to_numpy()).astype(np.int64)
+            acc += X.T @ X
+            seen = True
+        if seen:
+            ii, jj = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
+            yield pd.DataFrame(
+                {"i": ii.ravel() + 1, "j": jj.ravel() + 1, "g": acc.ravel()}
+            )
+
+    g_rows = (
+        v_arr.mapInPandas(gram, "i int, j int, g long")
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("g"))
+        .collect()
+    )
+    G = {}
+    for r in g_rows:
+        G[(r.i, r.j)] = int(r.g) // PCA_Q  # Python floor == oracle fdiv
+
+    v = {i: 1 for i in range(1, dim + 1)}
+    for _ in range(PCA_ITERS):
+        w = {
+            i: sum(G[(i, j)] * v[j] for j in range(1, dim + 1))
+            for i in range(1, dim + 1)
+        }
+        s = max(abs(x) for x in w.values())
+        v = {i: (w[i] * PCA_VSCALE) // s for i in w}
+
+    return spark.createDataFrame(
+        [(i, v[i]) for i in sorted(v)], "dim int, v_scaled long"
+    )

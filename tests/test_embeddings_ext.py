@@ -111,3 +111,36 @@ def test_ivf_exact_recall_against_brute_force(spark, sf_dir):
     assert len(hits) >= 5, f"recall {len(hits)}/10 too low"
     for vid in hits:
         assert ivf[vid] == brute[vid]
+
+
+def test_pca_direction_matches_numpy_eigenvector(spark, sf_dir):
+    """The integer power iteration must materially concentrate
+    variance: its Rayleigh quotient beats the starting vector's and
+    reaches ≥0.85 of numpy's λ1; the rescale contract holds."""
+    import numpy as np
+
+    from data_wrangler_spark.catalog import load_table
+    from data_wrangler_spark.operators.embeddings_ext import PCA_VSCALE
+    from data_wrangler_spark.registry import REGISTRY
+
+    rows = REGISTRY["q_embed_pca"].run(spark, sf_dir).collect()
+    v = np.array([r.v_scaled for r in sorted(rows, key=lambda r: r.dim)], dtype=float)
+    assert int(np.abs(v).max()) == PCA_VSCALE
+
+    X = np.stack(
+        [
+            np.array(r.embedding, dtype=np.float64)
+            for r in load_table(spark, sf_dir, "embeddings").collect()
+        ]
+    )
+    G = X.T @ X
+    evals, _ = np.linalg.eigh(G)
+    lam1 = float(evals[-1])
+    rayleigh = float(v @ G @ v) / float(v @ v)
+    ones = np.ones_like(v)
+    r0 = float(ones @ G @ ones) / float(ones @ ones)
+    # power iteration monotonically lifts the Rayleigh quotient; on
+    # the fixture's near-flat spectrum full eigenvector convergence
+    # is not reachable in 8 rounds, but ≥0.85·λ1 is
+    assert rayleigh > r0
+    assert rayleigh >= 0.85 * lam1, f"R/λ1 = {rayleigh/lam1:.3f}"

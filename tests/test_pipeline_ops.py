@@ -186,3 +186,27 @@ def test_decontaminate_consistent_with_audit(spark, sf_dir):
     # if any eval doc shows containment, some train doc must leak it
     if any(a.n_matched > 0 for a in audit):
         assert any(r.drop_doc for r in rows)
+
+
+def test_weighted_sample_biases_toward_long_docs(spark, sf_dir):
+    """Efraimidis–Spirakis with w = n_chars must overrepresent long
+    docs: the sample's mean length materially exceeds the corpus
+    mean; keys are valid (negative ln(u)/w) and the draw is
+    deterministic across invocations."""
+    from pyspark.sql import functions as F
+
+    from data_wrangler_spark.catalog import load_table
+    from data_wrangler_spark.registry import REGISTRY
+
+    rows = REGISTRY["q_sample_weighted"].run(spark, sf_dir).collect()
+    again = REGISTRY["q_sample_weighted"].run(spark, sf_dir).collect()
+    assert [r.doc_id for r in rows] == [r.doc_id for r in again]
+    assert all(r.es_key <= 0 for r in rows)
+
+    corpus_mean = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    assert sample_mean > 1.05 * corpus_mean, (sample_mean, corpus_mean)
