@@ -69,6 +69,14 @@ AUDIT = [
     ("q_assoc_rules", "a-priori floor before fan-out; broadcast supports; top-N heap"),
     ("q_partitioned_write_prune", "partition-pruned scan: PartitionFilters, one subtree"),
     ("q_join_bucketed", "bucketed SMJ: zero exchange on the join key"),
+    ("q_agg_skewed", "salted distinct: _shard in phase-1 grouping, 2-phase merge"),
+    ("q_join_dpp", "dynamic partition pruning: runtime subquery filter on fact scan"),
+    ("q_sketch_kmv", "bottom-K sketch: TakeOrderedAndProject + 1-row broadcasts"),
+    ("q_rolling_distinct", "rolling WAU: pair reduction + bounded expand, one shuffle"),
+    ("q_sample_weighted", "weighted sample: scan-side key, TakeOrderedAndProject"),
+    ("q_dedup_incremental", "persisted band index probe: equi-join, no history self-pair"),
+    ("q_sim_search_pq", "PQ: closure codebook mapInPandas + ADC heap + re-rank"),
+    ("q_embed_pca", "Gram partials: per-task GEMM, 4096-row merge, no corpus shuffle"),
 ]
 
 
