@@ -721,9 +721,12 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join against the index, verify only candidates. The index
     grows by appending the new batch's bands after the probe (same
     append discipline as q_rollup_incremental); the bucket-size
-    guard re-derives per partition on append. History is never
-    re-shingled, never re-joined against itself — the property that
-    keeps corpus dedup affordable when 100 TB grows daily."""
+    guard re-derives per partition on append. History signatures are
+    never recomputed, history never re-pairs with itself, and the
+    verify stage shingles only docs named in a candidate pair (a
+    left-semi prefilter) — so a daily ingest costs O(new batch +
+    candidates), the property that keeps corpus dedup affordable
+    when 100 TB grows daily."""
     import os as _os
 
     from data_wrangler_spark.catalog import scratch_tag as _stag
@@ -755,7 +758,15 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from data_wrangler_spark.functions.text import words
 
-    shd = d.select(
+    # verify-stage shingling is restricted to docs that actually
+    # appear in a candidate pair (left-semi against the candidate id
+    # set) — the probe never re-shingles the full history
+    cand_ids = (
+        cand.select(F.col("doc_new").alias("doc_id"))
+        .union(cand.select(F.col("doc_old").alias("doc_id")))
+        .distinct()
+    )
+    shd = d.join(cand_ids, "doc_id", "left_semi").select(
         "doc_id",
         F.array_distinct(
             shingles_from_words(words("text"), 3)
@@ -763,9 +774,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = shd.select(F.col("doc_id").alias("doc_new"), F.col("s").alias("sa"))
     b = shd.select(F.col("doc_id").alias("doc_old"), F.col("s").alias("sb"))
+    # size() is int32 — promote to bigint BEFORE the ×1e6 or docs with
+    # ≥2148 shared shingles overflow under the session's ANSI mode
     jac = F.expr(
-        "div(size(array_intersect(sa, sb)) * 1000000, "
-        "size(sa) + size(sb) - size(array_intersect(sa, sb)))"
+        "div(cast(size(array_intersect(sa, sb)) as bigint) * 1000000, "
+        "cast(size(sa) as bigint) + size(sb) - size(array_intersect(sa, sb)))"
     )
     return (
         cand.join(a, "doc_new")

@@ -553,7 +553,7 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     variance one direction soaks up), computed so every step is
     engine- and order-independent: components quantize to 2^20
     micro-units, the Gram matrix G[i,j] = Σ x_i·x_j accumulates in
-    int64, and each of the 3 iterations is w = G'v followed by an
+    int64, and each of the PCA_ITERS=8 iterations is w = G'v followed by an
     integer rescale to max|v| = 256. Floor division runs through an
     exactly-divisible numerator (subtract the positive modulus) so
     DuckDB's truncating `//` and Python's flooring `//` cannot

@@ -248,14 +248,19 @@ def _sql_kmv_h(expr: str) -> str:
         FROM shard_h) WHERE rn <= {KMV_K}),
     merged AS (SELECT max(h) AS hk_merged
                FROM (SELECT DISTINCT h FROM shard_kept ORDER BY h LIMIT {KMV_K}))
-    SELECT k.k, k.hk AS kth_min_hash,
-           ({KMV_K - 1} * {KMV_SPACE}) // k.hk        AS est_distinct,
-           e.n_exact                                  AS exact_distinct,
-           abs(({KMV_K - 1} * {KMV_SPACE}) // k.hk - e.n_exact) AS abs_err,
-           (abs(({KMV_K - 1} * {KMV_SPACE}) // k.hk - e.n_exact) * 100
-              <= e.n_exact * {KMV_BAND_PCT})          AS within_band,
-           (m.hk_merged = k.hk)                       AS merge_exact
-    FROM kth k, exact e, merged m
+    SELECT k, kth_min_hash, est_distinct, exact_distinct,
+           abs(est_distinct - exact_distinct) AS abs_err,
+           (abs(est_distinct - exact_distinct) * 100
+              <= exact_distinct * {KMV_BAND_PCT})     AS within_band,
+           merge_exact
+    FROM (
+      SELECT k.k, k.hk AS kth_min_hash,
+             CASE WHEN k.k < {KMV_K} THEN k.k
+                  ELSE ({KMV_K - 1} * {KMV_SPACE}) // k.hk
+             END                                      AS est_distinct,
+             e.n_exact                                AS exact_distinct,
+             (m.hk_merged = k.hk)                     AS merge_exact
+      FROM kth k, exact e, merged m)
     """,
     tags=("ext", "sketch"),
 )
@@ -313,7 +318,11 @@ def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("h").alias("hk_merged"))
     )
 
-    est = F.expr(f"div({KMV_K - 1}L * {KMV_SPACE}L, hk)")
+    # standard KMV small-set branch: with fewer than K retained
+    # hashes the sketch holds the whole distinct set — return it
+    est = F.when(F.col("k") < KMV_K, F.col("k")).otherwise(
+        F.expr(f"div({KMV_K - 1}L * {KMV_SPACE}L, hk)")
+    )
     return (
         kth.crossJoin(F.broadcast(exact))
         .crossJoin(F.broadcast(merged))

@@ -66,9 +66,12 @@ def salted_distinct_count(
     distinct count. The hot key's state now spreads over ``n_shards``
     tasks; phase 2 merges ≤ n_shards small integers per key.
 
-    ``extra_aggs`` are additional MERGEABLE aggregates (counts,
-    decimal sums) computed per shard in phase 1; callers re-merge
-    them in phase 2 (they arrive suffixed ``_shard``).
+    ``extra_aggs`` are additional SUM-mergeable aggregates (counts,
+    decimal sums) computed per shard in phase 1; phase 2 re-merges
+    each one with an unconditional SUM under its original alias, so
+    only aggregates whose merge IS a sum are valid here (a max/min
+    would be silently summed — pass those through a separate plain
+    groupBy instead).
     """
     shard = F.pmod(F.hash(F.col(val_col)), F.lit(n_shards)).alias("_shard")
     phase1 = df.groupBy(*[F.col(k) for k in key_cols], shard).agg(
