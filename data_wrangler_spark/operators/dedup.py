@@ -786,3 +786,103 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_new", "doc_old", "n_bands", jac.alias("jac_micro"))
         .filter(F.col("jac_micro") >= INC_JAC_MICRO)
     )
+
+
+SEM_TAU = 0.35  # SemDeDup cosine threshold (corpus-calibrated; see doc)
+
+
+def _semantic_oracle() -> str:
+    from data_wrangler_spark.operators.embeddings_ext import kmeans_cte_sql
+
+    cos = sql_round6(
+        f"{sql_dot('a.e', 'b.e')} / ({sql_norm('a.e')} * {sql_norm('b.e')})"
+    )
+    return f"""
+    WITH RECURSIVE
+    {kmeans_cte_sql()},
+    n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+    m AS MATERIALIZED (
+      SELECT n.vec_id, n.e, CAST(a.cl AS INT) AS cell
+      FROM n JOIN km_asg a ON a.vec_id = n.vec_id),
+    dups AS MATERIALIZED (
+      SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos_sim
+      FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {cos} >= {SEM_TAU}),
+    sel AS (SELECT vec_b AS vec_dup, MIN(vec_a) AS kept_id
+            FROM dups GROUP BY vec_b)
+    SELECT s.vec_dup, s.kept_id, p.cell, p.cos_sim AS cos_to_kept
+    FROM sel s
+    JOIN dups p ON p.vec_b = s.vec_dup AND p.vec_a = s.kept_id
+    """
+
+
+@register("q_dedup_semantic", oracle=_semantic_oracle(), tags=("llm", "dedup"))
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) — SEMANTIC deduplication, the
+    method that catches what every lexical strategy above misses:
+    paraphrases and re-renderings with near-identical embeddings but
+    different surface text. The pipeline is the paper's: (1) cluster
+    the corpus embeddings — here the integer-exact k-means
+    (kmeans_fit, same trajectory the DuckDB oracle replays via its
+    recursive CTE); (2) compare pairs ONLY within a cluster — the
+    clustering IS the blocking, collapsing O(n²) to Σ|cell|²;
+    (3) inside each cell, any vector with a lower-id neighbor at
+    cosine ≥ τ is a duplicate, keeping the lowest id (the paper
+    keeps one representative per ε-ball; lowest-id is the
+    deterministic choice). Output: (vec_dup, kept_id, cell,
+    cos_to_kept). τ = 0.35 is calibrated to the synthetic corpus'
+    isotropic vectors (real embedding corpora run 0.9+; the knob,
+    not the shape, changes).
+
+    Scale: identical plan shape to q_dedup_embed but with the block
+    key produced by clustering instead of labels — one equi-join on
+    cell, dot products Arrow-vectorized, norms precomputed. Cell
+    sizes are the skew knob: at 100 TB k scales with n to hold
+    E|cell| constant, and an oversized cell (boilerplate cluster)
+    either splits by sub-clustering or caps like MAX_BUCKET."""
+    from data_wrangler_spark.functions.vectors import make_dot_udf, norm, round6
+    from data_wrangler_spark.operators.embeddings_ext import (
+        kmeans_assign_mat,
+        kmeans_fit_mat,
+    )
+
+    # matrix-form fit + closure-shipped assignment: zero shuffles on
+    # the assignment path (vs. the exploded per-dim join variant)
+    v_arr, cl_ids, cmat = kmeans_fit_mat(spark, sf_dir)
+    asg = kmeans_assign_mat(v_arr, cl_ids, cmat).select(
+        "vec_id", F.col("cl").cast("int").alias("cell")
+    )
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    e = (
+        raw.select("vec_id", to_double_array("embedding").alias("e"))
+        .join(asg, "vec_id")
+        .withColumn("nrm", norm(F.col("e")))
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), "cell",
+        F.col("e").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), "cell",
+        F.col("e").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    dot_udf = make_dot_udf()
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos_sim",
+            round6(dot_udf(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))),
+        )
+        .filter(F.col("cos_sim") >= SEM_TAU)
+        .select("cell", "vec_a", "vec_b", "cos_sim")
+    )
+    sel = dups.groupBy(F.col("vec_b").alias("vec_dup")).agg(
+        F.min("vec_a").alias("kept_id")
+    )
+    return sel.join(
+        dups,
+        (dups["vec_b"] == sel["vec_dup"]) & (dups["vec_a"] == sel["kept_id"]),
+    ).select("vec_dup", "kept_id", "cell", F.col("cos_sim").alias("cos_to_kept"))

@@ -402,3 +402,26 @@ def test_dedup_incremental_probe_only_crosses_split(spark, sf_dir):
     path = f"{_INC_SCRATCH}/{scratch_tag(sf_dir, 'documents')}"
     bands = {e.name for e in os.scandir(path) if e.name.startswith("band=")}
     assert len(bands) == N_BANDS
+
+
+def test_dedup_semantic_pairs_verified_by_numpy(spark, sf_dir):
+    """Every reported semantic dup must keep a lower id, and its
+    cosine to the keeper must match a numpy recompute at 1e-5."""
+    import numpy as np
+
+    from data_wrangler_spark.catalog import load_table
+    from data_wrangler_spark.operators.dedup import SEM_TAU
+    from data_wrangler_spark.registry import REGISTRY
+
+    rows = REGISTRY["q_dedup_semantic"].run(spark, sf_dir).collect()
+    assert rows
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    for r in rows:
+        assert r.kept_id < r.vec_dup
+        assert r.cos_to_kept >= SEM_TAU
+        a, b = vecs[r.kept_id], vecs[r.vec_dup]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(cos - r.cos_to_kept) < 1e-5
