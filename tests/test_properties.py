@@ -142,3 +142,17 @@ def test_release_pinned_unpersists(spark):
     assert n == 100 and out.count() == 100
     assert release_pinned() >= 1
     assert release_pinned() == 0  # idempotent
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=-(2**60), max_value=2**60),
+    st.integers(min_value=1, max_value=2**40),
+)
+def test_fdiv_identity_matches_python_floor_in_duckdb(a, b):
+    """q_embed_pca's cross-engine floor division: the exactly-
+    divisible-numerator identity evaluated by DuckDB (whose bare //
+    truncates toward zero) must equal Python's flooring //."""
+    expr = f"(({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) // ({b})"
+    got = duckdb.connect().execute(f"SELECT {expr}").fetchone()[0]
+    assert got == a // b
