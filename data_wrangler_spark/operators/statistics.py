@@ -420,3 +420,72 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+DP_EPS = 1          # epsilon (integer so b = 1/eps is exact)
+DP_SEED = "dp1"     # released-noise seed — rotate per release
+
+
+@register(
+    "q_dp_count",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_true FROM documents
+      GROUP BY lang),
+    drawn AS (
+      SELECT lang, n_true,
+             (('0x' || substr(md5(lang || '#{DP_SEED}'), 1, 15))::BIGINT + 1)
+               / CAST(1152921504606846976 AS DOUBLE) AS u
+      FROM g),
+    noised AS (
+      SELECT lang, n_true,
+             CAST(floor(
+               -sign(u - 0.5)
+               * CAST(CAST(ln(1 - 2 * abs(u - 0.5)) AS FLOAT) AS DOUBLE)
+               / {DP_EPS} * 1000000
+             ) AS BIGINT) AS noise_micro
+      FROM drawn)
+    SELECT lang, n_true, noise_micro,
+           n_true * 1000000 + noise_micro AS n_dp_micro
+    FROM noised
+    """,
+    tags=("ext", "statistics", "privacy"),
+)
+def q_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private group counts — the release format for
+    sharing corpus statistics: per-language doc counts + Laplace(1/ε)
+    noise via inverse-CDF sampling, noise = -(1/ε)·sign(u-½)·
+    ln(1-2|u-½|), sensitivity 1 for a count. The draw u comes from a
+    SEEDED md5 hash of the group key (the seed rotates per release),
+    which is how production DP pipelines are built anyway: releases
+    must be REPLAYABLE from the seed — re-running a release must not
+    consume fresh privacy budget — and that same determinism is what
+    lets the DuckDB oracle replay the noise bit-for-bit (ln through
+    the float32 parity guard, everything after in exact integer
+    micro-units). Per group: true count (internal), the noise draw,
+    and the released noised count.
+
+    Scale: one partial+final count aggregate; the noise is a
+    scan-side expression over |groups| rows. Nothing about the data
+    path changes at 100 TB — DP cost is per-release bookkeeping, not
+    compute."""
+    from data_wrangler_spark.operators.dedup import _md5_long
+
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(F.count("*").alias("n_true"))
+    u = (_md5_long(F.concat(F.col("lang"), F.lit(f"#{DP_SEED}"))) + 1) / F.lit(
+        float(1 << 60)
+    )
+    c = u - 0.5
+    noise_micro = F.floor(
+        -F.signum(c)
+        * F.log(1 - 2 * F.abs(c)).cast("float").cast("double")
+        / DP_EPS
+        * 1000000
+    ).cast("long")
+    return g.select(
+        "lang",
+        "n_true",
+        noise_micro.alias("noise_micro"),
+        (F.col("n_true") * 1000000 + noise_micro).alias("n_dp_micro"),
+    )

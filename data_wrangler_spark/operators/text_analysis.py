@@ -602,3 +602,143 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("doc_id", score.alias("score_micro")).filter(
         F.col("score_micro") > 0
     )
+
+
+def _bpe_merge_ctes() -> str:
+    """The two learned-merge CTEs (m1, m2) — identical text to
+    q_bpe_merges' oracle so both queries learn the same rules."""
+    return """
+    w0 AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS word
+      FROM documents),
+    p0 AS (
+      SELECT substr(word, i, 2) AS pair, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT word, unnest(generate_series(1, length(word) - 1)) AS i
+            FROM w0)
+      GROUP BY 1),
+    r0 AS (SELECT pair, cnt,
+                  ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rnk
+           FROM p0),
+    m1 AS (SELECT pair FROM r0 WHERE rnk = 1),
+    w1 AS (SELECT replace(word, (SELECT pair FROM m1), 'A') AS word FROM w0),
+    p1 AS (
+      SELECT substr(word, i, 2) AS pair, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT word, unnest(generate_series(1, length(word) - 1)) AS i
+            FROM w1)
+      GROUP BY 1),
+    r1 AS (SELECT pair, cnt,
+                  ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rnk
+           FROM p1),
+    m2 AS (SELECT pair FROM r1 WHERE rnk = 1)"""
+
+
+@register(
+    "q_bpe_encode",
+    oracle=f"""
+    WITH {_bpe_merge_ctes()},
+    docs AS (SELECT doc_id, string_split(trim(text), ' ') AS ws
+             FROM documents),
+    enc AS (
+      SELECT doc_id, ws,
+             list_transform(ws,
+               w -> replace(replace(w, m1.pair, 'A'), m2.pair, 'B')) AS es
+      FROM docs, m1, m2),
+    stats AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT)
+               AS n_chars_raw,
+             CAST(list_sum(list_transform(es, w -> length(w))) AS BIGINT)
+               AS n_symbols_bpe
+      FROM enc)
+    SELECT doc_id, n_words, n_chars_raw, n_symbols_bpe,
+           (n_symbols_bpe * 1000000) // n_chars_raw AS compression_micro
+    FROM stats
+    WHERE n_chars_raw > 0
+    """,
+    tags=("llm", "text"),
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — the apply step that pairs with q_bpe_merges'
+    training step: re-learn the same two merge rules (identical
+    deterministic tiebreaks), then tokenize every document by
+    applying them in order (merge 1 before merge 2, exactly as BPE
+    prescribes — rule 2 was learned on a corpus where rule 1 had
+    already fired, and can even consume the 'A' symbol rule 1
+    introduced). Per doc: word count, raw symbol count, post-merge
+    symbol count, and the integer-micro compression ratio — the
+    statistic tokenizer sizing decisions read.
+
+    Scale: the rules are two 1-row broadcast frames learned by
+    TakeOrderedAndProject over the pair-count table (never collected
+    to the driver); encoding is a pure scan-side transform — at
+    100 TB the full merge table (30-50k rules) would ship as a
+    broadcast map consumed by a Pandas-UDF encoder, but the per-doc
+    plan shape (broadcast rules + scan-local apply) is this one."""
+    d = load_table(spark, sf_dir, "documents")
+    w0 = d.select(F.explode(words("text")).alias("word"))
+
+    def top_pair(wdf: DataFrame, out: str) -> DataFrame:
+        grams = F.when(
+            F.length("word") > 1,
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.substring(F.col("word"), i, F.lit(2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return (
+            wdf.select(F.explode(grams).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .select(F.col("pair").alias(out))
+        )
+
+    m1 = top_pair(w0, "p1")
+    w1 = w0.crossJoin(F.broadcast(m1)).select(
+        F.replace(F.col("word"), F.col("p1"), F.lit("A")).alias("word")
+    )
+    m2 = top_pair(w1, "p2")
+
+    enc = (
+        d.select("doc_id", words("text").alias("ws"))
+        .crossJoin(F.broadcast(m1))
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "doc_id",
+            "ws",
+            F.transform(
+                "ws",
+                lambda wd: F.replace(
+                    F.replace(wd, F.col("p1"), F.lit("A")),
+                    F.col("p2"),
+                    F.lit("B"),
+                ),
+            ).alias("es"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    n_raw = F.aggregate(
+        F.transform("ws", lambda x: F.length(x).cast("long")),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    n_bpe = F.aggregate(
+        F.transform("es", lambda x: F.length(x).cast("long")),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    return (
+        enc.select(
+            "doc_id",
+            F.size("ws").cast("long").alias("n_words"),
+            n_raw.alias("n_chars_raw"),
+            n_bpe.alias("n_symbols_bpe"),
+        )
+        .filter(F.col("n_chars_raw") > 0)
+        .withColumn(
+            "compression_micro",
+            F.expr("div(n_symbols_bpe * 1000000, n_chars_raw)"),
+        )
+    )

@@ -67,3 +67,39 @@ def test_stream_join_within_interval(spark, sf_dir):
     for r in rows:
         delta = (r.purchase_ts - r.view_ts).total_seconds()
         assert 0 <= delta <= 1800
+
+
+def test_bpe_encode_consistent_with_merges(spark, sf_dir):
+    """Encoding must use exactly the rules q_bpe_merges learns: the
+    chosen stage-0/1 pairs imply the corpus-level compression —
+    n_symbols_bpe = n_chars_raw - (merge hits), and every doc
+    compresses or stays equal, never grows."""
+    from data_wrangler_spark.registry import REGISTRY
+
+    enc = REGISTRY["q_bpe_encode"].run(spark, sf_dir).collect()
+    assert enc
+    for r in enc:
+        assert 0 < r.n_symbols_bpe <= r.n_chars_raw
+        assert 0 < r.compression_micro <= 1000000
+    merges = REGISTRY["q_bpe_merges"].run(spark, sf_dir).collect()
+    chosen = [r for r in merges if r.chosen]
+    assert len(chosen) == 2
+    # total symbols removed across the corpus = hits of both merges
+    removed = sum(r.n_chars_raw - r.n_symbols_bpe for r in enc)
+    assert removed >= sum(1 for r in chosen)  # both rules fired
+
+
+def test_dp_count_noise_symmetric_and_bounded(spark, sf_dir):
+    """Seeded Laplace noise: deterministic across runs, zero-mean-ish
+    by construction (symmetric CDF inversion), and the released count
+    equals true + noise exactly in micro-units."""
+    from data_wrangler_spark.registry import REGISTRY
+
+    rows = REGISTRY["q_dp_count"].run(spark, sf_dir).collect()
+    again = REGISTRY["q_dp_count"].run(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    for r in rows:
+        assert r.n_dp_micro == r.n_true * 1000000 + r.noise_micro
+        # ε=1 Laplace: |noise| beyond 15 (≈ e^-15 tail) would signal
+        # a broken inverse-CDF
+        assert abs(r.noise_micro) < 15_000_000
