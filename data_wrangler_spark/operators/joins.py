@@ -346,3 +346,67 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_cents"),
         )
     )
+
+
+@register(
+    "q_join_null_skew",
+    oracle="""
+    WITH o2 AS (
+      SELECT CASE WHEN o_custkey % 7 = 0 THEN NULL ELSE o_custkey END AS k,
+             o_orderstatus, o_totalprice
+      FROM orders)
+    SELECT o_orderstatus,
+           (c.c_custkey IS NOT NULL) AS matched,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(22,6))) AS DOUBLE)
+             AS total_spend
+    FROM o2 LEFT JOIN customer c ON c.c_custkey = o2.k
+    GROUP BY 1, 2
+    """,
+    tags=("ext", "join", "skew"),
+)
+def q_join_null_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-key skew segregation — the third skew pattern beside
+    salted joins (q_join_skewed) and sharded distinct (q_agg_skewed),
+    and the one that needs no salting at all: in an outer join, NULL
+    keys can never match, yet a naive plan still SHUFFLES them — and
+    since every NULL hashes identically, they all land on ONE task
+    (with a nullable FK at 10-20% NULL, that task carries 10-20% of
+    the fact table). The rewrite splits the fact side: non-null keys
+    take the real join; NULL-key rows BYPASS the shuffle entirely and
+    union back with null-extended join columns. ~14% of orders get a
+    synthesized NULL key (o_custkey % 7 = 0); the oracle is the plain
+    LEFT JOIN on the nullable key, proving the segregation is
+    semantically invisible. The aggregate reports matched/unmatched
+    row counts and exact decimal spend per status, so a lost or
+    duplicated bypass row cannot hash-match.
+
+    At 100 TB this is the first thing to check when one straggler
+    task dominates an outer join: SQL NULL semantics make the fix
+    free — no salt arithmetic, just a filter and a union."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_custkey") % 7 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+
+    joined = o.filter(F.col("k").isNotNull()).join(
+        c, F.col("k") == F.col("c_custkey"), "left"
+    )
+    bypass = o.filter(F.col("k").isNull()).withColumn(
+        "c_custkey", F.lit(None).cast("long")
+    )
+    both = joined.select(
+        "o_orderstatus", "o_totalprice", "c_custkey"
+    ).unionByName(bypass.select("o_orderstatus", "o_totalprice", "c_custkey"))
+    return both.groupBy(
+        "o_orderstatus", F.col("c_custkey").isNotNull().alias("matched")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(22,6)"))
+        .cast("double")
+        .alias("total_spend"),
+    )

@@ -1078,3 +1078,96 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dur_seconds") > 0)
     )
+
+
+@register(
+    "q_dq_checks",
+    oracle="""
+    SELECT 'orders_pk_unique' AS check_name,
+           CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders_price_positive',
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_totalprice IS NULL OR o_totalprice <= 0)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders_status_domain',
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderstatus NOT IN ('F', 'O', 'P'))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_quantity IS NULL
+                    OR l_quantity < 1 OR l_quantity > 50)
+                AS BIGINT)
+    """,
+    tags=("ext", "quality", "maintenance"),
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (the Great-Expectations /
+    dbt-test shape): one result row per declared check with its
+    violation count — pk uniqueness, two FK-integrity checks
+    (anti-join form), non-null/positivity, a categorical domain, and
+    a numeric range. The clean fixture should report all zeros; in
+    production the suite runs as the acceptance gate after every
+    ingest (compose with q_rollup_incremental: check THEN append).
+
+    Scale: each check is the cheapest plan of its kind — uniqueness
+    is one count-distinct aggregate (no self-join), FK orphans are
+    LEFT-ANTI hash joins (never NOT IN, whose null semantics also
+    trip correctness), scans share the session's table cache, and
+    every check reduces to one number per check before the union —
+    the result is |checks| rows regardless of data size."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+
+    def one(name: str, n) -> DataFrame:
+        return n.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("long").alias("n_violations"),
+        )
+
+    pk = o.agg((F.count("*") - F.count_distinct("o_orderkey")).alias("n"))
+    fk_cust = (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count("*").alias("n"))
+    )
+    fk_ord = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count("*").alias("n"))
+    )
+    price = o.filter(
+        F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+    ).agg(F.count("*").alias("n"))
+    domain = o.filter(~F.col("o_orderstatus").isin("F", "O", "P")).agg(
+        F.count("*").alias("n")
+    )
+    qty = li.filter(
+        F.col("l_quantity").isNull()
+        | (F.col("l_quantity") < 1)
+        | (F.col("l_quantity") > 50)
+    ).agg(F.count("*").alias("n"))
+
+    return (
+        one("orders_pk_unique", pk)
+        .unionAll(one("orders_fk_customer", fk_cust))
+        .unionAll(one("lineitem_fk_orders", fk_ord))
+        .unionAll(one("orders_price_positive", price))
+        .unionAll(one("orders_status_domain", domain))
+        .unionAll(one("lineitem_qty_range", qty))
+    )

@@ -228,3 +228,10 @@ def test_time_weighted_avg_within_value_bounds(spark, sf_dir):
         lo, hi = bounds[r.user_id]
         assert lo - 1e-5 <= r.twa <= hi + 1e-5
         assert r.dur_seconds > 0
+
+
+def test_dq_checks_all_pass_on_clean_fixture(spark, sf_dir):
+    rows = {r.check_name: r.n_violations for r in
+            REGISTRY["q_dq_checks"].run(spark, sf_dir).collect()}
+    assert len(rows) == 6
+    assert all(v == 0 for v in rows.values()), rows

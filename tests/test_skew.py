@@ -129,3 +129,30 @@ def test_salted_distinct_count_disjoint_shards(spark):
     )
     out = salted_distinct_count(df, ["k"], "v", n_shards=8).collect()
     assert out[0].n_distinct == 137
+
+
+def test_null_skew_plan_bypasses_shuffle_for_null_keys(spark, sf_dir):
+    """The segregated plan must (a) union a bypass branch, (b) join
+    only the IsNotNull side, and (c) reproduce the plain nullable-key
+    LEFT JOIN's aggregate exactly."""
+    from data_wrangler_spark.operators.joins import q_join_null_skew
+
+    df = q_join_null_skew(spark, sf_dir)
+    plan = df._jdf.queryExecution().toString()
+    assert "Union" in plan
+    assert "isnotnull(k" in plan.lower().replace(" ", "") or "IsNotNull" in plan
+
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "CASE WHEN o_custkey % 7 = 0 THEN NULL ELSE o_custkey END AS k",
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    c = load_table(spark, sf_dir, "customer")
+    plain = (
+        o.join(c, F.col("k") == F.col("c_custkey"), "left")
+        .groupBy("o_orderstatus", F.col("c_custkey").isNotNull().alias("matched"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    expect = {(r.o_orderstatus, r.matched): r.n_orders for r in plain.collect()}
+    got = {(r.o_orderstatus, r.matched): r.n_orders for r in df.collect()}
+    assert got == expect
