@@ -746,7 +746,10 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     index_g = spark.read.parquet(path)
     bands_new = _band_table(_minhash_signatures(d.filter(~exist)))
-    cand = (
+    # pin the candidate table: it feeds the id-set derivation twice
+    # and the verify join once — unpinned, the whole signature+probe
+    # pipeline would re-execute per consumer (measured 3× at sf0.1)
+    cand = pin(
         bands_new.withColumnRenamed("doc_id", "doc_new")
         .join(
             index_g.withColumnRenamed("doc_id", "doc_old"),
@@ -754,6 +757,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_new", "doc_old")
         .agg(F.countDistinct("band").alias("n_bands"))
+        .persist()
     )
 
     from data_wrangler_spark.functions.text import words
@@ -766,24 +770,37 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cand.select(F.col("doc_old").alias("doc_id")))
         .distinct()
     )
-    shd = d.join(cand_ids, "doc_id", "left_semi").select(
-        "doc_id",
-        F.array_distinct(
-            shingles_from_words(words("text"), 3)
-        ).alias("s"),
+    # pinned: consumed twice (the doc_new and doc_old sides of the
+    # verify join) — one shingle pass instead of two
+    shd = pin(
+        d.join(cand_ids, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.array_distinct(
+                shingles_from_words(words("text"), 3)
+            ).alias("s"),
+        )
+        .persist()
     )
     a = shd.select(F.col("doc_id").alias("doc_new"), F.col("s").alias("sa"))
     b = shd.select(F.col("doc_id").alias("doc_old"), F.col("s").alias("sb"))
     # size() is int32 — promote to bigint BEFORE the ×1e6 or docs with
-    # ≥2148 shared shingles overflow under the session's ANSI mode
-    jac = F.expr(
-        "div(cast(size(array_intersect(sa, sb)) as bigint) * 1000000, "
-        "cast(size(sa) as bigint) + size(sb) - size(array_intersect(sa, sb)))"
-    )
+    # ≥2148 shared shingles overflow under the session's ANSI mode;
+    # the intersect is computed once and reused
+    ni = F.size(F.array_intersect("sa", "sb")).cast("long")
     return (
         cand.join(a, "doc_new")
         .join(b, "doc_old")
-        .select("doc_new", "doc_old", "n_bands", jac.alias("jac_micro"))
+        .withColumn("_ni", ni)
+        .select(
+            "doc_new",
+            "doc_old",
+            "n_bands",
+            F.expr(
+                "div(_ni * 1000000, "
+                "cast(size(sa) as bigint) + size(sb) - _ni)"
+            ).alias("jac_micro"),
+        )
         .filter(F.col("jac_micro") >= INC_JAC_MICRO)
     )
 
