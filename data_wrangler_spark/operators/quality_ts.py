@@ -1171,3 +1171,52 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(one("orders_status_domain", domain))
         .unionAll(one("lineitem_qty_range", qty))
     )
+
+
+@register(
+    "q_moving_median",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total
+      FROM events GROUP BY 1),
+    win AS (
+      SELECT d.day, w.total
+      FROM daily d JOIN daily w ON w.day BETWEEN d.day - 6 AND d.day)
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           median(total) AS med_total
+    FROM win GROUP BY day
+    """,
+    tags=("ext", "timeseries", "window"),
+)
+def q_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day MEDIAN of daily totals — like the rolling
+    distinct (q_rolling_distinct), a window no frame spec can
+    express: median is not mergeable, so Spark (correctly) rejects
+    percentile functions over sliding frames. Same scalable rewrite:
+    aggregate to the day grain FIRST (the only corpus-sized work —
+    exact decimal sums so the day totals are bit-identical), then
+    expand each day total to the ≤7 report days it serves and take
+    an exact median per report day. Shuffle volume after the rollup
+    is |days|×7 rows — nothing, at any corpus size. Median parity:
+    both engines take the exact mid-rank value (odd count) or the
+    mean of the two mid-ranks (even) over IDENTICAL decimal-exact
+    doubles, so the hash matches bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(22,6)")).cast("double").alias("total")
+    )
+    days = daily.select("day")
+    expanded = daily.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), ROLL_WINDOW_DAYS - 1))
+        ).alias("day"),
+        "total",
+    ).join(F.broadcast(days), "day", "left_semi")
+    return expanded.groupBy("day").agg(
+        F.count("*").alias("n_days"),
+        F.expr("median(total)").alias("med_total"),
+    )

@@ -489,3 +489,61 @@ def q_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         noise_micro.alias("noise_micro"),
         (F.col("n_true") * 1000000 + noise_micro).alias("n_dp_micro"),
     )
+
+
+@register(
+    "q_benford",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    counts AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts)
+    SELECT c.digit, c.n,
+           (c.n * 1000000) // t.t AS obs_micro,
+           CAST(floor(CAST(CAST(ln(1.0 + 1.0 / c.digit) AS FLOAT) AS DOUBLE)
+                      / CAST(CAST(ln(10.0) AS FLOAT) AS DOUBLE)
+                      * 1000000) AS BIGINT) AS benford_micro
+    FROM counts c, tot t
+    """,
+    tags=("ext", "statistics", "quality"),
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    classic fraud/synthetic-data screen: natural multi-scale amounts
+    follow P(d) = log10(1 + 1/d); fabricated or truncated data
+    doesn't. Per digit: observed count, observed frequency, and the
+    Benford expectation — both in integer micro-units (the two ln
+    calls run through the float32 parity guard; everything after is
+    exact integer math, so the comparison table hash-matches).
+
+    Scale: one scan + a 9-row aggregate; the expectation is a
+    scan-side expression on the 9-row result. The verdict (how far
+    observed sits from expected) is left to the reader/monitoring
+    layer — the operator's job is the exactly-reproducible table."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = (
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = o.select(digit).groupBy("digit").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("t"))
+    benford = F.floor(
+        F.log(1.0 + 1.0 / F.col("digit")).cast("float").cast("double")
+        / F.log(F.lit(10.0)).cast("float").cast("double")
+        * 1000000
+    ).cast("long")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.expr("div(n * 1000000, t)").alias("obs_micro"),
+            benford.alias("benford_micro"),
+        )
+    )

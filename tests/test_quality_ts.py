@@ -235,3 +235,31 @@ def test_dq_checks_all_pass_on_clean_fixture(spark, sf_dir):
             REGISTRY["q_dq_checks"].run(spark, sf_dir).collect()}
     assert len(rows) == 6
     assert all(v == 0 for v in rows.values()), rows
+
+
+def test_moving_median_matches_bruteforce(spark, sf_dir):
+    """Each day's med_total equals the python median of the trailing
+    ≤7 daily totals."""
+    import statistics as pystats
+
+    from pyspark.sql import functions as F
+
+    from data_wrangler_spark.catalog import load_table
+
+    daily = {
+        r.day: r.total
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(22,6)"))
+            .cast("double")
+            .alias("total")
+        )
+        .collect()
+    }
+    rows = REGISTRY["q_moving_median"].run(spark, sf_dir).collect()
+    assert len(rows) == len(daily)
+    for r in rows:
+        window = [v for d, v in daily.items() if 0 <= (r.day - d).days <= 6]
+        assert r.n_days == len(window)
+        assert abs(r.med_total - pystats.median(window)) < 1e-9

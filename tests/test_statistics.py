@@ -102,3 +102,16 @@ def test_skyline_is_exactly_the_nondominated_set(spark, sf_dir):
         for r in REGISTRY["q_skyline"].run(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_benford_frequencies_sum_and_expectations(spark, sf_dir):
+    """Digits 1-9 all present, observed frequencies sum to ~1, and
+    the Benford expectations match log10(1+1/d) micro-floored."""
+    import math
+
+    rows = REGISTRY["q_benford"].run(spark, sf_dir).collect()
+    assert {r.digit for r in rows} == set(range(1, 10))
+    assert abs(sum(r.obs_micro for r in rows) - 1_000_000) < 10
+    for r in rows:
+        expect = math.log10(1 + 1 / r.digit) * 1_000_000
+        assert abs(r.benford_micro - expect) <= 2
