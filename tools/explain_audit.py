@@ -77,6 +77,9 @@ AUDIT = [
     ("q_dedup_incremental", "persisted band index probe: equi-join, no history self-pair"),
     ("q_sim_search_pq", "PQ: closure codebook mapInPandas + ADC heap + re-rank"),
     ("q_embed_pca", "Gram partials: per-task GEMM, 4096-row merge, no corpus shuffle"),
+    ("q_join_null_skew", "null-key segregation: IsNotNull join + bypass union"),
+    ("q_dq_checks", "expectation suite: anti-join FK checks, one row per check"),
+    ("q_moving_median", "rolling median: day rollup + bounded expand, one shuffle"),
 ]
 
 
