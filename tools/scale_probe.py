@@ -1,0 +1,138 @@
+"""Derive a larger scale factor from sf0.1 and run the headline set.
+
+The driver fixtures stop at sf0.1; the 100 TB claims rest on plan
+shapes plus the measured 0.001→0.1 scaling table (SCALE.md). This
+probe extends the measured span ~5× by replicating sf0.1 with
+key-offset copies into `.scratch/sfprobe` (never touching
+/root/testdata):
+
+- dims region/nation stay single-copy (their keys are referenced, not
+  replicated);
+- every other table gets FACTOR copies with primary/foreign keys
+  offset consistently (custkey/orderkey/partkey/suppkey move
+  together), so join cardinalities per key and group sizes per key
+  are preserved — the workload gets FACTOR× more keys, not hotter
+  keys;
+- events shift ts by 31 days per copy (per-day/hourly structure
+  preserved, the day grid grows ×FACTOR);
+- documents get a per-copy suffix token so text dedup ops see a
+  FACTOR× corpus, not FACTOR× exact duplicates;
+- embeddings replicate with vec_id offsets (timing-only: ANN recall
+  against planted neighbors is meaningless on copies, runtimes are
+  not).
+
+Usage: python tools/scale_probe.py [factor] [--bench-only]
+Writes the derived tables once (marker-guarded), then runs bench.py's
+headline set against them and prints the one-line JSON.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SRC = "/root/testdata/sf0.1"
+OUT_BASE = "/root/repo/.scratch/sfprobe"
+
+
+def generate(spark, factor: int) -> str:
+    from pyspark.sql import functions as F
+
+    out = f"{OUT_BASE}/f{factor}"
+    if os.path.exists(f"{out}/_DONE"):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    def load(t):
+        # load_table normalizes the events ts layout (nanos → real
+        # timestamp), so the derived parquet always stores TIMESTAMP
+        from data_wrangler_spark.catalog import load_table
+
+        return load_table(spark, SRC, t)
+
+    # key strides: one power-of-ten above each table's max key
+    def stride(df, col):
+        m = df.agg(F.max(col)).collect()[0][0]
+        s = 1
+        while s <= m:
+            s *= 10
+        return s
+
+    o, li, c, su, p = (load(t) for t in
+                       ("orders", "lineitem", "customer", "supplier", "part"))
+    ev, d, e = load("events"), load("documents"), load("embeddings")
+    SO, SC, SS, SP = (stride(o, "o_orderkey"), stride(c, "c_custkey"),
+                      stride(su, "s_suppkey"), stride(p, "p_partkey"))
+    SE, SU = stride(ev, "event_id"), stride(ev, "user_id")
+    SD, SV = stride(d, "doc_id"), stride(e, "vec_id")
+
+    def rep(df, exprs):
+        parts = []
+        for i in range(factor):
+            parts.append(df.selectExpr(*[x.format(i=i) for x in exprs]))
+        u = parts[0]
+        for q in parts[1:]:
+            u = u.unionByName(q)
+        return u
+
+    for t in ("region", "nation"):
+        load(t).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+
+    def rep_auto(df, offsets: dict, overrides: dict | None = None):
+        """Replicate FACTOR× using the table's own column list: keyed
+        columns shift by their stride per copy; `overrides` supply a
+        per-copy expr template; everything else passes through."""
+        overrides = overrides or {}
+        exprs = []
+        for col in df.columns:
+            if col in overrides:
+                exprs.append(overrides[col])
+            elif col in offsets:
+                exprs.append(f"{col} + {{i}} * {offsets[col]} AS {col}")
+            else:
+                exprs.append(col)
+        return rep(df, exprs)
+
+    rep_auto(c, {"c_custkey": SC}).write.mode("overwrite").parquet(
+        f"{out}/customer.parquet")
+    rep_auto(su, {"s_suppkey": SS}).write.mode("overwrite").parquet(
+        f"{out}/supplier.parquet")
+    rep_auto(p, {"p_partkey": SP}).write.mode("overwrite").parquet(
+        f"{out}/part.parquet")
+    rep_auto(o, {"o_orderkey": SO, "o_custkey": SC}).write.mode(
+        "overwrite").parquet(f"{out}/orders.parquet")
+    rep_auto(li, {"l_orderkey": SO, "l_partkey": SP, "l_suppkey": SS}
+             ).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    rep_auto(ev, {"event_id": SE, "user_id": SU},
+             {"ts": "ts + make_interval(0, 0, 0, {i} * 31) AS ts"}
+             ).write.mode("overwrite").parquet(f"{out}/events.parquet")
+    rep_auto(d, {"doc_id": SD},
+             {"text": "text || ' r{i}x' AS text",
+              "n_chars": "n_chars + 4 AS n_chars"}
+             ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    rep_auto(e, {"vec_id": SV}).write.mode("overwrite").parquet(
+        f"{out}/embeddings.parquet")
+
+    with open(f"{out}/_DONE", "w") as fh:
+        fh.write(f"factor={factor} from {SRC}\n")
+    return out
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    from data_wrangler_spark.session import get_spark
+
+    spark = get_spark("scale_probe")
+    out = generate(spark, factor)
+    print(f"derived sf{0.1 * factor:g} at {out}", file=sys.stderr)
+
+    os.environ["SPARK_GRAFT_SF_DIR"] = out
+    import bench
+
+    bench.main()
+
+
+if __name__ == "__main__":
+    main()
