@@ -886,7 +886,11 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("eb"), F.col("nrm").alias("nb"),
     )
     dot_udf = make_dot_udf()
-    dups = (
+    # pinned: the pairwise-cosine stage (the query's dominant cost)
+    # feeds both the keeper groupBy and the final join — unpinned it
+    # would execute twice (same re-execution q_dedup_incremental pins
+    # against)
+    dups = pin(
         a.join(b, "cell")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn(
@@ -895,6 +899,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= SEM_TAU)
         .select("cell", "vec_a", "vec_b", "cos_sim")
+        .persist()
     )
     sel = dups.groupBy(F.col("vec_b").alias("vec_dup")).agg(
         F.min("vec_a").alias("kept_id")

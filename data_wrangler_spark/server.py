@@ -149,15 +149,21 @@ class GatewayServer:
             if parts[0] == "dt" and len(parts) == 3:
                 return self._data_type(parts[1], parts[2])
             if parts[0] == "db" and len(parts) == 4 and parts[2] == "rel":
-                return self._relation_list(parts[3], q)
+                return self._relation_list(parts[1], parts[3], q)
             if parts[0] == "run" and len(parts) == 2:
                 return self._run_registered(parts[1], q)
+        except AmbiguousTemplateError as exc:
+            # must precede KeyError — AmbiguousTemplateError IS a
+            # KeyError subclass, and ambiguity is a 400, not a 404
+            return 400, {"error": str(exc)}
         except KeyError as exc:
             return 404, {"error": f"not found: {exc}"}
-        except AmbiguousTemplateError as exc:
-            return 400, {"error": str(exc)}
         except (MissingParameterError, ValueError) as exc:
             return 400, {"error": str(exc)}
+        except TypeError:
+            # registered query invoked without a required parameter —
+            # a client input problem, not a server fault
+            return 400, {"error": "missing required query parameter"}
         return 404, {"error": f"no route for {url.path}"}
 
     def _describe_root(self) -> dict:
@@ -193,8 +199,22 @@ class GatewayServer:
             # a param that cannot cast to the column type (ANSI mode
             # rejects '1 OR 1=1' meeting a BIGINT) is the reference's
             # 400-invalid-parameter case (examiner.js:70-80), not a
-            # server error — and proof the value never became SQL
-            if type(exc).__module__.startswith("pyspark"):
+            # server error — and proof the value never became SQL.
+            # Only INPUT-shaped Spark errors map to 400; an
+            # AnalysisException for a vanished fixture path stays a
+            # 500 (operational fault, not the client's parameter)
+            msg = str(exc)
+            input_shaped = any(
+                k in msg
+                for k in (
+                    "CAST_INVALID_INPUT",
+                    "ARITHMETIC_OVERFLOW",
+                    "CANNOT_PARSE",
+                    "NUMBER_FORMAT",
+                    "INVALID_PARAMETER",
+                )
+            )
+            if type(exc).__module__.startswith("pyspark") and input_shaped:
                 return 400, {"error": f"invalid parameter: {exc.__class__.__name__}"}
             raise
 
@@ -213,7 +233,12 @@ class GatewayServer:
             "inferred": True,
         }
 
-    def _relation_list(self, relation: str, q: dict) -> tuple[int, object]:
+    def _relation_list(
+        self, db: str, relation: str, q: dict
+    ) -> tuple[int, object]:
+        known = {n.partition(".")[0] for n in self.templates.names() if "." in n}
+        if db not in known:
+            raise KeyError(f"unknown database {db!r}")
         df = self.engine.list_records(
             relation,
             page=int(q.get("page", 1)),
@@ -226,7 +251,13 @@ class GatewayServer:
         if qname not in self.engine.names():
             raise KeyError(qname)
         df = self.engine.run(qname)
-        return 200, _rows_json(df, int(q.get("limit", DEFAULT_RUN_LIMIT)))
+        try:
+            return 200, _rows_json(df, int(q.get("limit", DEFAULT_RUN_LIMIT)))
+        finally:
+            # long-lived server: operators that pin intermediate
+            # frames must not accumulate cached partitions across
+            # requests (Engine.release_cache docstring)
+            self.engine.release_cache()
 
     # ── lifecycle ─────────────────────────────────────────────────
     @property
@@ -242,6 +273,7 @@ class GatewayServer:
         return self
 
     def stop(self) -> None:
+        self.engine.release_cache()
         self.httpd.shutdown()
         self.httpd.server_close()
         if self._thread:

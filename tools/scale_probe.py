@@ -21,7 +21,7 @@ key-offset copies into `.scratch/sfprobe` (never touching
   against planted neighbors is meaningless on copies, runtimes are
   not).
 
-Usage: python tools/scale_probe.py [factor] [--bench-only]
+Usage: python tools/scale_probe.py [factor]
 Writes the derived tables once (marker-guarded), then runs bench.py's
 headline set against them and prints the one-line JSON.
 """
@@ -110,7 +110,7 @@ def generate(spark, factor: int) -> str:
              ).write.mode("overwrite").parquet(f"{out}/events.parquet")
     rep_auto(d, {"doc_id": SD},
              {"text": "text || ' r{i}x' AS text",
-              "n_chars": "n_chars + 4 AS n_chars"}
+              "n_chars": "n_chars + length(' r{i}x') AS n_chars"}
              ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
     rep_auto(e, {"vec_id": SV}).write.mode("overwrite").parquet(
         f"{out}/embeddings.parquet")
