@@ -908,3 +908,131 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         dups,
         (dups["vec_b"] == sel["vec_dup"]) & (dups["vec_a"] == sel["kept_id"]),
     ).select("vec_dup", "kept_id", "cell", F.col("cos_sim").alias("cos_to_kept"))
+
+
+EVAL_JAC_MICRO = 500000  # ground-truth near-dup threshold for the eval
+
+
+def _dedup_eval_oracle() -> str:
+    return f"""
+    WITH truth_sh AS (
+      SELECT doc_id, list_distinct({sql_shingles_of('w', 3)}) AS s
+      FROM (SELECT doc_id, {sql_words('text')} AS w FROM documents)),
+    tex AS (SELECT doc_id, unnest(s) AS shingle FROM truth_sh),
+    tsz AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM truth_sh),
+    tint AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS ni
+      FROM tex a JOIN tex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    truth AS (
+      SELECT t.doc_a, t.doc_b
+      FROM tint t JOIN tsz sa ON sa.doc_id = t.doc_a
+                 JOIN tsz sb ON sb.doc_id = t.doc_b
+      WHERE (t.ni * 1000000) // (sa.n + sb.n - t.ni) >= {EVAL_JAC_MICRO}),
+    pred AS (SELECT doc_a, doc_b FROM ({_minhash_oracle()})),
+    joined AS (
+      SELECT COALESCE(t.doc_a, p.doc_a) AS doc_a,
+             (t.doc_a IS NOT NULL) AS is_true,
+             (p.doc_a IS NOT NULL) AS is_pred
+      FROM truth t FULL OUTER JOIN pred p
+        ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b)
+    SELECT CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN is_pred THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+           CAST(SUM(CASE WHEN is_true AND is_pred THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN is_pred AND NOT is_true THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN is_true AND NOT is_pred THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn,
+           CASE WHEN SUM(CASE WHEN is_pred THEN 1 ELSE 0 END) = 0 THEN 0
+                ELSE (SUM(CASE WHEN is_true AND is_pred THEN 1 ELSE 0 END)
+                      * 1000000)
+                     // SUM(CASE WHEN is_pred THEN 1 ELSE 0 END)
+           END AS precision_micro,
+           CASE WHEN SUM(CASE WHEN is_true THEN 1 ELSE 0 END) = 0 THEN 0
+                ELSE (SUM(CASE WHEN is_true AND is_pred THEN 1 ELSE 0 END)
+                      * 1000000)
+                     // SUM(CASE WHEN is_true THEN 1 ELSE 0 END)
+           END AS recall_micro
+    FROM joined
+    """
+
+
+@register("q_dedup_eval", oracle=_dedup_eval_oracle(), tags=("llm", "dedup"))
+def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-config EVALUATION — the operator that answers "are 16
+    hashes × 4 bands right for THIS corpus?": ground truth = exact
+    shingle Jaccard ≥ 0.5 over full distinct shingle sets (blocked by
+    shared-shingle pairs, lossless for any threshold > 0), prediction
+    = the production MinHash/LSH candidate pairs (identical pipeline
+    to q_dedup_minhash), compared by a full outer join into one
+    confusion row: counts, precision, recall (integer micro). LSH
+    theory says recall at J=0.5 with 4 bands × 4 rows is
+    1-(1-0.5⁴)⁴ ≈ 23% per band union — the measured row makes the
+    knob discussion concrete instead of theoretical.
+
+    Scale: evaluation is an OFFLINE job run on a sample (the exact
+    ground truth is the expensive part — that is the point of
+    having the LSH); the truth blocking reuses the shared-shingle
+    equi-join, and everything downstream of the two pair tables is
+    a single outer join over pairs. Run it per corpus before
+    committing band/row settings; q_dedup_jaccard_prefix serves the
+    same role for the prefix-filter threshold."""
+    from data_wrangler_spark.functions.text import words
+
+    d = load_table(spark, sf_dir, "documents")
+    shd = d.select(
+        "doc_id",
+        F.array_distinct(shingles_from_words(words("text"), 3)).alias("s"),
+    )
+    tex = shd.select("doc_id", F.explode("s").alias("shingle"))
+    tsz = shd.select("doc_id", F.size("s").cast("long").alias("n"))
+    tint = (
+        tex.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(tex.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    truth = (
+        tint.join(tsz.select(F.col("doc_id").alias("doc_a"),
+                             F.col("n").alias("na")), "doc_a")
+        .join(tsz.select(F.col("doc_id").alias("doc_b"),
+                         F.col("n").alias("nb")), "doc_b")
+        .filter(F.expr(f"div(ni * 1000000, na + nb - ni) >= {EVAL_JAC_MICRO}"))
+        .select("doc_a", "doc_b")
+    )
+    pred = q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+
+    joined = truth.withColumn("is_true", F.lit(True)).join(
+        pred.withColumn("is_pred", F.lit(True)),
+        ["doc_a", "doc_b"],
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("is_true"), F.lit(False)).alias("is_true"),
+        F.coalesce(F.col("is_pred"), F.lit(False)).alias("is_pred"),
+    )
+    tp = F.sum(F.when(F.col("is_true") & F.col("is_pred"), 1).otherwise(0))
+    n_true = F.sum(F.when(F.col("is_true"), 1).otherwise(0))
+    n_pred = F.sum(F.when(F.col("is_pred"), 1).otherwise(0))
+    agg = joined.agg(
+        n_true.cast("long").alias("n_true"),
+        n_pred.cast("long").alias("n_pred"),
+        tp.cast("long").alias("tp"),
+        F.sum(F.when(F.col("is_pred") & ~F.col("is_true"), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(F.col("is_true") & ~F.col("is_pred"), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+    )
+    return agg.select(
+        "n_true", "n_pred", "tp", "fp", "fn",
+        F.when(F.col("n_pred") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("div(tp * 1000000, n_pred)"))
+        .alias("precision_micro"),
+        F.when(F.col("n_true") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("div(tp * 1000000, n_true)"))
+        .alias("recall_micro"),
+    )

@@ -425,3 +425,16 @@ def test_dedup_semantic_pairs_verified_by_numpy(spark, sf_dir):
         a, b = vecs[r.kept_id], vecs[r.vec_dup]
         cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert abs(cos - r.cos_to_kept) < 1e-5
+
+
+def test_dedup_eval_confusion_consistency(spark, sf_dir):
+    """Confusion identities hold and LSH behaves like LSH: recall
+    high (it is a candidate generator), precision well under 1."""
+    from data_wrangler_spark.registry import REGISTRY
+
+    r = REGISTRY["q_dedup_eval"].run(spark, sf_dir).collect()[0]
+    assert r.tp + r.fn == r.n_true
+    assert r.tp + r.fp == r.n_pred
+    assert r.n_true > 0 and r.n_pred > 0
+    assert r.recall_micro >= 800000, r.recall_micro
+    assert r.precision_micro < 1000000
