@@ -148,3 +148,41 @@ def test_stateful_stream_under_rocksdb_provider(spark, sf_dir):
             for r in REGISTRY["q_stream_watermark"].run(spark, sf_dir).collect()
         }
     assert under_rocks == baseline and len(baseline) > 0
+
+
+def test_stream_rollup_merged_across_batches(spark, sf_dir):
+    """The continuous aggregate must be built from MULTIPLE merged
+    micro-batches (≥2 versioned state dirs), and its day totals must
+    equal the raw batch recompute."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_wrangler_spark.catalog import load_table
+    from data_wrangler_spark.registry import REGISTRY
+    from data_wrangler_spark.streaming.windows import SCRATCH
+
+    out = REGISTRY["q_stream_rollup"].run(spark, sf_dir)
+    got = {
+        (r.day, r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in out.collect()
+    }
+    root = os.path.join(SCRATCH, "rollup_state")
+    newest = max(os.scandir(root), key=lambda e: e.stat().st_mtime).path
+    versions = [e.name for e in os.scandir(newest) if e.name.startswith("v")]
+    assert len(versions) >= 2, versions
+
+    raw = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(22,6)")).cast("double").alias("s"),
+        )
+    )
+    expect = {
+        (r.day, r.event_type): (r.n, round(r.s, 6)) for r in raw.collect()
+    }
+    assert got == expect
