@@ -1,0 +1,51 @@
+"""G8 session-store parity with the reference's lib/session.js
+semantics (falsy-collapsing get vs presence-checking has; unsaved
+fresh sessions for unknown tokens)."""
+
+from data_wrangler_spark.sessions import Session, SessionStore
+
+
+def test_get_collapses_falsy_but_has_sees_presence():
+    s = Session("tok")
+    s.put("zero", 0).put("empty", "").put("none", None).put("real", "x")
+    # session.js `vars[key] || null`
+    assert s.get("zero") is None
+    assert s.get("empty") is None
+    assert s.get("none") is None
+    assert s.get("missing") is None
+    assert s.get("real") == "x"
+    # session.js `vars[key] !== undefined`
+    assert s.has("zero") and s.has("empty") and s.has("none")
+    assert not s.has("missing")
+    assert sorted(s.keys()) == ["empty", "none", "real", "zero"]
+
+
+def test_put_delete_chain_and_id():
+    s = Session("t1")
+    assert s.put("a", 1).delete("a").put("b", 2) is s
+    assert not s.has("a") and s.get("b") == 2
+    assert s.id() == "t1"
+
+
+def test_store_reuses_only_saved_sessions():
+    store = SessionStore()
+    # unknown token → fresh session every resolve, never retained
+    a = store.resolve("tok")
+    a.put("k", "v")
+    b = store.resolve("tok")
+    assert b is not a and not b.has("k")
+    assert len(store) == 0
+    # the auth flow saves explicitly; then gateKeeper reuses it
+    store.save(a)
+    assert store.resolve("tok") is a
+    assert store.resolve("tok").get("k") == "v"
+    store.drop("tok")
+    assert not store.resolve("tok").has("k")
+
+
+def test_save_requires_token():
+    import pytest
+
+    store = SessionStore()
+    with pytest.raises(ValueError):
+        store.save(Session(None))
