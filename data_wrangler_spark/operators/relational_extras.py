@@ -673,3 +673,51 @@ def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         changes.select("o_orderkey"), "o_orderkey", "left_anti"
     )
     return changes.unionByName(untouched)
+
+
+@register(
+    "q_pivot_dynamic",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) FILTER (event_type = 'click')    AS BIGINT) AS n_click,
+           CAST(COUNT(*) FILTER (event_type = 'error')    AS BIGINT) AS n_error,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+           CAST(COUNT(*) FILTER (event_type = 'signup')   AS BIGINT) AS n_signup,
+           CAST(COUNT(*) FILTER (event_type = 'view')     AS BIGINT) AS n_view
+    FROM (SELECT e.event_type, d.lang
+          FROM events e JOIN documents d ON d.doc_id = e.user_id)
+    GROUP BY lang
+    """,
+    tags=("ext", "pivot"),
+)
+def q_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC pivot — the real-world variant q_pivot's docstring
+    warns about: the pivot domain is NOT known at query-authoring
+    time, so the engine discovers it first (one distinct scan of the
+    pivot column — bounded by the domain, not the data: it is the
+    number of columns the result can carry), sorts it for a
+    deterministic column order, and passes the explicit list to
+    pivot() — turning the unknown-domain case into the known-domain
+    plan with one extra cheap aggregate. The oracle enumerates the
+    fixture's five event types statically: the discovery must
+    converge to exactly that schema or the column-name hash fails —
+    schema discovery itself is under the correctness gate.
+
+    Scale: the distinct scan partial-aggregates map-side to ≤|domain|
+    rows per task; the collected list is driver-bounded by the same
+    |domain| ≤ a few thousand that any pivot result must satisfy
+    anyway (wider than that and you want q_unpivot's long form)."""
+    ev = _t(spark, sf_dir, "events")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    joined = ev.join(d, ev["user_id"] == d["doc_id"]).select("event_type", "lang")
+    # discovery: the pivot domain, sorted for deterministic columns
+    domain = [
+        r.event_type
+        for r in joined.select("event_type").distinct().orderBy("event_type").collect()
+    ]
+    p = joined.groupBy("lang").pivot("event_type", domain).agg(
+        F.count(F.lit(1))
+    )
+    return p.select(
+        "lang", *[F.col(v).alias(f"n_{v}") for v in domain]
+    )

@@ -31,3 +31,32 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert "o_orderkey" in df.columns
+
+
+def test_every_query_documented_and_tagged():
+    """Meta-consistency: every registered query carries a docstring
+    (the judge-facing contract) and at least one tag; every oracle
+    references only the ten driver tables."""
+    import re
+
+    from data_wrangler_spark.registry import REGISTRY
+
+    tables = {"region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"}
+    for name, spec in REGISTRY.items():
+        assert spec.doc, f"{name} lacks a docstring"
+        assert spec.tags, f"{name} lacks tags"
+        if spec.oracle:
+            froms = set(
+                m.group(2).lower()
+                for m in re.finditer(r"\b(FROM|JOIN)\s+([a-z_][a-z0-9_]*)",
+                                     spec.oracle, re.I)
+            )
+            unknown = froms - tables - {"unnest", "range", "generate_series"}
+            # CTE names are fine — they must be defined in the oracle
+            for u in unknown:
+                assert re.search(
+                    rf"\b{u}\s*(\([^)]*\))?\s+AS\s*(MATERIALIZED\s*)?\(",
+                    spec.oracle,
+                    re.I,
+                ), f"{name} oracle references undefined relation {u!r}"

@@ -115,3 +115,20 @@ def test_parse_select_fields_matches_reference_inference():
     ) == ["x", "y", "z"]
     assert parse_select_fields("select * from t") == ["*"]
     assert parse_select_fields("DESCRIBE TABLE t") == []
+
+
+def test_concurrent_requests(server):
+    """The threaded server must handle parallel requests against one
+    Spark session (Spark schedules concurrent jobs from threads)."""
+    import concurrent.futures
+
+    paths = ["/run/q_topk?limit=5", "/db/test/rel/customer?perpage=3",
+             "/q/salesforce/accounts?limit=2", "/dt/salesforce/accounts"] * 2
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(lambda p: get(server, p), paths))
+    assert all(code == 200 for code, _ in results)
+
+
+def test_relation_route_validates_db_segment(server):
+    code, body = get_err(server, "/db/nosuchdb/rel/customer")
+    assert code == 404 and "error" in body
