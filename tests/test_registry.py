@@ -47,12 +47,21 @@ def test_every_query_documented_and_tagged():
         assert spec.doc, f"{name} lacks a docstring"
         assert spec.tags, f"{name} lacks tags"
         if spec.oracle:
+            # strip IS [NOT] DISTINCT FROM before scanning relations
+            cleaned = re.sub(
+                r"IS\s+(NOT\s+)?DISTINCT\s+FROM", "ISDF", spec.oracle, flags=re.I
+            )
             froms = set(
                 m.group(2).lower()
                 for m in re.finditer(r"\b(FROM|JOIN)\s+([a-z_][a-z0-9_]*)",
-                                     spec.oracle, re.I)
+                                     cleaned, re.I)
             )
-            unknown = froms - tables - {"unnest", "range", "generate_series"}
+            # `IS DISTINCT FROM x` and table functions also match the
+            # FROM/JOIN scan — exclude keywords and generators
+            unknown = froms - tables - {
+                "unnest", "range", "generate_series",
+                "null", "true", "false", "values", "lateral",
+            }
             # CTE names are fine — they must be defined in the oracle
             for u in unknown:
                 assert re.search(
