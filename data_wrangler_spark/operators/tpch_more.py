@@ -633,3 +633,114 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast("decimal(22,6)")).cast("double").alias("totacctbal"),
         )
     )
+
+
+# Derived line-logistics columns (the partsupp technique, extended):
+# the fixture lineitem has no shipmode/commitdate/receiptdate, so Q12's
+# TRUE predicate structure derives them from the cross-engine line hash
+# — identical expressions both engines, so the query is exactly checked.
+_Q12_MODES = ("REG AIR", "AIR", "RAIL", "SHIP", "TRUCK", "MAIL", "FOB")
+
+
+def _q12_sql_hash() -> str:
+    from data_wrangler_spark.operators.dedup import _sql_md5_long
+
+    return _sql_md5_long(
+        "(CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR))"
+    )
+
+
+@register(
+    "q_tpch_q12_shipmode",
+    oracle=f"""
+    WITH lx AS (
+      SELECT l_orderkey, l_shipdate, {_q12_sql_hash()} AS h
+      FROM lineitem),
+    ld AS (
+      SELECT l_orderkey,
+             (['{"','".join(_Q12_MODES)}'])[(h % 7) + 1] AS l_shipmode,
+             l_shipdate + to_days(CAST((h // 7) % 60 - 30 AS INTEGER))
+               AS l_commitdate,
+             l_shipdate + to_days(CAST((h // 420) % 30 + 1 AS INTEGER))
+               AS l_receiptdate,
+             l_shipdate
+      FROM lx)
+    SELECT ld.l_shipmode,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN ld ON o.o_orderkey = ld.l_orderkey
+    WHERE ld.l_shipmode IN ('MAIL', 'SHIP')
+      AND ld.l_commitdate < ld.l_receiptdate
+      AND ld.l_shipdate < ld.l_commitdate
+      AND ld.l_receiptdate >= TIMESTAMP '1996-01-01'
+      AND ld.l_receiptdate <  TIMESTAMP '1997-01-01'
+    GROUP BY ld.l_shipmode
+    """,
+    tags=("ext", "tpch", "join", "agg"),
+)
+def q_tpch_q12_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12, TRUE shape — the full original predicate structure
+    (shipmode IN list, commitdate < receiptdate "late delivery",
+    shipdate < commitdate "committed late", receipt-year window) over
+    DERIVED logistics columns, extending the partsupp technique
+    (tpch_partsupp.py): shipmode = the line hash mod 7 into the seven
+    TPC-H modes, commitdate = shipdate ± 30 days, receiptdate =
+    shipdate + 1..30 days — all from one cross-engine md5 of
+    (orderkey, linenumber), so every branch of the original WHERE is
+    genuinely exercised AND exactly checked (the adapted q_tpch_q12
+    keeps its simpler linestatus form alongside). Plan shape is the
+    original's: derived columns are scan-side expressions, all four
+    predicates filter BEFORE the single orderkey join, conditional
+    counts partial-aggregate map-side."""
+    from data_wrangler_spark.operators.dedup import _md5_long
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    h = _md5_long(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("#"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    ld = li.select(
+        "l_orderkey",
+        "l_shipdate",
+        F.element_at(
+            F.array(*[F.lit(m) for m in _Q12_MODES]), (h % 7 + 1).cast("int")
+        ).alias("l_shipmode"),
+        F.expr(
+            f"l_shipdate + make_interval(0, 0, 0, CAST(div({_sql_h()}, 7) % 60 - 30 AS INT))"
+        ).alias("l_commitdate"),
+        F.expr(
+            f"l_shipdate + make_interval(0, 0, 0, CAST(div({_sql_h()}, 420) % 30 + 1 AS INT))"
+        ).alias("l_receiptdate"),
+    )
+    filtered = ld.filter(
+        F.col("l_shipmode").isin("MAIL", "SHIP")
+        & (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.col("l_shipdate") < F.col("l_commitdate"))
+        & (F.col("l_receiptdate") >= _ts("1996-01-01"))
+        & (F.col("l_receiptdate") < _ts("1997-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(filtered, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def _sql_h() -> str:
+    # Spark-SQL text of the line hash (mirrors _md5_long on the
+    # concatenated (orderkey, linenumber) key)
+    return (
+        "CAST(conv(substring(md5(concat(CAST(l_orderkey AS STRING), '#', "
+        "CAST(l_linenumber AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    )
