@@ -805,3 +805,67 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("es_key"), F.asc("doc_id"))
         .limit(WEIGHTED_SAMPLE_N)
     )
+
+
+SHARD_WORLD_SIZE = 8  # q_shard_balance: training world size
+
+
+@register(
+    "q_shard_balance",
+    oracle=f"""
+    WITH sharded AS (
+      SELECT {_sql_md5_long("CAST(doc_id AS VARCHAR)", 7)}
+               % {SHARD_WORLD_SIZE} AS shard,
+             n_chars
+      FROM documents),
+    per AS (
+      SELECT shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM sharded GROUP BY shard),
+    tot AS (SELECT CAST(MAX(n_chars) AS BIGINT) AS mx,
+                   CAST(MIN(n_chars) AS BIGINT) AS mn
+            FROM per)
+    SELECT p.shard, p.n_docs, p.n_chars,
+           (p.n_chars * 1000000) // t.mx AS fill_micro,
+           (t.mx * 1000000) // t.mn     AS imbalance_micro
+    FROM per p, tot t
+    """,
+    tags=("llm", "sampling", "layout"),
+)
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-dataloader SHARD assignment + balance audit: every
+    doc lands on shard = seeded-hash(doc_id) % world_size — the
+    deterministic, restart-stable assignment a distributed training
+    job needs (epoch N and a resumed epoch N see identical shards;
+    no coordination, no shuffle files). Per shard: doc count, char
+    mass, fill ratio vs the heaviest shard, and the global
+    max/min imbalance — the number that decides whether hash
+    sharding suffices or the job needs the bin-packing path
+    (q_pack_sequences) for its stragglers. Hash sharding gives
+    imbalance → 1 as docs/shard grows (law of large numbers); the
+    audit row is how you check YOUR corpus got there.
+
+    Scale: one partial+final aggregate to world_size rows; the
+    assignment expression itself is the thing a dataloader pushes
+    into its parquet scan as a filter (shard = my_rank) — partition
+    pruning does the rest if the table is written partitioned by
+    shard."""
+    d = load_table(spark, sf_dir, "documents")
+    shard = (
+        _md5_long(F.col("doc_id").cast("string"), 7) % SHARD_WORLD_SIZE
+    ).alias("shard")
+    per = d.select(shard, "n_chars").groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    tot = per.agg(
+        F.max("n_chars").alias("mx"), F.min("n_chars").alias("mn")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        "n_chars",
+        F.expr("div(n_chars * 1000000, mx)").alias("fill_micro"),
+        F.expr("div(mx * 1000000, mn)").alias("imbalance_micro"),
+    )

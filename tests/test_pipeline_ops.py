@@ -210,3 +210,22 @@ def test_weighted_sample_biases_toward_long_docs(spark, sf_dir):
     )
     sample_mean = sum(r.n_chars for r in rows) / len(rows)
     assert sample_mean > 1.05 * corpus_mean, (sample_mean, corpus_mean)
+
+
+def test_shard_balance_partitions_whole_corpus(spark, sf_dir):
+    """Shards partition the corpus exactly (counts sum to |docs|),
+    every shard is populated at fixture scale, and the imbalance
+    ratio is sane (hash sharding: < 2x at 500+ docs over 8 shards)."""
+    from pyspark.sql import functions as F
+
+    from data_wrangler_spark.catalog import load_table
+    from data_wrangler_spark.operators.pipeline_ops import SHARD_WORLD_SIZE
+    from data_wrangler_spark.registry import REGISTRY
+
+    rows = REGISTRY["q_shard_balance"].run(spark, sf_dir).collect()
+    assert {r.shard for r in rows} == set(range(SHARD_WORLD_SIZE))
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    imb = rows[0].imbalance_micro
+    assert all(r.imbalance_micro == imb for r in rows)
+    assert 1_000_000 <= imb < 2_000_000, imb
