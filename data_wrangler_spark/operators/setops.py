@@ -76,3 +76,49 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c_custkey"))
     )
     return c.subtract(o)
+
+
+@register(
+    "q_setops_all",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nationkey FROM customer),
+    sn AS (SELECT s_nationkey AS nationkey FROM supplier),
+    ia AS (SELECT nationkey FROM cn INTERSECT ALL SELECT nationkey FROM sn),
+    ea AS (SELECT nationkey FROM cn EXCEPT ALL SELECT nationkey FROM sn)
+    SELECT 'intersect_all' AS op, nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ia GROUP BY 2
+    UNION ALL
+    SELECT 'except_all', nationkey, CAST(COUNT(*) AS BIGINT)
+    FROM ea GROUP BY 2
+    """,
+    tags=("ext", "setop"),
+)
+def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET set operations — the ALL variants the distinct
+    queries beside them do not exercise: INTERSECT ALL keeps
+    min(countA, countB) copies per value, EXCEPT ALL keeps
+    max(countA - countB, 0) — bag semantics, where a value can
+    survive EXCEPT ALL while also appearing in INTERSECT ALL. The
+    result re-aggregates the surviving multiplicities per value so
+    the multiset cardinalities themselves are hash-checked.
+
+    Scale: Spark plans both as a single hash-partitioned count
+    comparison per value (no row-by-row matching) — the same one
+    shuffle the DISTINCT variants pay, carrying counts instead of
+    existence bits."""
+    cn = _nations_of(spark, sf_dir, "customer", "c_nationkey")
+    sn = _nations_of(spark, sf_dir, "supplier", "s_nationkey")
+    ia = (
+        cn.intersectAll(sn)
+        .groupBy("nationkey")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "nationkey", "n")
+    )
+    ea = (
+        cn.exceptAll(sn)
+        .groupBy("nationkey")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "nationkey", "n")
+    )
+    return ia.unionAll(ea)
