@@ -721,3 +721,63 @@ def q_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "lang", *[F.col(v).alias(f"n_{v}") for v in domain]
     )
+
+
+@register(
+    "q_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE walk(custkey, node, depth) AS (
+      SELECT c_custkey, c_custkey, 0 FROM customer
+      UNION ALL
+      SELECT custkey, node // 10, depth + 1 FROM walk WHERE node >= 10),
+    resolved AS (
+      SELECT w.custkey,
+             MAX(w.depth) AS depth,
+             MIN(CASE WHEN w.node < 10 THEN w.node END) AS root
+      FROM walk w GROUP BY w.custkey)
+    SELECT r.depth, r.root,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(22,6))) AS DOUBLE)
+             AS sum_acctbal
+    FROM resolved r JOIN customer c ON c.c_custkey = r.custkey
+    GROUP BY r.depth, r.root
+    """,
+    tags=("ext", "subquery", "iterative"),
+)
+def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE hierarchy traversal — Spark 4's WITH RECURSIVE,
+    exercised on a synthesized containment hierarchy (parent(k) =
+    k div 10: every customer chains up to a single-digit root, depth
+    = digits - 1). Each customer walks to its root; the report
+    aggregates population and exact decimal balance per (depth,
+    root) — the org-chart / bill-of-materials rollup shape that
+    previously required iterative DataFrame loops (q_pagerank,
+    q_dedup_cluster) now expressed declaratively, and DuckDB replays
+    the identical recursion.
+
+    Scale: each recursion step is one self-referential union over
+    the frontier — rows leave the frontier as they hit their root,
+    so total work is Σ depth(k) ≈ n·log₁₀(maxkey); the engine
+    checkpoints each step like the hand-built iterative operators.
+    Unbounded-depth graphs still belong on the label-propagation
+    path (q_dedup_cluster) where convergence is data-dependent."""
+    c = _t(spark, sf_dir, "customer")
+    view = "rh_customer"
+    c.select("c_custkey", "c_acctbal").createOrReplaceTempView(view)
+    return spark.sql(f"""
+      WITH RECURSIVE walk(custkey, node, depth) AS (
+        SELECT c_custkey, c_custkey, 0 FROM {view}
+        UNION ALL
+        SELECT custkey, div(node, 10), depth + 1 FROM walk WHERE node >= 10),
+      resolved AS (
+        SELECT w.custkey,
+               MAX(w.depth) AS depth,
+               MIN(CASE WHEN w.node < 10 THEN w.node END) AS root
+        FROM walk w GROUP BY w.custkey)
+      SELECT r.depth, r.root,
+             COUNT(*) AS n_customers,
+             CAST(SUM(CAST(c.c_acctbal AS DECIMAL(22,6))) AS DOUBLE)
+               AS sum_acctbal
+      FROM resolved r JOIN {view} c ON c.c_custkey = r.custkey
+      GROUP BY r.depth, r.root
+    """)

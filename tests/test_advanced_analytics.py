@@ -103,3 +103,25 @@ def test_dp_count_noise_symmetric_and_bounded(spark, sf_dir):
         # ε=1 Laplace: |noise| beyond 15 (≈ e^-15 tail) would signal
         # a broken inverse-CDF
         assert abs(r.noise_micro) < 15_000_000
+
+
+def test_recursive_hierarchy_depth_is_digit_count(spark, sf_dir):
+    """depth(k) = digits(k) - 1 and root = leading digit — the whole
+    traversal is checkable in closed form."""
+    from data_wrangler_spark.catalog import load_table
+    from data_wrangler_spark.registry import REGISTRY
+
+    rows = REGISTRY["q_recursive_hierarchy"].run(spark, sf_dir).collect()
+    keys = [
+        r.c_custkey
+        for r in load_table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .collect()
+    ]
+    expect = {}
+    for k in keys:
+        s = str(k)
+        expect.setdefault((len(s) - 1, int(s[0])), 0)
+        expect[(len(s) - 1, int(s[0]))] += 1
+    got = {(r.depth, r.root): r.n_customers for r in rows}
+    assert got == expect
