@@ -439,3 +439,54 @@ def q_agg_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.col("rev_dec").cast("double").alias("revenue"),
     )
+
+
+@register(
+    "q_bitmap_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("ext", "agg", "sketch"),
+)
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group COUNT DISTINCT via Spark's BITMAP aggregates
+    (bitmap_construct_agg / bitmap_or_agg / bitmap_count, the
+    roaring-style dense-int-key path): each task folds its keys into
+    a fixed 4KB bitmap per (group, bucket-of-32768), buckets OR
+    together (associative, order-independent — bitmap OR is the
+    mergeable form COUNT DISTINCT itself lacks), and the final count
+    sums the per-bucket popcounts. The oracle is plain COUNT
+    DISTINCT: the whole bitmap pipeline must land on the exact
+    answer, making the bitmap path verified rather than trusted.
+
+    Scale: for dense integer keys this beats generic distinct-hash
+    aggregation — state is |keyspace|/8 bits per group spread over
+    fixed-size buckets instead of a hash set of the keys, shuffle
+    carries bitmaps not keys, and it composes with the sharded
+    two-phase shape (q_agg_skewed) when one group dominates. For
+    sparse/wide keys (uuids) the hash path or KMV/HLL sketches win —
+    the bucket fan-out tracks the VALUE RANGE, not the value count."""
+    o = load_table(spark, sf_dir, "orders")
+    per_bucket = (
+        o.select(
+            "o_orderstatus",
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+            F.col("o_custkey").alias("k"),
+        )
+        .groupBy("o_orderstatus", "bucket")
+        .agg(
+            F.expr("bitmap_construct_agg(bitmap_bit_position(k))").alias("bm"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+    return (
+        per_bucket.groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.expr("bitmap_count(bm)")).alias("n_customers"),
+            F.sum("n_rows").alias("n_orders"),
+        )
+    )

@@ -49,3 +49,26 @@ def test_approx_distinct_flags_true_and_within_rsd(spark, sf_dir):
     for r in both.collect():
         rel_err = abs(r.n_a - r.n) / max(r.n, 1)
         assert rel_err <= 5 * 0.02, f"{r.o_orderstatus}: {r.n_a} vs {r.n}"
+
+
+def test_bitmap_distinct_uses_bitmap_aggregates(spark, sf_dir):
+    """The plan must actually run the bitmap path (construct/count in
+    the aggregate expressions), and match count_distinct exactly."""
+    from pyspark.sql import functions as F
+
+    from data_wrangler_spark.catalog import load_table
+    from data_wrangler_spark.registry import REGISTRY
+
+    df = REGISTRY["q_bitmap_distinct"].run(spark, sf_dir)
+    plan = df._jdf.queryExecution().toString().lower()
+    assert "bitmap_construct_agg" in plan and "bitmap_count" in plan
+
+    expect = {
+        r.o_orderstatus: r.n
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .collect()
+    }
+    got = {r.o_orderstatus: r.n_customers for r in df.collect()}
+    assert got == expect
