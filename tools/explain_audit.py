@@ -77,6 +77,11 @@ AUDIT = [
     ("q_dedup_incremental", "persisted band index probe: equi-join, no history self-pair"),
     ("q_sim_search_pq", "PQ: closure codebook mapInPandas + ADC heap + re-rank"),
     ("q_embed_pca", "Gram partials: per-task GEMM, 4096-row merge, no corpus shuffle"),
+    ("q_pivot_dynamic", "dynamic pivot: domain discovery then known-domain plan"),
+    ("q_setops_all", "multiset setops: count-comparison aggregation, one shuffle"),
+    ("q_recursive_hierarchy", "WITH RECURSIVE: per-step frontier union"),
+    ("q_tpch_q12_shipmode", "true Q12: derived logistics filters before the join"),
+    ("q_bitmap_distinct", "bitmap aggregates: fixed-size OR-mergeable distinct state"),
     ("q_join_null_skew", "null-key segregation: IsNotNull join + bypass union"),
     ("q_dq_checks", "expectation suite: anti-join FK checks, one row per check"),
     ("q_moving_median", "rolling median: day rollup + bounded expand, one shuffle"),
