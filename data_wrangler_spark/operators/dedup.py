@@ -982,9 +982,13 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangler_spark.functions.text import words
 
     d = load_table(spark, sf_dir, "documents")
-    shd = d.select(
-        "doc_id",
-        F.array_distinct(shingles_from_words(words("text"), 3)).alias("s"),
+    # pinned: the shingle pipeline feeds tex (BOTH sides of the
+    # self-join) and tsz (twice) — one materialization, not four
+    shd = pin(
+        d.select(
+            "doc_id",
+            F.array_distinct(shingles_from_words(words("text"), 3)).alias("s"),
+        ).persist()
     )
     tex = shd.select("doc_id", F.explode("s").alias("shingle"))
     tsz = shd.select("doc_id", F.size("s").cast("long").alias("n"))

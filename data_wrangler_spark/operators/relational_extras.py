@@ -718,8 +718,11 @@ def q_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = joined.groupBy("lang").pivot("event_type", domain).agg(
         F.count(F.lit(1))
     )
+    # empty (group, value) cells surface as NULL from pivot+count;
+    # the oracle's COUNT(*) FILTER yields 0 — coalesce to match
     return p.select(
-        "lang", *[F.col(v).alias(f"n_{v}") for v in domain]
+        "lang",
+        *[F.coalesce(F.col(v), F.lit(0)).alias(f"n_{v}") for v in domain],
     )
 
 

