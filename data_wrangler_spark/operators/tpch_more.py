@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from data_wrangler_spark.catalog import load_table
+from data_wrangler_spark.operators.dedup import _sql_md5_long
 from data_wrangler_spark.registry import register
 
 _REV_DEC = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))"
@@ -643,8 +644,6 @@ _Q12_MODES = ("REG AIR", "AIR", "RAIL", "SHIP", "TRUCK", "MAIL", "FOB")
 
 
 def _q12_sql_hash() -> str:
-    from data_wrangler_spark.operators.dedup import _sql_md5_long
-
     return _sql_md5_long(
         "(CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR))"
     )
@@ -743,3 +742,114 @@ def q_tpch_q12_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+# Derived packaging/logistics attributes for the TRUE Q19 shape,
+# same technique as q_tpch_q12_shipmode: container from the part
+# hash, shipmode/shipinstruct from the line hash.
+_Q19_CONTAINERS = (
+    "SM CASE", "SM BOX", "SM PACK", "SM PKG",
+    "MED BAG", "MED BOX", "MED PKG", "MED PACK",
+    "LG CASE", "LG BOX", "LG PACK", "LG PKG",
+)
+_Q19_INSTRUCT = ("DELIVER IN PERSON", "COLLECT COD", "NONE", "TAKE BACK RETURN")
+
+
+@register(
+    "q_tpch_q19_true",
+    oracle=f"""
+    WITH pd AS (
+      SELECT p_partkey, p_brand,
+             (['{"','".join(_Q19_CONTAINERS)}'])
+               [({_sql_md5_long("CAST(p_partkey AS VARCHAR)", 19)} % 12) + 1]
+               AS p_container
+      FROM part),
+    ld AS (
+      SELECT l_partkey, l_quantity, l_extendedprice, l_discount,
+             (['REG AIR','AIR','RAIL','SHIP','TRUCK','MAIL','FOB'])
+               [(h % 7) + 1] AS l_shipmode,
+             (['{"','".join(_Q19_INSTRUCT)}'])[((h // 7) % 4) + 1]
+               AS l_shipinstruct
+      FROM (SELECT l.*, {_q12_sql_hash()} AS h FROM lineitem l))
+    SELECT CAST(SUM({_REV_DEC}) AS DOUBLE) AS revenue
+    FROM ld l
+    JOIN pd p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipmode IN ('AIR', 'REG AIR')
+      AND l.l_shipinstruct = 'DELIVER IN PERSON'
+      AND (
+        (p.p_brand = 'Brand#1'
+         AND p.p_container IN ('SM CASE','SM BOX','SM PACK','SM PKG')
+         AND l.l_quantity >= 1.0 AND l.l_quantity <= 11.0)
+     OR (p.p_brand = 'Brand#2'
+         AND p.p_container IN ('MED BAG','MED BOX','MED PKG','MED PACK')
+         AND l.l_quantity >= 10.0 AND l.l_quantity <= 20.0)
+     OR (p.p_brand = 'Brand#3'
+         AND p.p_container IN ('LG CASE','LG BOX','LG PACK','LG PKG')
+         AND l.l_quantity >= 20.0 AND l.l_quantity <= 30.0))
+    """,
+    tags=("ext", "tpch", "join", "agg"),
+)
+def q_tpch_q19_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19, TRUE shape — the original's full three-branch
+    disjunction including the container lists, the shipmode IN
+    filter, and the shipinstruct equality the adapted q_tpch_q19
+    lacks, over DERIVED attributes (p_container from the seeded part
+    hash, shipmode/shipinstruct from the q12 line hash — one md5
+    each, identical expressions in the oracle). The plan lesson is
+    the original's, now complete: the cross-table OR can only be a
+    join residual, but the single-table conjuncts (shipmode,
+    shipinstruct, the implied brand/container/quantity unions) push
+    to the scans — asserted by the same derived-prefilter machinery
+    q_tpch_q19's docstring describes."""
+    from data_wrangler_spark.operators.dedup import _md5_long
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+
+    pd_ = p.select(
+        "p_partkey",
+        "p_brand",
+        F.element_at(
+            F.array(*[F.lit(c) for c in _Q19_CONTAINERS]),
+            (_md5_long(F.col("p_partkey").cast("string"), 19) % 12 + 1).cast("int"),
+        ).alias("p_container"),
+    )
+    lh = li.withColumn(
+        "h",
+        _md5_long(
+            F.concat(
+                F.col("l_orderkey").cast("string"),
+                F.lit("#"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ),
+    )
+    ld = lh.select(
+        "l_partkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        F.element_at(
+            F.array(*[F.lit(m) for m in _Q12_MODES]),
+            (F.col("h") % 7 + 1).cast("int"),
+        ).alias("l_shipmode"),
+        F.element_at(
+            F.array(*[F.lit(i) for i in _Q19_INSTRUCT]),
+            (F.expr("div(h, 7)") % 4 + 1).cast("int"),
+        ).alias("l_shipinstruct"),
+    )
+    q, b, ct = F.col("l_quantity"), F.col("p_brand"), F.col("p_container")
+    cond = (
+        ((b == "Brand#1") & ct.isin(*_Q19_CONTAINERS[0:4]) & q.between(1.0, 11.0))
+        | ((b == "Brand#2") & ct.isin(*_Q19_CONTAINERS[4:8]) & q.between(10.0, 20.0))
+        | ((b == "Brand#3") & ct.isin(*_Q19_CONTAINERS[8:12]) & q.between(20.0, 30.0))
+    )
+    return (
+        ld.filter(
+            F.col("l_shipmode").isin("AIR", "REG AIR")
+            & (F.col("l_shipinstruct") == "DELIVER IN PERSON")
+        )
+        .join(F.broadcast(pd_), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
