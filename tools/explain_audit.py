@@ -81,6 +81,7 @@ AUDIT = [
     ("q_setops_all", "multiset setops: count-comparison aggregation, one shuffle"),
     ("q_recursive_hierarchy", "WITH RECURSIVE: per-step frontier union"),
     ("q_tpch_q12_shipmode", "true Q12: derived logistics filters before the join"),
+    ("q_tpch_q19_true", "true Q19: OR residual, single-table conjuncts pushed"),
     ("q_bitmap_distinct", "bitmap aggregates: fixed-size OR-mergeable distinct state"),
     ("q_join_null_skew", "null-key segregation: IsNotNull join + bypass union"),
     ("q_dq_checks", "expectation suite: anti-join FK checks, one row per check"),
