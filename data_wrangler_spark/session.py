@@ -39,6 +39,13 @@ RUNTIME_CONFS: dict[str, str] = {
     # stays bounded because per-task key count is shuffle-partitioned
     # (size spark.sql.shuffle.partitions to the data, not this knob).
     "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "1000000",
+    # Scan parallelism must track FILE sizes, not the cluster default:
+    # the fixtures are single ~1-50MB parquet files, so the stock 128MB
+    # split packs a whole table into ONE scan task (measured: the
+    # sf0.1 lineitem aggregate drops 0.56s → 0.40s at 16m). At 100 TB
+    # with 128-512MB files the same knob goes back UP to 128-256m —
+    # the invariant is splits ≈ row-group size so every core scans.
+    "spark.sql.files.maxPartitionBytes": "16m",
 }
 
 
