@@ -124,20 +124,34 @@ def _minhash_signatures(d: DataFrame) -> DataFrame:
     return base.select("doc_id", sig.alias("sig"))
 
 
-def _minhash_oracle() -> str:
-    rows = N_MINHASH // N_BANDS
+def _sig_select_sql() -> str:
+    """The N_MINHASH signature expressions (DuckDB) — the ONE
+    definition both the batch LSH oracle and the incremental-index
+    oracle must share, or the persisted hop's losslessness claim
+    dies with the first drift."""
     h1 = "(('0x' || substr(md5(s), 1, 12))::BIGINT)"
     h2 = "(('0x' || substr(md5(s), 13, 11))::BIGINT)"
-    sigs = ",\n        ".join(
+    return ",\n        ".join(
         f"list_min(list_transform(sh, s -> {h1} + {j} * {h2})) AS m{j}"
         for j in range(N_MINHASH)
     )
-    band_selects = "\n      UNION ALL\n      ".join(
+
+
+def _band_union_sql(src: str) -> str:
+    """Banded bucket-string union over a signature CTE (DuckDB
+    mirror of _band_table), parameterized by source."""
+    rows = N_MINHASH // N_BANDS
+    return "\n      UNION ALL\n      ".join(
         f"SELECT doc_id, {b} AS band, "
         + " || '|' || ".join(f"m{b * rows + r}::VARCHAR" for r in range(rows))
-        + " AS bucket FROM sig"
+        + f" AS bucket FROM {src}"
         for b in range(N_BANDS)
     )
+
+
+def _minhash_oracle() -> str:
+    sigs = _sig_select_sql()
+    band_selects = _band_union_sql("sig")
     return f"""
     WITH sh AS (
       SELECT doc_id, {sql_shingles_of('w', 3)} AS sh
@@ -652,22 +666,8 @@ INC_JAC_MICRO = 500000  # exact-Jaccard acceptance for a true dup
 
 
 def _inc_oracle() -> str:
-    rows = N_MINHASH // N_BANDS
-    h1 = "(('0x' || substr(md5(s), 1, 12))::BIGINT)"
-    h2 = "(('0x' || substr(md5(s), 13, 11))::BIGINT)"
-    sigs = ",\n        ".join(
-        f"list_min(list_transform(sh, s -> {h1} + {j} * {h2})) AS m{j}"
-        for j in range(N_MINHASH)
-    )
-
-    def band_union(src: str) -> str:
-        return "\n      UNION ALL\n      ".join(
-            f"SELECT doc_id, {b} AS band, "
-            + " || '|' || ".join(f"m{b * rows + r}::VARCHAR" for r in range(rows))
-            + f" AS bucket FROM {src}"
-            for b in range(N_BANDS)
-        )
-
+    sigs = _sig_select_sql()
+    band_union = _band_union_sql
     return f"""
     WITH sh AS (
       SELECT doc_id, {sql_shingles_of('w', 3)} AS sh

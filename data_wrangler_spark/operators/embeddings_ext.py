@@ -584,6 +584,24 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim = len(e.select("embedding").first()["embedding"])
 
+    # numpy int64 wraps SILENTLY on overflow (unlike the oracle's
+    # HUGEINT sum and Spark's ANSI sum) — bound the worst-case Gram
+    # entry n·(Q·max|x|)² up front and refuse rather than wrap. At
+    # Q=2^20 and unit-normish components this allows ~4M vectors;
+    # beyond that, lower PCA_Q (the trajectory rescales with it).
+    b = e.agg(
+        F.count("*").alias("n"),
+        F.max(
+            F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+        ).alias("mx"),
+    ).collect()[0]
+    worst = int(b.n) * int(float(b.mx) * PCA_Q + 1) ** 2
+    if worst >= 2**62:
+        raise ValueError(
+            f"q_embed_pca: worst-case Gram entry {worst:.3g} risks int64 "
+            "overflow — reduce PCA_Q for this corpus size"
+        )
+
     def gram(batches):
         acc = np.zeros((dim, dim), dtype=np.int64)
         seen = False

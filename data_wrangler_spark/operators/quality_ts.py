@@ -626,6 +626,23 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROLLUP_SCRATCH = "/root/repo/.scratch/rollup"
 
 
+def hourly_partials(df: DataFrame) -> DataFrame:
+    """Hourly mergeable partials of the events stream/table: (hour
+    bucket, day, type) → count + exact decimal sum. The ONE
+    definition shared by the serve/incremental batch rollups and the
+    streaming merge (streaming/windows.q_stream_rollup) — partial
+    state must aggregate identically everywhere or merge ≡ rebuild
+    proofs stop meaning anything."""
+    return df.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(22,6)")).alias("sum_dec"),
+    )
+
+
 @register(
     "q_rollup_serve",
     oracle=f"""
@@ -661,15 +678,7 @@ def q_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not _os.path.exists(marker):
         ev = load_table(spark, sf_dir, "events")
         (
-            ev.groupBy(
-                F.date_trunc("hour", "ts").alias("bucket"),
-                F.date_trunc("day", "ts").cast("date").alias("day"),
-                "event_type",
-            )
-            .agg(
-                F.count("*").alias("n_events"),
-                F.sum(F.col("value").cast("decimal(22,6)")).alias("sum_dec"),
-            )
+            hourly_partials(ev)
             .repartition("day")
             .write.mode("overwrite")
             .partitionBy("day")
@@ -927,15 +936,7 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{_ROLLUP_INC_SCRATCH}/{_stag(sf_dir, 'events')}"
     done = f"{path}/_DONE_INC"
 
-    def hourly(df: DataFrame) -> DataFrame:
-        return df.groupBy(
-            F.date_trunc("hour", "ts").alias("bucket"),
-            F.date_trunc("day", "ts").cast("date").alias("day"),
-            "event_type",
-        ).agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(22,6)")).alias("sum_dec"),
-        )
+    hourly = hourly_partials
 
     if not _os.path.exists(done):
         ev = load_table(spark, sf_dir, "events")

@@ -140,6 +140,7 @@ class GatewayServer:
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self._thread: threading.Thread | None = None
+        self._run_lock = threading.Lock()
 
     # ── routing (pure function of the path — unit-testable) ──────
     def route(self, path: str) -> tuple[int, object]:
@@ -166,10 +167,6 @@ class GatewayServer:
             return 404, {"error": f"not found: {exc}"}
         except (MissingParameterError, ValueError) as exc:
             return 400, {"error": str(exc)}
-        except TypeError:
-            # registered query invoked without a required parameter —
-            # a client input problem, not a server fault
-            return 400, {"error": "missing required query parameter"}
         return 404, {"error": f"no route for {url.path}"}
 
     def _describe_root(self) -> dict:
@@ -256,14 +253,28 @@ class GatewayServer:
     def _run_registered(self, qname: str, q: dict) -> tuple[int, object]:
         if qname not in self.engine.names():
             raise KeyError(qname)
-        df = self.engine.run(qname)
-        try:
-            return 200, _rows_json(df, int(q.get("limit", DEFAULT_RUN_LIMIT)))
-        finally:
-            # long-lived server: operators that pin intermediate
-            # frames must not accumulate cached partitions across
-            # requests (Engine.release_cache docstring)
-            self.engine.release_cache()
+        # SERIALIZED: release_cache pops the process-global pin list,
+        # so releasing after one request while another request's
+        # two-phase window still depends on its pinned
+        # range-partitioned frame would silently corrupt results
+        # (functions/distributed.py documents why the persist is
+        # load-bearing). One /run at a time also serializes the
+        # operators' check-then-write scratch builds, which carry no
+        # locking of their own. /q, /dt and /db stay concurrent —
+        # they touch neither pins nor scratch.
+        with self._run_lock:
+            try:
+                df = self.engine.run(qname)
+            except TypeError as exc:
+                if "required positional argument" in str(exc):
+                    # invoked without a required parameter — client
+                    # input problem; other TypeErrors stay 500s
+                    return 400, {"error": "missing required query parameter"}
+                raise
+            try:
+                return 200, _rows_json(df, int(q.get("limit", DEFAULT_RUN_LIMIT)))
+            finally:
+                self.engine.release_cache()
 
     # ── lifecycle ─────────────────────────────────────────────────
     @property

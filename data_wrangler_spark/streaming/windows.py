@@ -644,21 +644,23 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pointer would silently reset to None across a driver
         # restart while the checkpoint skips completed batches)
         versions = sorted(
-            e.name for e in os.scandir(state_root)
-            if e.name.startswith("v") and int(e.name[1:]) < batch_id
-            and os.path.exists(os.path.join(state_root, e.name, "_SUCCESS"))
+            (
+                e.name
+                for e in os.scandir(state_root)
+                if e.name.startswith("v") and int(e.name[1:]) < batch_id
+                and os.path.exists(os.path.join(state_root, e.name, "_SUCCESS"))
+            ),
+            key=lambda n: int(n[1:]),  # numeric — lexical breaks past v99999
         )
         return os.path.join(state_root, versions[-1]) if versions else None
 
+    from data_wrangler_spark.operators.quality_ts import hourly_partials
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        partials = batch_df.groupBy(
-            F.date_trunc("hour", "ts").alias("bucket"),
-            F.date_trunc("day", "ts").cast("date").alias("day"),
-            "event_type",
-        ).agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(22,6)")).alias("sum_dec"),
-        )
+        # the SAME mergeable-partial definition as the batch rollups
+        # (quality_ts.hourly_partials) — stream merge and batch
+        # increment provably aggregate identical state
+        partials = hourly_partials(batch_df)
         prev_path = _version_before(batch_id)
         if prev_path is not None:
             prev = batch_df.sparkSession.read.parquet(prev_path)
