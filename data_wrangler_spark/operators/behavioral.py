@@ -507,3 +507,94 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(wt)).alias("p"),
     )
+
+
+@register(
+    "q_attribution",
+    oracle=f"""
+    WITH x AS (
+      SELECT user_id, event_id, event_type, ts, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events),
+    b AS (
+      SELECT *,
+             CASE WHEN lag(sec) OVER w IS NULL
+                    OR sec - lag(sec) OVER w > {{gap}}
+                  THEN 1 ELSE 0 END AS brk
+      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess_no
+      FROM b),
+    first_touch AS (
+      SELECT user_id, sess_no, event_type AS first_type
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sess_no
+                                         ORDER BY ts, event_id) AS rn
+            FROM s)
+      WHERE rn = 1),
+    purch AS (
+      SELECT s.user_id, s.sess_no, s.value
+      FROM s WHERE s.event_type = 'purchase')
+    SELECT f.first_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(p.value AS DECIMAL(22,6))) AS DOUBLE)
+             AS attributed_value
+    FROM purch p JOIN first_touch f
+      ON f.user_id = p.user_id AND f.sess_no = p.sess_no
+    GROUP BY f.first_type
+    """.replace("{gap}", "1800"),
+    tags=("ext", "behavioral"),
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-TOUCH attribution — the marketing-analytics consumer of
+    sessionization: every purchase's value is credited to the event
+    TYPE that OPENED its session (the same 30-min gaps-and-islands
+    sessions as q_sessionize, deterministic (ts, event_id) order),
+    reported as purchases and exact decimal value per acquiring
+    channel. Last-touch / position-based models swap the rn=1 pick
+    for rn=last or a weight vector — same plan.
+
+    Scale: one user_id shuffle shared by the break window, the
+    session numbering, the first-touch rank, and the purchase join
+    (exchange reuse keeps it ONE physical shuffle); state per user is
+    O(1). The session-key join is co-partitioned by construction."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts", "value",
+        F.floor(
+            F.to_timestamp(F.col("ts")).cast("double")
+        ).cast("long").alias("sec"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        F.lag("sec").over(w).isNull()
+        | (F.col("sec") - F.lag("sec").over(w) > SESSION_GAP_SEC),
+        1,
+    ).otherwise(0)
+    s = ev.withColumn("brk", brk).withColumn(
+        "sess_no", F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    first_touch = (
+        s.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id", "sess_no").orderBy("ts", "event_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "sess_no", F.col("event_type").alias("first_type"))
+    )
+    purch = s.filter(F.col("event_type") == "purchase").select(
+        "user_id", "sess_no", "value"
+    )
+    return (
+        purch.join(first_touch, ["user_id", "sess_no"])
+        .groupBy("first_type")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(22,6)"))
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )

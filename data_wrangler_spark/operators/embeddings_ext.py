@@ -639,3 +639,83 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i, v[i]) for i in sorted(v)], "dim int, v_scaled long"
     )
+
+
+@register(
+    "q_label_similarity",
+    oracle=f"""
+    WITH comp AS (
+      SELECT label,
+             unnest(generate_series(1, len(embedding))) AS dim,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+      FROM embeddings),
+    cent AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS c
+      FROM comp GROUP BY label, dim),
+    pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(SUM(CAST(a.c * b.c AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+             sqrt(CAST(SUM(CAST(a.c * a.c AS DECIMAL(38,18))) AS DOUBLE)) AS na,
+             sqrt(CAST(SUM(CAST(b.c * b.c AS DECIMAL(38,18))) AS DOUBLE)) AS nb
+      FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY 1, 2)
+    SELECT label_a, label_b,
+           CAST(floor(dot / (na * nb) * 1000000 + 0.5) AS BIGINT)
+             AS cos_micro
+    FROM pairs
+    """,
+    tags=("llm", "embeddings"),
+)
+def q_label_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-centroid similarity matrix — the class-confusability /
+    cluster-quality diagnostic: per-label centroids via EXACT decimal
+    per-dimension means (order-independent, q_embed_centroid's
+    discipline), then pairwise cosine between centroids. The only
+    float ops are the final dot/sqrt/divide over |labels|×dim exact
+    doubles — identical inputs both engines, and sqrt/division are
+    IEEE-correctly-rounded, so even the float path is deterministic;
+    the result rounds half-up to integer micro for the hash gate.
+
+    Scale: ONE corpus aggregation (label×dim cells — map-side
+    combined), then everything runs on a |labels|×dim frame: the
+    pairwise stage is |labels|²·dim on a handful of rows, never the
+    corpus. This is the cheap first look before q_dedup_semantic's
+    per-vector pass: labels whose centroids sit at cosine ≈ 1 are
+    where semantic dup mass concentrates."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select("label", F.posexplode(to_double_array("embedding")).alias("dim0", "x"))
+    cent = comp.groupBy("label", F.col("dim0").alias("dim")).agg(
+        (
+            F.sum(F.col("x").cast("decimal(30,12)")).cast("double") / F.count("*")
+        ).alias("c")
+    )
+    a = cent.select(F.col("label").alias("label_a"), "dim", F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), "dim", F.col("c").alias("cb"))
+    pairs = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            # products are deterministic doubles; the SUMS go through
+            # exact decimal so accumulation order cannot move a ULP
+            F.sum((F.col("ca") * F.col("cb")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("dot"),
+            F.sqrt(
+                F.sum((F.col("ca") * F.col("ca")).cast("decimal(38,18)"))
+                .cast("double")
+            ).alias("na"),
+            F.sqrt(
+                F.sum((F.col("cb") * F.col("cb")).cast("decimal(38,18)"))
+                .cast("double")
+            ).alias("nb"),
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.floor(F.col("dot") / (F.col("na") * F.col("nb")) * 1000000 + 0.5)
+        .cast("long")
+        .alias("cos_micro"),
+    )

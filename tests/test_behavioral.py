@@ -69,3 +69,20 @@ def test_markov_rows_are_distributions(spark, sf_dir):
         by_from[r.from_type] += r.p
     for total in by_from.values():
         assert abs(total - 1.0) < 1e-9
+
+
+def test_attribution_credits_full_purchase_mass(spark, sf_dir):
+    """Every purchase is attributed exactly once: attributed counts
+    sum to the corpus purchase count, and first_type values are real
+    event types."""
+    from pyspark.sql import functions as F
+
+    from data_wrangler_spark.catalog import load_table
+    from data_wrangler_spark.registry import REGISTRY
+
+    rows = REGISTRY["q_attribution"].run(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    assert sum(r.n_purchases for r in rows) == n_purch
+    types = {r.event_type for r in ev.select("event_type").distinct().collect()}
+    assert {r.first_type for r in rows} <= types

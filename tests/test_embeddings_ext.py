@@ -144,3 +144,28 @@ def test_pca_direction_matches_numpy_eigenvector(spark, sf_dir):
     # is not reachable in 8 rounds, but ≥0.85·λ1 is
     assert rayleigh > r0
     assert rayleigh >= 0.85 * lam1, f"R/λ1 = {rayleigh/lam1:.3f}"
+
+
+def test_label_similarity_matches_numpy_centroid_cosine(spark, sf_dir):
+    """Micro cosines equal numpy centroid cosines at 1e-5, all label
+    pairs present exactly once (a < b)."""
+    import itertools
+
+    import numpy as np
+
+    from data_wrangler_spark.catalog import load_table
+    from data_wrangler_spark.registry import REGISTRY
+
+    rows = REGISTRY["q_label_similarity"].run(spark, sf_dir).collect()
+    by_label = {}
+    for r in load_table(spark, sf_dir, "embeddings").collect():
+        by_label.setdefault(r.label, []).append(np.array(r.embedding, dtype=np.float64))
+    cents = {k: np.mean(np.stack(v), axis=0) for k, v in by_label.items()}
+    expect_pairs = {
+        (a, b) for a, b in itertools.combinations(sorted(cents), 2)
+    }
+    assert {(r.label_a, r.label_b) for r in rows} == expect_pairs
+    for r in rows:
+        a, b = cents[r.label_a], cents[r.label_b]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r.cos_micro / 1e6 - cos) < 1e-5
