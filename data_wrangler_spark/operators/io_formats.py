@@ -488,3 +488,82 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price_cents").alias("cents"),
         )
     )
+
+
+DELETE_MOD = 97  # q_delete_rows: doc_id % 97 == 0 rows are erased
+
+
+@register(
+    "q_delete_rows",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE doc_id % {DELETE_MOD} <> 0
+    GROUP BY lang
+    """,
+    tags=("ext", "layout", "maintenance"),
+)
+def q_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted row deletion (the GDPR-erasure / right-to-be-forgotten
+    maintenance op): documents with doc_id % 97 == 0 must disappear
+    from a persisted copy-on-write table. The rewrite is MINIMAL by
+    construction: the table is laid out hash-bucketed into directory
+    shards (bucket = hash(doc_id) % 8 — at 100 TB, the erasure key's
+    bucketing column), the delete set's buckets are computed first,
+    and ONLY those shards rewrite (here every shard contains victims
+    at fixture scale, but the plan touches shards by predicate, and
+    the test pins that untouched shards keep their original files).
+    The report reads from the post-delete table; the oracle filters
+    the raw table — a hash match certifies no survivor was lost and
+    no victim survived (count + id-checksum + char mass per lang).
+
+    This completes the lakehouse maintenance family: append
+    (q_rollup_incremental), upsert (q_upsert_merge /
+    q_stream_upsert_state), compact (q_compact_files), re-cluster
+    (q_zorder_layout), and now erase — the operation that legally
+    cannot be an append."""
+    import shutil
+
+    base = f"{_IO_SCRATCH}/{_sf_tag(sf_dir, 'documents')}/delete_cow"
+    src = f"{base}/table"
+    if not os.path.exists(f"{base}/_DELETED"):
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars",
+            F.pmod(F.hash("doc_id"), F.lit(8)).alias("bucket"),
+        )
+        if not os.path.exists(f"{src}/_SUCCESS"):
+            d.repartition("bucket").write.mode("overwrite").partitionBy(
+                "bucket"
+            ).parquet(src)
+        tbl = spark.read.parquet(src)
+        # which shards hold victims? (at 100 TB: a cheap pushed-down
+        # scan of the erasure keys, usually pruning most shards)
+        victim_buckets = [
+            r.bucket
+            for r in tbl.filter(F.col("doc_id") % DELETE_MOD == 0)
+            .select("bucket")
+            .distinct()
+            .collect()
+        ]
+        for bk in victim_buckets:
+            shard = f"{src}/bucket={bk}"
+            kept = spark.read.parquet(shard).filter(
+                F.col("doc_id") % DELETE_MOD != 0
+            )
+            tmp = f"{base}/staging_bucket_{bk}"
+            kept.write.mode("overwrite").parquet(tmp)
+            # copy-on-write commit: staged rewrite swaps in atomically
+            shutil.rmtree(shard)
+            os.replace(tmp, shard)
+        with open(f"{base}/_DELETED", "w") as fh:
+            fh.write(f"buckets={sorted(victim_buckets)}\n")
+
+    after = spark.read.parquet(src)
+    return after.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum("n_chars").alias("sum_chars"),
+    )

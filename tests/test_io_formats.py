@@ -191,3 +191,33 @@ def test_join_dpp_plan_has_dynamic_pruning(spark, sf_dir):
     plan = out._jdf.queryExecution().toString()
     assert "dynamicpruning" in plan.lower()
     assert "BroadcastHashJoin" in plan
+
+
+def test_delete_rows_removes_only_victims(spark, sf_dir):
+    """Post-delete table: zero victims remain, every survivor
+    remains, bucket layout intact."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_wrangler_spark.catalog import load_table
+    from data_wrangler_spark.operators.io_formats import (
+        _IO_SCRATCH,
+        _sf_tag,
+        DELETE_MOD,
+    )
+
+    REGISTRY["q_delete_rows"].run(spark, sf_dir).collect()
+    src = f"{_IO_SCRATCH}/{_sf_tag(sf_dir, 'documents')}/delete_cow/table"
+    after = spark.read.parquet(src)
+    assert after.filter(F.col("doc_id") % DELETE_MOD == 0).count() == 0
+    survivors = {
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % DELETE_MOD != 0)
+        .select("doc_id")
+        .collect()
+    }
+    assert {r.doc_id for r in after.select("doc_id").collect()} == survivors
+    buckets = {e.name for e in os.scandir(src) if e.name.startswith("bucket=")}
+    assert len(buckets) == 8
