@@ -555,9 +555,18 @@ def q_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             tmp = f"{base}/staging_bucket_{bk}"
             kept.write.mode("overwrite").parquet(tmp)
-            # copy-on-write commit: staged rewrite swaps in atomically
-            shutil.rmtree(shard)
+            # copy-on-write commit as a RENAME CHAIN: old shard moves
+            # aside (atomic rename), staged shard moves in (atomic
+            # rename), THEN the old copy is deleted — a crash between
+            # the renames leaves a recoverable .old, never a lost
+            # shard. (A real lakehouse lifts this into a manifest
+            # commit — Iceberg/Delta-style — so readers flip tables
+            # atomically too; the per-directory chain is the
+            # single-writer form of the same idea.)
+            old_shard = f"{base}/old_bucket_{bk}"
+            os.replace(shard, old_shard)
             os.replace(tmp, shard)
+            shutil.rmtree(old_shard)
         with open(f"{base}/_DELETED", "w") as fh:
             fh.write(f"buckets={sorted(victim_buckets)}\n")
 
