@@ -945,16 +945,16 @@ def _dedup_eval_oracle() -> str:
                 AS BIGINT) AS fp,
            CAST(SUM(CASE WHEN is_true AND NOT is_pred THEN 1 ELSE 0 END)
                 AS BIGINT) AS fn,
-           CASE WHEN SUM(CASE WHEN is_pred THEN 1 ELSE 0 END) = 0 THEN 0
+           CAST(CASE WHEN SUM(CASE WHEN is_pred THEN 1 ELSE 0 END) = 0 THEN 0
                 ELSE (SUM(CASE WHEN is_true AND is_pred THEN 1 ELSE 0 END)
                       * 1000000)
                      // SUM(CASE WHEN is_pred THEN 1 ELSE 0 END)
-           END AS precision_micro,
-           CASE WHEN SUM(CASE WHEN is_true THEN 1 ELSE 0 END) = 0 THEN 0
+           END AS BIGINT) AS precision_micro,
+           CAST(CASE WHEN SUM(CASE WHEN is_true THEN 1 ELSE 0 END) = 0 THEN 0
                 ELSE (SUM(CASE WHEN is_true AND is_pred THEN 1 ELSE 0 END)
                       * 1000000)
                      // SUM(CASE WHEN is_true THEN 1 ELSE 0 END)
-           END AS recall_micro
+           END AS BIGINT) AS recall_micro
     FROM joined
     """
 

@@ -318,7 +318,7 @@ def _pagerank_oracle() -> str:
       FROM po e JOIN deg dg ON dg.src = e.src, prev p
       GROUP BY e.dst),
     cust AS (SELECT DISTINCT src AS node FROM po)
-    SELECT node, rank_micro,
+    SELECT node, CAST(rank_micro AS BIGINT) AS rank_micro,
            rank_micro / 1000000000000.0 AS pagerank
     FROM (SELECT c.node, f.r_cust AS rank_micro FROM cust c, fin f
           UNION ALL

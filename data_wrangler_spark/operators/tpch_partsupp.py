@@ -175,7 +175,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
       JOIN nation n   ON s.s_nationkey = n.n_nationkey
       WHERE n.n_name = 'NATION_7')
-    SELECT ps_partkey, SUM(v) AS value_cents
+    SELECT ps_partkey, CAST(SUM(v) AS BIGINT) AS value_cents
     FROM nat
     GROUP BY ps_partkey
     HAVING SUM(v) * 1000 > (SELECT SUM(v) FROM nat)
