@@ -32,7 +32,28 @@ __all__ = [
     "ntile_from_position",
     "pin",
     "release_pinned",
+    "spread",
 ]
+
+
+def spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Widen a NARROW scan before CPU-heavy per-row compute.
+
+    A small parquet table arrives as one input split, so everything
+    narrow downstream (per-doc md5 shingling, minhash folds) runs as
+    ONE task no matter how many cores the cluster has — measured: the
+    whole minhash signature stage on 1 of 32 cores at sf0.1. This
+    repartitions up to the session shuffle width, but ONLY when the
+    plan is narrower than that: at 100 TB the scan already yields
+    thousands of splits and this is a no-op (no shuffle inserted), so
+    it cannot regress the at-scale plan. Keys (e.g. the doc pk) keep
+    the exchange a plain hash partitioning that downstream joins can
+    reuse; without keys it's round-robin.
+    """
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() >= n_part:
+        return df
+    return df.repartition(n_part, *keys) if keys else df.repartition(n_part)
 
 # Persisted frames pinned by operator builders. A registered query
 # returns a LAZY DataFrame, so the builder itself can never unpersist

@@ -35,7 +35,7 @@ from data_wrangler_spark.functions.vectors import (
     sql_round6,
     to_double_array,
 )
-from data_wrangler_spark.functions.distributed import pin
+from data_wrangler_spark.functions.distributed import pin, spread
 from data_wrangler_spark.registry import register
 
 N_MINHASH = 16  # minhash signature length
@@ -101,8 +101,8 @@ def _minhash_signatures(d: DataFrame) -> DataFrame:
 
     from data_wrangler_spark.functions.text import words
 
-    sh = d.select("doc_id", words("text").alias("w")).select(
-        "doc_id", shingles_from_words(F.col("w"), 3).alias("sh")
+    sh = spread(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id", shingles_from_words(words("text"), 3).alias("sh")
     )
     hs = F.transform(
         F.col("sh"),
@@ -210,17 +210,36 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall against exact Jaccard."""
     d = load_table(spark, sf_dir, "documents")
     sigs = _minhash_signatures(d)
-    # hot-bucket guard: cap pathological buckets before the self-join
-    sized = _band_table(sigs).withColumn(
-        "bsize", F.count("*").over(Window.partitionBy("band", "bucket"))
-    ).filter(F.col("bsize") <= MAX_BUCKET)
-    a = sized.select("band", "bucket", F.col("doc_id").alias("doc_a"))
-    b = sized.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+    # One exchange on (band,bucket) into collect_list replaces the
+    # previous window-count guard + self-join: the window sorted and
+    # evaluated TWICE (window results aren't reused across self-join
+    # branches, only exchanges are) and the join shuffled the band
+    # table a second time. Bucket doc-lists are bounded by the
+    # MAX_BUCKET guard (size filter = the same hot-bucket cap), and
+    # singleton buckets — the overwhelming majority — die at the agg
+    # instead of flowing into a join. Pairs are emitted array-side
+    # (i<j over the sorted list, ≤ MAX_BUCKET² per bucket by
+    # construction). n_bands = COUNT(*): a doc sits in exactly one
+    # bucket per band, so a pair can co-occur at most once per band —
+    # COUNT(*) equals the oracle's COUNT(DISTINCT band) exactly.
+    buckets = (
+        _band_table(sigs)
+        .groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= MAX_BUCKET))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                "y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.countDistinct("band").alias("n_bands"))
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
     )
 
 
@@ -373,8 +392,8 @@ def _effective_shingle_pairs(spark: SparkSession, sf_dir: str):
     from data_wrangler_spark.functions.text import words
 
     d = load_table(spark, sf_dir, "documents")
-    sh0 = d.select("doc_id", words("text").alias("w")).select(
-        "doc_id", shingles_from_words(F.col("w"), 3).alias("shingles")
+    sh0 = spread(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id", shingles_from_words(words("text"), 3).alias("shingles")
     )
     sh0 = pin(sh0.persist(StorageLevel.MEMORY_AND_DISK))
     hot_df = (
@@ -985,7 +1004,7 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pinned: the shingle pipeline feeds tex (BOTH sides of the
     # self-join) and tsz (twice) — one materialization, not four
     shd = pin(
-        d.select(
+        spread(d.select("doc_id", "text"), "doc_id").select(
             "doc_id",
             F.array_distinct(shingles_from_words(words("text"), 3)).alias("s"),
         ).persist()
