@@ -204,6 +204,41 @@ def _run_stream(stream_df, query_name: str, output_mode: str = "append") -> Data
     return spark.table(sink)
 
 
+def _ts_bounds(spark: SparkSession, sf_dir: str, ev: DataFrame):
+    """(min, max) of events.ts from PARQUET FOOTER STATISTICS — a
+    metadata read, not a table scan. The previous form ran a separate
+    min/max aggregation job over the source before staging, i.e. a
+    second full scan of the stream input per query (VERDICT r3 #7).
+    Timestamp column stats are exact (no truncation, unlike strings),
+    and footers stay metadata-sized at any SF. Falls back to the
+    aggregation scan when the file layout or stats are unavailable."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        files = (
+            [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")]
+            if os.path.isdir(path)
+            else [path]
+        )
+        mins, maxs = [], []
+        for fp in files:
+            pf = pq.ParquetFile(fp)
+            ci = pf.schema.names.index("ts")
+            for rg in range(pf.num_row_groups):
+                st = pf.metadata.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError("missing ts min/max stats")
+                mins.append(st.min)
+                maxs.append(st.max)
+        if not mins:
+            raise ValueError("no row groups")
+        return min(mins), max(maxs)
+    except Exception:
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+        return lo, hi
+
+
 def _staged_events(spark: SparkSession, sf_dir: str, tag: str, n_copies: int = 1,
                    split_frac: float | None = None) -> tuple[str, DataFrame]:
     """Stage the events table into scratch parquet files that a file
@@ -216,7 +251,7 @@ def _staged_events(spark: SparkSession, sf_dir: str, tag: str, n_copies: int = 1
 
     parts: list[DataFrame] = []
     if split_frac is not None:
-        lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+        lo, hi = _ts_bounds(spark, sf_dir, ev)
         cut = lo + (hi - lo) * split_frac
         parts = [ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut)]
     else:
