@@ -79,3 +79,43 @@ class Engine:
         if sortby is not None:
             self.catalog.validate_column(table, sortby)
         return paginate(self.catalog.table(table), table, page, perpage, sortby)
+
+    def get_record(self, table: str, rec_id: str) -> DataFrame:
+        """Point read by primary key — `getRecord`
+        (`/root/reference/index.js:496-533`, `select * from %s where
+        id = ?`). The id value is CAST to the pk column's type (never
+        the column to string), so the comparison stays a pushed-down
+        literal predicate: at 100 TB this prunes row groups on pk
+        min/max stats instead of scanning. A value that cannot meet
+        the type surfaces as an ANSI cast error for the caller to map
+        to the invalid-parameter envelope."""
+        from pyspark.sql import functions as F
+
+        from data_wrangler_spark.catalog import PRIMARY_KEYS
+
+        self.catalog.validate_table(table)
+        tbl = self.catalog.table(table)
+        pk = PRIMARY_KEYS[table]
+        pk_type = dict(tbl.dtypes)[pk]
+        return tbl.filter(F.col(pk) == F.lit(rec_id).cast(pk_type))
+
+    def sub_records(self, parent: str, rec_id: str, child: str) -> DataFrame:
+        """Children of one record via the FK convention —
+        `getSubRecordList` (`index.js:536-585`, `select * from %s
+        where %s_id = ?`). The reference derives the FK by naming
+        convention; this schema prefixes columns per table, so the
+        declared FK_CONVENTIONS map is the authority — an undeclared
+        (parent, child) pair is a KeyError, not a guessed column.
+        Same pushdown-preserving literal cast as get_record."""
+        from pyspark.sql import functions as F
+
+        from data_wrangler_spark.catalog import FK_CONVENTIONS, PRIMARY_KEYS
+
+        self.catalog.validate_table(parent)
+        self.catalog.validate_table(child)
+        fk = FK_CONVENTIONS.get((parent, child))
+        if fk is None:
+            raise KeyError(f"no FK relationship {parent!r} -> {child!r}")
+        ctbl = self.catalog.table(child)
+        pk_type = dict(self.catalog.table(parent).dtypes)[PRIMARY_KEYS[parent]]
+        return ctbl.filter(F.col(fk) == F.lit(rec_id).cast(pk_type))

@@ -50,7 +50,13 @@ def spread(df: DataFrame, *keys: str) -> DataFrame:
     the exchange a plain hash partitioning that downstream joins can
     reuse; without keys it's round-robin.
     """
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        # e.g. "auto" under AQE-managed platforms — the widening
+        # heuristic must never turn into a hard failure; such
+        # platforms pick shuffle width themselves anyway.
+        return df
     if df.rdd.getNumPartitions() >= n_part:
         return df
     return df.repartition(n_part, *keys) if keys else df.repartition(n_part)

@@ -237,8 +237,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.doc_a", "p.doc_b")
+    # belt-and-braces: i<j positional pairing assumes doc_id is unique
+    # (it is documents' pk); a duplicated doc_id would emit an (x,x)
+    # self-pair the oracle's a.doc_id < b.doc_id predicate excludes
     return (
-        pairs.groupBy("doc_a", "doc_b")
+        pairs.filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
 

@@ -493,6 +493,39 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
 DELETE_MOD = 97  # q_delete_rows: doc_id % 97 == 0 rows are erased
 
 
+def _recover_delete_commit(base: str, src: str) -> None:
+    """Crash recovery for q_delete_rows' two-rename commit chain
+    (ADVICE r4): a crash between `os.replace(shard, old)` and
+    `os.replace(tmp, shard)` leaves the shard missing; a rerun that
+    didn't check would silently read the table minus one shard. On
+    entry, every leftover is rolled back or forward:
+
+    - ``old_bucket_X`` present + ``bucket=X`` missing → crashed
+      mid-swap: roll BACK (restore the old shard; the delete rerun
+      redoes the rewrite from it).
+    - ``old_bucket_X`` present + ``bucket=X`` present → crashed
+      after the swap, before cleanup: roll FORWARD (drop the old
+      copy; the new shard is already committed).
+    - ``staging_bucket_X`` → always removable (rebuilt from the
+      shard on rerun).
+    """
+    import shutil
+
+    if not os.path.isdir(base):
+        return
+    for name in os.listdir(base):
+        full = os.path.join(base, name)
+        if name.startswith("staging_bucket_"):
+            shutil.rmtree(full, ignore_errors=True)
+        elif name.startswith("old_bucket_"):
+            bk = name[len("old_bucket_"):]
+            shard = f"{src}/bucket={bk}"
+            if os.path.exists(shard):
+                shutil.rmtree(full)
+            else:
+                os.replace(full, shard)
+
+
 @register(
     "q_delete_rows",
     oracle=f"""
@@ -538,6 +571,7 @@ def q_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             d.repartition("bucket").write.mode("overwrite").partitionBy(
                 "bucket"
             ).parquet(src)
+        _recover_delete_commit(base, src)
         tbl = spark.read.parquet(src)
         # which shards hold victims? (at 100 TB: a cheap pushed-down
         # scan of the erasure keys, usually pruning most shards)

@@ -11,8 +11,18 @@ built-in operators use. A plugin's queries are first-class: they show
 up in `Engine.names()`, `__spark_entry__.queries()`, and the
 correctness harness like any other operator.
 
-Auth (the other half of the reference's plugin contract) is declared
-out of analytic scope with the rest of G7/G8 (SURVEY.md §7.4).
+Auth — the other half of the reference's plugin contract
+(`plugins/salesforce.js:11-14` exports `auth(info, fn)`) — is a
+registry of per-service callables here: `register_auth_plugin(name,
+fn)` with `fn(auth_info) -> {"ok": bool, "info"|"error": ...}`, the
+callback's rval shape made a return value. `/auth` (server.py)
+resolves `plugins[service].auth` through this registry exactly like
+`index.js:610-630`. A loaded plugin module may also expose
+`auth(info) -> dict` plus `SERVICE_NAME` to self-register. No live
+Salesforce exists in this environment, so the shipped contract is the
+interface + tests with a fake service — the reference's retry-with-
+security-token dance (salesforce.js:19-42) belongs inside a concrete
+plugin's `auth`.
 """
 
 from __future__ import annotations
@@ -21,8 +31,21 @@ import importlib
 import importlib.util
 import os
 import sys
+from typing import Callable
 
 from data_wrangler_spark.registry import REGISTRY, register
+
+# service name → auth callable; the reference's `plugins` map
+# (`index.js:140-157`) restricted to its auth surface
+AUTH_PLUGINS: dict[str, Callable[[dict], dict]] = {}
+
+
+def register_auth_plugin(name: str, fn: Callable[[dict], dict]) -> None:
+    """Register `auth(info) -> {"ok": bool, ...}` under a service
+    name — what `config.json`'s plugins block does at boot."""
+    if not callable(fn):
+        raise PluginError(f"auth plugin {name!r} is not callable")
+    AUTH_PLUGINS[name] = fn
 
 
 class PluginError(ValueError):
@@ -60,4 +83,11 @@ def load_plugin(module_or_path: str) -> list[str]:
         )
     before = set(REGISTRY)
     hook(register)
+    # optional auth surface (the reference plugin contract's other
+    # export): module-level auth(info) -> dict, named by SERVICE_NAME
+    # or the module's basename
+    auth_fn = getattr(mod, "auth", None)
+    if callable(auth_fn):
+        service = getattr(mod, "SERVICE_NAME", mod.__name__.rsplit(".", 1)[-1])
+        register_auth_plugin(str(service).removeprefix("dws_plugin_"), auth_fn)
     return sorted(set(REGISTRY) - before)

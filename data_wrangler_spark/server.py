@@ -3,18 +3,35 @@
 The reference IS an HTTP gateway: named-query routes
 (`/root/reference/index.js:264-325`), a self-description endpoint
 (`index.js:371-425`), dataType introspection (`index.js:383-392` via
-`examineQuery`, `lib/examiner.js:139-160`), and a generic paged
-relation list (`index.js:431-492`). Rounds 1-2 declared the HTTP
-envelope out of analytic scope (SURVEY §7.4) because it carries no
-query semantics — all of which live in Engine / SQLTemplates — but a
-user switching from the reference still has HTTP clients. This module
-closes that last surface gap with a zero-dependency stdlib server:
+`examineQuery`, `lib/examiner.js:139-160`), a generic paged relation
+list + point/sub-record reads (`index.js:431-585`), CRUD write stubs
+(`index.js:427-429,587-593` — "NIY" in the reference itself), an
+auth endpoint that stores plugin sessions (`index.js:595-639`), and
+external REST passthrough (`makeRESTroute`, `index.js:327-366`).
+This module serves all of that over the Spark engine with a
+zero-dependency stdlib server:
 
-    GET /                               self-description (routes + catalogs)
-    GET /q/<db>/<qname>[/p1[/p2...]]    named template, positional params
-    GET /dt/<db>/<qname>                output schema of a template
-    GET /db/<db>/rel/<relation>         paged generic list (page/perpage/sortby)
-    GET /run/<qname>[?limit=N]          any registered engine query (extension)
+    GET  /                                   self-description (routes + catalogs)
+    GET  /q/<db>/<qname>[/p1[/p2...]]        named template, positional params
+    GET  /query/<qname>[/p1[/p2...]]         legacy alias (index.js:323-324)
+    GET  /dt/<db>/<qname>                    output schema of a template (extension)
+    GET  /db/<db>/rel/<relation>             paged generic list (page/perpage/sortby)
+    GET  /db/<db>/rel/<relation>/<id>        point record by pk (index.js:496-533)
+    GET  /db/<db>/rel/<relation>/<id>/<sub>  child list by FK (index.js:536-585)
+    POST /db/<db>/rel/<relation>[/<id>]      CRUD stubs — {ok:false,error:"NIY"}
+    DELETE /db/<db>/rel/<relation>/<id>      CRUD stub  — {ok:false,error:"NIY"}
+    POST /auth                               token mint + plugin auth (index.js:595-639)
+    GET  /ffi/<service>/<path...>            external REST passthrough proxy
+    GET  /run/<qname>[?limit=N]              any registered engine query (extension)
+
+RESPONSE ENVELOPE — reference parity (`index.js:253-262`): success is
+`{"ok": true, "results": [...]}` (`itsGood` merges `ok:true` into the
+payload; point reads use `"row"`), and HANDLED errors are **HTTP 200**
+`{"ok": false, "error": msg}` (`sendError` — express `res.send`
+defaults to 200). Only transport-level faults (unroutable path,
+unexpected server exception) use real 404/500 codes, as express
+itself would. The root `/` self-description is unwrapped, exactly
+like the reference's `showAPI` (`res.send(routes)`, no envelope).
 
 Parity notes: positional params arrive as strings exactly like the
 reference's auto-quoted `?` substitution (`README.md:153,184`) —
@@ -22,18 +39,15 @@ binding is value-only (injection-safe), Spark coerces types at the
 comparison. /dt upgrades the reference's regex field-name inference
 to Catalyst's exact typed schema whenever the template is analyzable
 without parameters, and falls back to the same SELECT-list parse the
-reference uses (`examiner.js:82-160`) when it is not. Errors: 404 for
-unknown names, 400 for bad/ambiguous input — the reference's codes
-(`index.js:286-300`).
+reference uses (`examiner.js:82-160`) when it is not.
 
-The G8 session STORE lives in `sessions.py` (a faithful
-lib/session.js mirror — not to be confused with `session.py`, the
-SparkSession helpers); this server stays stateless because nothing
-in the analytic surface needs per-request state — a deployment
-wiring auth would attach `SessionStore.resolve(token)` in do_GET the
-way gateKeeper does (index.js:211-216). Still NOT in scope: the auth
-flows themselves (G8's Salesforce login), reconnection (G10), CRUD
-writes (G11 — NIY in the reference itself, `index.js:427-429`).
+Sessions (G8): every request passes the gateKeeper
+(`index.js:196-219`): a `token` query/body param naming a SAVED
+session attaches it; anything else gets a fresh unsaved one. The
+store lives in `sessions.py`; `/auth` is the one place sessions are
+saved (`index.js:617-630`), via auth plugins registered in
+`plugins.py` (the reference's `plugins[service].auth` contract,
+`plugins/salesforce.js:11-14`).
 
 Scale note: this is a control-plane front door for the CATALOG, not a
 data plane — results collect on the gateway like the reference's own
@@ -47,6 +61,8 @@ from __future__ import annotations
 import json
 import re
 import threading
+import urllib.request
+import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, unquote, urlparse
 
@@ -58,10 +74,49 @@ from data_wrangler_spark.plans.templates import (
     AmbiguousTemplateError,
     MissingParameterError,
 )
+from data_wrangler_spark.plugins import AUTH_PLUGINS
+from data_wrangler_spark.sessions import Session, SessionStore
 
 _SELECT_RE = re.compile(r"^\s*select\s+(.+?)\s+from\b.*$", re.I | re.S)
 
+# the reference's input defense (`lib/examiner.js:37-39`), verbatim
+_ALNUM_RE = re.compile(r"^[\sA-Za-z0-9_\-.]+$")
+_UUID_RE = re.compile(
+    r"^[A-Fa-f0-9]{8}-?[A-Fa-f0-9]{4}-?[A-Fa-f0-9]{4}-?"
+    r"[A-Fa-f0-9]{4}-?[A-Fa-f0-9]{12}$"
+)
+_SQL_COMMENT_RE = re.compile(r"--+")
+
 DEFAULT_RUN_LIMIT = 100
+
+# Spark error classes that mean "the client's value could not meet the
+# column type" — the reference's 400-invalid-parameter case
+# (examiner.js:70-80), not a server fault
+_INPUT_SHAPED = (
+    "CAST_INVALID_INPUT",
+    "ARITHMETIC_OVERFLOW",
+    "CANNOT_PARSE",
+    "NUMBER_FORMAT",
+    "INVALID_PARAMETER",
+)
+
+# The reference ships one external service in its config
+# (`config.json:41-53`); the same shape is the default here so a
+# reference user's /ffi/WorldBank/... URLs resolve unchanged.
+DEFAULT_FOREIGNERS: list[dict] = [
+    {
+        "name": "WorldBank",
+        "baseURI": "http://api.worldbank.org/countries",
+        "routes": [
+            {
+                "method": "get",
+                "localpath": "/countrydata/$country/$fromYear/$toYear",
+                "path": "/{{ country }}/indicators/NY.GDP.PCAP.CD"
+                "?format=json&date={{ fromYear }}:{{ toYear }}",
+            }
+        ],
+    }
+]
 
 
 def parse_select_fields(sql: str) -> list[str]:
@@ -95,10 +150,45 @@ def parse_select_fields(sql: str) -> list[str]:
     return [name_of(c) for c in fields if c]
 
 
+def validate_query_vars(vals: dict[str, str | None]) -> tuple[bool, object]:
+    """`examiner.validateQueryVars` (`lib/examiner.js:162-196`):
+    required, no SQL comments, alphanumeric-or-UUID. Returns
+    (ok, results-or-error-message)."""
+    out, fail = {}, []
+    for name, val in vals.items():
+        if not val:
+            fail.append(f'Parameter "{name}" is required!\n')
+            continue
+        if _SQL_COMMENT_RE.search(val):
+            fail.append("SQL comments are forbidden as inputs.")
+            continue
+        if not (_UUID_RE.match(val) or _ALNUM_RE.match(val)):
+            fail.append("Query parameters must be alphanumeric.")
+            continue
+        out[name] = val
+    if fail:
+        return False, "\n".join(fail)
+    return True, out
+
+
+_QVAR_RE = re.compile(r"\$(\w+)")
+_HB_RE = re.compile(r"\{\{\s*(\w+)\s*\}\}")
+
+
 def _rows_json(df: DataFrame, limit: int | None = None) -> list[dict]:
     if limit is not None:
         df = df.limit(limit)
     return [r.asDict(recursive=True) for r in df.collect()]
+
+
+def _ok(payload: dict) -> tuple[int, dict]:
+    """`itsGood` (`index.js:254-258`): merge ok:true into the payload."""
+    return 200, {**payload, "ok": True}
+
+
+def _err(msg: object) -> tuple[int, dict]:
+    """`sendError` (`index.js:260-262`): HTTP 200, ok:false."""
+    return 200, {"ok": False, "error": str(msg)}
 
 
 class GatewayServer:
@@ -113,10 +203,16 @@ class GatewayServer:
         sf_dir: str,
         host: str = "127.0.0.1",
         port: int = 0,
+        foreigners: list[dict] | None = None,
     ):
         self.engine = Engine(spark, sf_dir)
         self.templates = reference_catalog(spark, sf_dir)
         self.spark = spark
+        self.sessions = SessionStore()
+        self.foreigners = {
+            f["name"]: f
+            for f in (DEFAULT_FOREIGNERS if foreigners is None else foreigners)
+        }
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -124,50 +220,105 @@ class GatewayServer:
                 pass
 
             def _send(self, code: int, payload) -> None:
-                body = json.dumps(payload, default=str).encode()
+                if isinstance(payload, bytes):  # /ffi raw relay
+                    body = payload
+                    ctype = "application/octet-stream"
+                else:
+                    body = json.dumps(payload, default=str).encode()
+                    ctype = "application/json"
                 self.send_response(code)
-                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
 
-            def do_GET(self) -> None:  # noqa: N802 (stdlib contract)
+            def _dispatch(self, method: str) -> None:
+                body = {}
+                clen = int(self.headers.get("Content-Length") or 0)
+                if clen:
+                    try:
+                        body = json.loads(self.rfile.read(clen) or b"{}")
+                    except json.JSONDecodeError:
+                        body = {}
                 try:
-                    code, payload = outer.route(self.path)
-                except Exception as exc:  # defensive 500, like index.js
-                    code, payload = 500, {"error": str(exc)}
+                    code, payload = outer.route(self.path, method=method, body=body)
+                except Exception as exc:  # defensive 500, like express
+                    code, payload = 500, {"ok": False, "error": str(exc)}
                 self._send(code, payload)
+
+            def do_GET(self) -> None:  # noqa: N802 (stdlib contract)
+                self._dispatch("GET")
+
+            def do_POST(self) -> None:  # noqa: N802
+                self._dispatch("POST")
+
+            def do_DELETE(self) -> None:  # noqa: N802
+                self._dispatch("DELETE")
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self._thread: threading.Thread | None = None
         self._run_lock = threading.Lock()
 
-    # ── routing (pure function of the path — unit-testable) ──────
-    def route(self, path: str) -> tuple[int, object]:
+    # ── gateKeeper (`index.js:196-219`) ──────────────────────────
+    def gate(self, token: str | None) -> Session:
+        """A token naming a SAVED session reuses it; anything else
+        gets a fresh, unsaved session — saving is /auth's explicit
+        act. Attached per request like the reference's `req.iq`."""
+        return self.sessions.resolve(token)
+
+    # ── routing (pure function of the request — unit-testable) ───
+    def route(
+        self, path: str, method: str = "GET", body: dict | None = None
+    ) -> tuple[int, object]:
+        body = body or {}
         url = urlparse(path)
         parts = [unquote(p) for p in url.path.split("/") if p]
         q = {k: v[-1] for k, v in parse_qs(url.query).items()}
+        # gateKeeper: every request carries a session (req.iq)
+        req_session = self.gate(q.get("token") or body.get("token"))
 
         if not parts:
             return 200, self._describe_root()
         try:
-            if parts[0] == "q" and len(parts) >= 3:
-                return self._named_query(parts[1], parts[2], parts[3:], q)
-            if parts[0] == "dt" and len(parts) == 3:
-                return self._data_type(parts[1], parts[2])
-            if parts[0] == "db" and len(parts) == 4 and parts[2] == "rel":
-                return self._relation_list(parts[1], parts[3], q)
-            if parts[0] == "run" and len(parts) == 2:
-                return self._run_registered(parts[1], q)
+            if method == "GET":
+                if parts[0] == "q" and len(parts) >= 3:
+                    return self._named_query(f"{parts[1]}.{parts[2]}", parts[3:], q)
+                if parts[0] == "query" and len(parts) >= 2:
+                    # legacy alias (index.js:323-324): bare name,
+                    # resolved across db namespaces
+                    return self._named_query(parts[1], parts[2:], q)
+                if parts[0] == "dt" and len(parts) == 3:
+                    return self._data_type(parts[1], parts[2])
+                if parts[0] == "db" and len(parts) >= 4 and parts[2] == "rel":
+                    if len(parts) == 4:
+                        return self._relation_list(parts[1], parts[3], q)
+                    if len(parts) == 5:
+                        return self._get_record(parts[1], parts[3], parts[4])
+                    if len(parts) == 6:
+                        return self._sub_record_list(
+                            parts[1], parts[3], parts[4], parts[5]
+                        )
+                if parts[0] == "ffi" and len(parts) >= 2:
+                    return self._ffi_proxy(parts[1], parts[2:], q)
+                if parts[0] == "run" and len(parts) == 2:
+                    return self._run_registered(parts[1], q)
+            elif method == "POST":
+                if parts[0] == "auth" and len(parts) == 1:
+                    return self._authenticate(body, req_session)
+                if parts[0] == "db" and len(parts) in (4, 5) and parts[2] == "rel":
+                    # addRecord / updateRecord (index.js:425-429,587-589)
+                    return _err("NIY")
+            elif method == "DELETE":
+                if parts[0] == "db" and len(parts) == 5 and parts[2] == "rel":
+                    # deleteRecord (index.js:591-593)
+                    return _err("NIY")
         except AmbiguousTemplateError as exc:
-            # must precede KeyError — AmbiguousTemplateError IS a
-            # KeyError subclass, and ambiguity is a 400, not a 404
-            return 400, {"error": str(exc)}
+            return _err(exc)
         except KeyError as exc:
-            return 404, {"error": f"not found: {exc}"}
+            return _err(f"not found: {exc}")
         except (MissingParameterError, ValueError) as exc:
-            return 400, {"error": str(exc)}
-        return 404, {"error": f"no route for {url.path}"}
+            return _err(exc)
+        return 404, {"ok": False, "error": f"no route for {method} {url.path}"}
 
     def _describe_root(self) -> dict:
         by_db: dict[str, list[str]] = {}
@@ -177,18 +328,24 @@ class GatewayServer:
         return {
             "routes": [
                 "/q/<db>/<qname>[/p1[/p2...]]",
+                "/query/<qname>[/p1[/p2...]]",
                 "/dt/<db>/<qname>",
                 "/db/<db>/rel/<relation>?page=&perpage=&sortby=",
+                "/db/<db>/rel/<relation>/<id>",
+                "/db/<db>/rel/<relation>/<id>/<subrelation>",
+                "/ffi/<service>/<path...>",
+                "/auth (POST)",
                 "/run/<qname>?limit=",
             ],
             "databases": by_db,
+            "services": sorted(self.foreigners),
             "registered_queries": len(self.engine.names()),
         }
 
     def _named_query(
-        self, db: str, qname: str, params: list[str], q: dict
+        self, name: str, params: list[str], q: dict
     ) -> tuple[int, object]:
-        tpl = self.templates.get(f"{db}.{qname}")  # KeyError → 404
+        tpl = self.templates.get(name)  # KeyError → not-found envelope
         named = {
             k: v
             for k, v in q.items()
@@ -197,28 +354,19 @@ class GatewayServer:
         limit = int(q["limit"]) if "limit" in q else None
         try:
             df = self.templates.run(self.spark, tpl.name, *params, **named)
-            return 200, _rows_json(df, limit)
+            return _ok({"results": _rows_json(df, limit)})
         except Exception as exc:
             # a param that cannot cast to the column type (ANSI mode
             # rejects '1 OR 1=1' meeting a BIGINT) is the reference's
-            # 400-invalid-parameter case (examiner.js:70-80), not a
-            # server error — and proof the value never became SQL.
-            # Only INPUT-shaped Spark errors map to 400; an
-            # AnalysisException for a vanished fixture path stays a
-            # 500 (operational fault, not the client's parameter)
+            # invalid-parameter case (examiner.js:70-80) — proof the
+            # value never became SQL. Only INPUT-shaped Spark errors
+            # map to the error envelope; an AnalysisException for a
+            # vanished fixture path stays a 500 (operational fault)
             msg = str(exc)
-            input_shaped = any(
-                k in msg
-                for k in (
-                    "CAST_INVALID_INPUT",
-                    "ARITHMETIC_OVERFLOW",
-                    "CANNOT_PARSE",
-                    "NUMBER_FORMAT",
-                    "INVALID_PARAMETER",
-                )
-            )
-            if type(exc).__module__.startswith("pyspark") and input_shaped:
-                return 400, {"error": f"invalid parameter: {exc.__class__.__name__}"}
+            if type(exc).__module__.startswith("pyspark") and any(
+                k in msg for k in _INPUT_SHAPED
+            ):
+                return _err(f"invalid parameter: {exc.__class__.__name__}")
             raise
 
     def _data_type(self, db: str, qname: str) -> tuple[int, object]:
@@ -229,26 +377,127 @@ class GatewayServer:
                 {"name": f.name, "type": f.dataType.simpleString()}
                 for f in schema.fields
             ]
-            return 200, {"query": tpl.name, "fields": fields, "inferred": False}
-        return 200, {
-            "query": tpl.name,
-            "fields": [{"name": n, "type": None} for n in parse_select_fields(tpl.sql)],
-            "inferred": True,
-        }
+            return _ok({"query": tpl.name, "fields": fields, "inferred": False})
+        return _ok(
+            {
+                "query": tpl.name,
+                "fields": [
+                    {"name": n, "type": None} for n in parse_select_fields(tpl.sql)
+                ],
+                "inferred": True,
+            }
+        )
+
+    def _check_db(self, db: str) -> None:
+        known = {n.partition(".")[0] for n in self.templates.names() if "." in n}
+        if db not in known:
+            raise KeyError(f"unknown database {db!r}")
 
     def _relation_list(
         self, db: str, relation: str, q: dict
     ) -> tuple[int, object]:
-        known = {n.partition(".")[0] for n in self.templates.names() if "." in n}
-        if db not in known:
-            raise KeyError(f"unknown database {db!r}")
+        self._check_db(db)
         df = self.engine.list_records(
             relation,
             page=int(q.get("page", 1)),
             perpage=int(q.get("perpage", 20)),
             sortby=q.get("sortby"),
         )
-        return 200, _rows_json(df)
+        return _ok({"results": _rows_json(df)})
+
+    def _get_record(self, db: str, relation: str, rec_id: str) -> tuple[int, object]:
+        """`getRecord` (`index.js:496-533`): one row by pk, as
+        `{ok:true, row}` — row is null when nothing matches (fetchRow
+        semantics)."""
+        self._check_db(db)
+        ok, res = validate_query_vars({"id": rec_id})
+        if not ok:
+            return _err(res)
+        try:
+            rows = _rows_json(self.engine.get_record(relation, rec_id), 1)
+        except Exception as exc:
+            if any(k in str(exc) for k in _INPUT_SHAPED):
+                return _err(f"invalid id: {rec_id!r}")
+            raise
+        return _ok({"row": rows[0] if rows else None})
+
+    def _sub_record_list(
+        self, db: str, relation: str, rec_id: str, subrel: str
+    ) -> tuple[int, object]:
+        """`getSubRecordList` (`index.js:536-585`): children of a
+        record via the FK convention (`select * from subrel where
+        {relation}_id = ?` in the reference; the engine's declared
+        FK_CONVENTIONS here, since this schema prefixes columns)."""
+        self._check_db(db)
+        ok, res = validate_query_vars({"id": rec_id})
+        if not ok:
+            return _err(res)
+        try:
+            rows = _rows_json(self.engine.sub_records(relation, rec_id, subrel))
+        except Exception as exc:
+            if any(k in str(exc) for k in _INPUT_SHAPED):
+                return _err(f"invalid id: {rec_id!r}")
+            raise
+        return _ok({"results": rows})
+
+    def _authenticate(self, body: dict, req_session: Session) -> tuple[int, object]:
+        """`authenticate` (`index.js:595-639`): mint a token if none
+        sent; with a service, delegate to the registered auth plugin,
+        save the session, stash the auth info under the service key."""
+        token = body.get("token") or str(uuid.uuid4())
+        service = body.get("service")
+        auth = body.get("auth")
+        if service:
+            plugin = AUTH_PLUGINS.get(service)
+            if plugin is None:
+                return _err(f'Service "{service}" not found.')
+            if not auth:
+                return _err(f'Service auth info for "{service}" not sent.')
+            rval = plugin(auth)
+            if rval.get("ok"):
+                # index.js:617-624: reuse the saved session for this
+                # token, else create-and-save (resolve hands back a
+                # fresh Session(token) when none is saved)
+                s = self.sessions.resolve(token)
+                self.sessions.save(s)
+                s.put(service, rval.get("info"))
+                return 200, {"ok": True, "token": token}
+            return 200, rval  # pass the plugin's error along
+        return 200, {"ok": True, "token": token}
+
+    def _ffi_proxy(
+        self, service: str, segs: list[str], q: dict
+    ) -> tuple[int, object]:
+        """`makeRESTroute` (`index.js:327-366`): match the local path
+        pattern, validate $vars (examiner rules), expand the remote
+        handlebars template, relay the upstream response."""
+        foreigner = self.foreigners.get(service)
+        if foreigner is None:
+            raise KeyError(f"unknown service {service!r}")
+        for r in foreigner.get("routes", []):
+            pat = [p for p in r["localpath"].split("/") if p]
+            if len(pat) != len(segs):
+                continue
+            qvals: dict[str, str] = {}
+            lits_match = True
+            for p_seg, seg in zip(pat, segs):
+                m = _QVAR_RE.fullmatch(p_seg)
+                if m:
+                    qvals[m.group(1)] = seg
+                elif p_seg != seg:
+                    lits_match = False
+                    break
+            if not lits_match:
+                continue
+            ok, res = validate_query_vars(qvals)
+            if not ok:
+                return _err(res)
+            remote = _HB_RE.sub(lambda m: res[m.group(1)], r["path"])
+            with urllib.request.urlopen(
+                foreigner["baseURI"] + remote, timeout=10
+            ) as resp:
+                return resp.status, resp.read()
+        raise KeyError(f"no {service} route matches /{'/'.join(segs)}")
 
     def _run_registered(self, qname: str, q: dict) -> tuple[int, object]:
         if qname not in self.engine.names():
@@ -269,10 +518,12 @@ class GatewayServer:
                 if "required positional argument" in str(exc):
                     # invoked without a required parameter — client
                     # input problem; other TypeErrors stay 500s
-                    return 400, {"error": "missing required query parameter"}
+                    return _err("missing required query parameter")
                 raise
             try:
-                return 200, _rows_json(df, int(q.get("limit", DEFAULT_RUN_LIMIT)))
+                return _ok(
+                    {"results": _rows_json(df, int(q.get("limit", DEFAULT_RUN_LIMIT)))}
+                )
             finally:
                 self.engine.release_cache()
 
@@ -290,7 +541,11 @@ class GatewayServer:
         return self
 
     def stop(self) -> None:
-        self.engine.release_cache()
+        # take _run_lock first: releasing pinned caches under a /run
+        # request still using its pinned range-partitioned frame
+        # would silently corrupt that request's results (ADVICE r4)
+        with self._run_lock:
+            self.engine.release_cache()
         self.httpd.shutdown()
         self.httpd.server_close()
         if self._thread:

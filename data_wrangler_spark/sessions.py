@@ -42,9 +42,16 @@ class Session:
         return self._token
 
     def get(self, key: str) -> Any:
-        # session.js: `vars[key] || null` — falsy values collapse
+        # session.js: `vars[key] || null` — JS-falsy values collapse.
+        # JS falsiness, not Python's: 0, '', false, null, NaN are
+        # falsy, but empty containers [] / {} are TRUTHY in JS and
+        # must come back intact (a bare `not val` would eat them).
         val = self._vars.get(key, _MISSING)
-        if val is _MISSING or not val:
+        if val is _MISSING or val is None or val is False:
+            return None
+        if isinstance(val, (int, float)) and (val != val or val == 0):
+            return None  # 0, 0.0, NaN
+        if isinstance(val, str) and val == "":
             return None
         return val
 

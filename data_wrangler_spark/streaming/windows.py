@@ -211,7 +211,18 @@ def _ts_bounds(spark: SparkSession, sf_dir: str, ev: DataFrame):
     second full scan of the stream input per query (VERDICT r3 #7).
     Timestamp column stats are exact (no truncation, unlike strings),
     and footers stay metadata-sized at any SF. Falls back to the
-    aggregation scan when the file layout or stats are unavailable."""
+    aggregation scan when the file layout or stats are unavailable.
+
+    load_table (catalog.py) supports a legacy fixture layout where ts
+    is physically INT64 epoch-nanos, converted to timestamp on read.
+    In that layout the footer stats are plain ints; returning them
+    raw would make the caller's ``ev.filter(ts < cut)`` compare a
+    timestamp column to a numeric — so int stats are converted to
+    datetime here, and anything else non-datetime raises into the
+    aggregation fallback (which reads through load_table's converted
+    ts and is always type-correct)."""
+    import datetime as _dt
+
     import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, "events.parquet")
@@ -233,7 +244,19 @@ def _ts_bounds(spark: SparkSession, sf_dir: str, ev: DataFrame):
                 maxs.append(st.max)
         if not mins:
             raise ValueError("no row groups")
-        return min(mins), max(maxs)
+        lo, hi = min(mins), max(maxs)
+        if isinstance(lo, int) and isinstance(hi, int):
+            # legacy int64-nanos physical layout: convert to the
+            # timestamp type ev's ts column carries after load_table
+            lo = _dt.datetime.fromtimestamp(lo // 10**9, _dt.timezone.utc).replace(
+                tzinfo=None
+            ) + _dt.timedelta(microseconds=(lo % 10**9) // 1000)
+            hi = _dt.datetime.fromtimestamp(hi // 10**9, _dt.timezone.utc).replace(
+                tzinfo=None
+            ) + _dt.timedelta(microseconds=(hi % 10**9) // 1000)
+        if not isinstance(lo, _dt.datetime) or not isinstance(hi, _dt.datetime):
+            raise ValueError(f"non-datetime ts stats: {type(lo).__name__}")
+        return lo, hi
     except Exception:
         lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
         return lo, hi

@@ -221,3 +221,40 @@ def test_delete_rows_removes_only_victims(spark, sf_dir):
     assert {r.doc_id for r in after.select("doc_id").collect()} == survivors
     buckets = {e.name for e in os.scandir(src) if e.name.startswith("bucket=")}
     assert len(buckets) == 8
+
+
+def test_delete_rows_recovers_from_crash_window(spark, sf_dir):
+    """ADVICE r4 regression: a crash between the two os.replace calls
+    of the copy-on-write commit leaves `old_bucket_X` present and
+    `bucket=X` missing; a rerun must restore the shard instead of
+    silently reading the table minus one shard. Also: a leftover old
+    copy AFTER a completed swap rolls forward (gets dropped), and
+    stale staging dirs are cleared."""
+    import os
+    import shutil
+
+    from data_wrangler_spark.operators.io_formats import (
+        _IO_SCRATCH,
+        _recover_delete_commit,
+        _sf_tag,
+    )
+
+    REGISTRY["q_delete_rows"].run(spark, sf_dir).collect()
+    base = f"{_IO_SCRATCH}/{_sf_tag(sf_dir, 'documents')}/delete_cow"
+    src = f"{base}/table"
+    n_before = spark.read.parquet(src).count()
+
+    # simulate crash mid-swap: shard moved aside, replacement missing
+    shard, old = f"{src}/bucket=3", f"{base}/old_bucket_3"
+    os.replace(shard, old)
+    os.makedirs(f"{base}/staging_bucket_3", exist_ok=True)
+    _recover_delete_commit(base, src)
+    assert os.path.isdir(shard) and not os.path.exists(old)
+    assert not os.path.exists(f"{base}/staging_bucket_3")
+    assert spark.read.parquet(src).count() == n_before
+
+    # simulate crash after swap, before cleanup: both copies present
+    shutil.copytree(shard, old)
+    _recover_delete_commit(base, src)
+    assert os.path.isdir(shard) and not os.path.exists(old)
+    assert spark.read.parquet(src).count() == n_before

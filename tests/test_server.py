@@ -1,13 +1,24 @@
 """TRUE-HTTP tests for the gateway serving layer: a live threaded
-server, urllib clients, the reference's route shapes end to end."""
+server, urllib clients, the reference's route shapes end to end.
+
+Envelope contract under test (`/root/reference/index.js:253-262`):
+success = `{"ok": true, "results": [...]}` (point reads: `"row"`),
+handled errors = HTTP **200** `{"ok": false, "error": msg}` — the
+reference's express `res.send` never sets an error status for them.
+"""
 
 import json
+import threading
 import urllib.error
 import urllib.request
 
 import pytest
 
-from data_wrangler_spark.server import GatewayServer, parse_select_fields
+from data_wrangler_spark.server import (
+    GatewayServer,
+    parse_select_fields,
+    validate_query_vars,
+)
 
 
 @pytest.fixture(scope="module")
@@ -17,17 +28,20 @@ def server(spark, sf_dir):
     srv.stop()
 
 
-def get(srv, path):
-    with urllib.request.urlopen(srv.base_url + path) as resp:
-        return resp.status, json.loads(resp.read())
-
-
-def get_err(srv, path):
+def req(srv, path, method="GET", body=None):
+    data = json.dumps(body).encode() if body is not None else None
+    r = urllib.request.Request(srv.base_url + path, data=data, method=method)
+    if data is not None:
+        r.add_header("Content-Type", "application/json")
     try:
-        with urllib.request.urlopen(srv.base_url + path) as resp:
+        with urllib.request.urlopen(r) as resp:
             return resp.status, json.loads(resp.read())
     except urllib.error.HTTPError as e:
         return e.code, json.loads(e.read())
+
+
+def get(srv, path):
+    return req(srv, path)
 
 
 def test_root_self_description(server):
@@ -44,23 +58,37 @@ def test_named_query_with_positional_param(server, spark, sf_dir):
     key = load_table(spark, sf_dir, "lineitem").agg(
         {"l_orderkey": "min"}
     ).collect()[0][0]
-    code, rows = get(server, f"/q/test/lineItems/{key}")
-    assert code == 200 and rows
-    assert all(r["l_orderkey"] == key for r in rows)
+    code, body = get(server, f"/q/test/lineItems/{key}")
+    assert code == 200 and body["ok"] is True
+    rows = body["results"]
+    assert rows and all(r["l_orderkey"] == key for r in rows)
     expect = load_table(spark, sf_dir, "lineitem").filter(
         f"l_orderkey = {key}"
     ).count()
     assert len(rows) == expect
 
 
+def test_legacy_query_alias_matches_q_route(server, spark, sf_dir):
+    """`/query/:qname` (index.js:323-324) — same handler, bare name."""
+    from data_wrangler_spark.catalog import load_table
+
+    key = load_table(spark, sf_dir, "lineitem").agg(
+        {"l_orderkey": "min"}
+    ).collect()[0][0]
+    code, legacy = get(server, f"/query/lineItems/{key}")
+    code2, qualified = get(server, f"/q/test/lineItems/{key}")
+    assert code == code2 == 200
+    assert legacy["ok"] and legacy["results"] == qualified["results"]
+
+
 def test_named_query_limit_param(server):
-    code, rows = get(server, "/q/salesforce/accounts?limit=3")
-    assert code == 200 and len(rows) == 3
+    code, body = get(server, "/q/salesforce/accounts?limit=3")
+    assert code == 200 and body["ok"] and len(body["results"]) == 3
 
 
 def test_datatype_exact_when_analyzable(server):
     code, body = get(server, "/dt/salesforce/accounts")
-    assert code == 200 and body["inferred"] is False
+    assert code == 200 and body["ok"] and body["inferred"] is False
     names = {f["name"] for f in body["fields"]}
     assert "id" in names or len(names) >= 2
     assert all(f["type"] for f in body["fields"])
@@ -74,39 +102,226 @@ def test_datatype_regex_fallback_for_parameterized(server):
 
 
 def test_relation_list_paged_sorted(server):
-    code, rows = get(server, "/db/test/rel/customer?page=1&perpage=5&sortby=c_name")
-    assert code == 200 and len(rows) == 5
-    names = [r["c_name"] for r in rows]
-    assert names == sorted(names)
-    code2, rows2 = get(server, "/db/test/rel/customer?page=2&perpage=5&sortby=c_name")
-    assert code2 == 200 and rows2[0]["c_name"] >= names[-1]
+    code, body = get(server, "/db/test/rel/customer?page=1&perpage=5&sortby=c_name")
+    assert code == 200 and body["ok"]
+    names = [r["c_name"] for r in body["results"]]
+    assert len(names) == 5 and names == sorted(names)
+    _, body2 = get(server, "/db/test/rel/customer?page=2&perpage=5&sortby=c_name")
+    assert body2["results"][0]["c_name"] >= names[-1]
+
+
+def test_get_record_by_pk(server, spark, sf_dir):
+    """getRecord (index.js:496-533): {ok:true, row} — null on miss."""
+    from data_wrangler_spark.catalog import load_table
+
+    key = load_table(spark, sf_dir, "customer").agg(
+        {"c_custkey": "min"}
+    ).collect()[0][0]
+    code, body = get(server, f"/db/test/rel/customer/{key}")
+    assert code == 200 and body["ok"]
+    assert body["row"]["c_custkey"] == key
+    # miss → ok:true with a null row (fetchRow semantics)
+    code, body = get(server, "/db/test/rel/customer/999999999")
+    assert code == 200 and body["ok"] and body["row"] is None
+    # non-numeric id → invalid-parameter envelope, HTTP 200
+    code, body = get(server, "/db/test/rel/customer/notanid")
+    assert code == 200 and body["ok"] is False
+
+
+def test_sub_record_list_by_fk(server, spark, sf_dir):
+    """getSubRecordList (index.js:536-585): children via FK."""
+    from data_wrangler_spark.catalog import load_table
+
+    key = load_table(spark, sf_dir, "orders").agg(
+        {"o_orderkey": "min"}
+    ).collect()[0][0]
+    code, body = get(server, f"/db/test/rel/orders/{key}/lineitem")
+    assert code == 200 and body["ok"]
+    assert body["results"] and all(
+        r["l_orderkey"] == key for r in body["results"]
+    )
+    # undeclared FK pair → error envelope, not a guessed column
+    code, body = get(server, f"/db/test/rel/customer/{key}/lineitem")
+    assert code == 200 and body["ok"] is False
+
+
+def test_crud_stubs_answer_niy(server):
+    """addRecord/updateRecord/deleteRecord (index.js:425-429,587-593)
+    all answer the reference's literal NIY error envelope."""
+    for method, path in [
+        ("POST", "/db/test/rel/customer"),
+        ("POST", "/db/test/rel/customer/1"),
+        ("DELETE", "/db/test/rel/customer/1"),
+    ]:
+        code, body = req(server, path, method=method, body={})
+        assert code == 200 and body == {"ok": False, "error": "NIY"}
+
+
+def test_auth_mints_token_and_saves_service_session(server):
+    """authenticate (index.js:595-639): bare call mints a token; a
+    service call runs the plugin, saves the session, stashes info."""
+    from data_wrangler_spark.plugins import AUTH_PLUGINS, register_auth_plugin
+
+    code, body = req(server, "/auth", method="POST", body={})
+    assert code == 200 and body["ok"] and body["token"]
+
+    # bare /auth does NOT save a session (index.js:638 — only the
+    # service path writes to sessions)
+    assert len(server.sessions) == 0
+
+    register_auth_plugin(
+        "fakesvc",
+        lambda info: {"ok": True, "info": {"user": info["username"]}}
+        if info.get("password") == "pw"
+        else {"ok": False, "error": "bad creds"},
+    )
+    try:
+        code, body = req(
+            server,
+            "/auth",
+            method="POST",
+            body={
+                "token": "tok-1",
+                "service": "fakesvc",
+                "auth": {"username": "u", "password": "pw"},
+            },
+        )
+        assert code == 200 and body == {"ok": True, "token": "tok-1"}
+        s = server.sessions.resolve("tok-1")
+        assert s.get("fakesvc") == {"user": "u"}
+        # gateKeeper reuses the saved session on later requests
+        assert server.gate("tok-1") is s
+        # wrong creds → the plugin's error rval passes through
+        code, body = req(
+            server,
+            "/auth",
+            method="POST",
+            body={
+                "service": "fakesvc",
+                "auth": {"username": "u", "password": "nope"},
+            },
+        )
+        assert code == 200 and body == {"ok": False, "error": "bad creds"}
+        # unknown service / missing auth info — reference wordings
+        code, body = req(
+            server, "/auth", method="POST", body={"service": "nosuch"}
+        )
+        assert body["ok"] is False and "not found" in body["error"]
+        code, body = req(
+            server, "/auth", method="POST", body={"service": "fakesvc"}
+        )
+        assert body["ok"] is False and "auth info" in body["error"]
+    finally:
+        AUTH_PLUGINS.pop("fakesvc", None)
+        server.sessions.drop("tok-1")
+
+
+def test_ffi_proxy_relays_upstream(server, spark, sf_dir):
+    """makeRESTroute (index.js:327-366): $var localpath → validated
+    vars → handlebars remote path → piped upstream response."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    seen = []
+
+    class Upstream(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            seen.append(self.path)
+            body = json.dumps({"upstream": self.path}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    up = ThreadingHTTPServer(("127.0.0.1", 0), Upstream)
+    t = threading.Thread(target=up.serve_forever, daemon=True)
+    t.start()
+    srv = GatewayServer(
+        spark,
+        sf_dir,
+        foreigners=[
+            {
+                "name": "WorldBank",
+                "baseURI": f"http://127.0.0.1:{up.server_address[1]}",
+                "routes": [
+                    {
+                        "method": "get",
+                        "localpath": "/countrydata/$country/$fromYear/$toYear",
+                        "path": "/{{ country }}/indicators/NY.GDP.PCAP.CD"
+                        "?format=json&date={{ fromYear }}:{{ toYear }}",
+                    }
+                ],
+            }
+        ],
+    ).start()
+    try:
+        with urllib.request.urlopen(
+            srv.base_url + "/ffi/WorldBank/countrydata/usa/2000/2010"
+        ) as resp:
+            assert resp.status == 200
+            assert json.loads(resp.read())["upstream"] == (
+                "/usa/indicators/NY.GDP.PCAP.CD?format=json&date=2000:2010"
+            )
+        assert seen == ["/usa/indicators/NY.GDP.PCAP.CD?format=json&date=2000:2010"]
+        # injection-shaped var rejected BEFORE any upstream contact
+        code, body = get(srv, "/ffi/WorldBank/countrydata/usa--x/2000/2010")
+        assert code == 200 and body["ok"] is False
+        assert len(seen) == 1
+        code, body = get(srv, "/ffi/NoSuchSvc/anything")
+        assert code == 200 and body["ok"] is False
+    finally:
+        srv.stop()
+        up.shutdown()
+        up.server_close()
 
 
 def test_run_registered_query_capped(server):
-    code, rows = get(server, "/run/q_inner_join?limit=7")
-    assert code == 200 and len(rows) == 7
+    code, body = get(server, "/run/q_inner_join?limit=7")
+    assert code == 200 and body["ok"] and len(body["results"]) == 7
 
 
-def test_unknown_query_404(server):
-    code, body = get_err(server, "/q/test/noSuchQuery/1")
-    assert code == 404 and "error" in body
+def test_unknown_query_error_envelope(server):
+    """Reference parity: handled lookup failures are HTTP 200
+    {ok:false} (sendError), not HTTP 404."""
+    code, body = get(server, "/q/test/noSuchQuery/1")
+    assert code == 200 and body["ok"] is False and "error" in body
 
 
 def test_unknown_relation_rejected(server):
-    code, body = get_err(server, "/db/test/rel/not_a_table")
-    assert code in (400, 404) and "error" in body
+    code, body = get(server, "/db/test/rel/not_a_table")
+    assert code == 200 and body["ok"] is False and "error" in body
+
+
+def test_unroutable_path_is_http_404(server):
+    code, body = req(server, "/nope/nothing")
+    assert code == 404 and body["ok"] is False
 
 
 def test_injection_via_positional_param_is_inert(server):
     """The reference regex-blocks comment/quote injection
     (examiner.js:78-80); here binding is value-only so hostile input
     is just a non-matching value, never SQL."""
-    code, body = get_err(server, "/q/test/lineItems/1%20OR%201=1")
-    # value-only binding: hostile input is a malformed VALUE (400),
-    # never SQL — and a plain non-matching value yields empty rows
-    assert code == 400 and "error" in body
-    code2, rows = get(server, "/q/test/lineItems/999999999")
-    assert code2 == 200 and rows == []
+    code, body = get(server, "/q/test/lineItems/1%20OR%201=1")
+    # value-only binding: hostile input is a malformed VALUE → the
+    # invalid-parameter envelope — and never SQL
+    assert code == 200 and body["ok"] is False and "error" in body
+    code2, body2 = get(server, "/q/test/lineItems/999999999")
+    assert code2 == 200 and body2["ok"] and body2["results"] == []
+
+
+def test_validate_query_vars_reference_rules():
+    ok, res = validate_query_vars({"a": "usa", "b": "2010"})
+    assert ok and res == {"a": "usa", "b": "2010"}
+    ok, msg = validate_query_vars({"a": None})
+    assert not ok and "required" in msg
+    ok, msg = validate_query_vars({"a": "x--y"})
+    assert not ok and "SQL comments" in msg
+    ok, msg = validate_query_vars({"a": "semi;colon"})
+    assert not ok and "alphanumeric" in msg
+    ok, res = validate_query_vars({"a": "123e4567-e89b-12d3-a456-426614174000"})
+    assert ok
 
 
 def test_parse_select_fields_matches_reference_inference():
@@ -126,9 +341,24 @@ def test_concurrent_requests(server):
              "/q/salesforce/accounts?limit=2", "/dt/salesforce/accounts"] * 2
     with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
         results = list(ex.map(lambda p: get(server, p), paths))
-    assert all(code == 200 for code, _ in results)
+    assert all(code == 200 and body["ok"] for code, body in results)
 
 
 def test_relation_route_validates_db_segment(server):
-    code, body = get_err(server, "/db/nosuchdb/rel/customer")
-    assert code == 404 and "error" in body
+    code, body = get(server, "/db/nosuchdb/rel/customer")
+    assert code == 200 and body["ok"] is False and "error" in body
+
+
+def test_stop_waits_for_run_lock(spark, sf_dir):
+    """ADVICE r4 regression: stop() must not release pinned caches
+    while a /run request holds _run_lock (it would unpersist frames
+    under the running query)."""
+    srv = GatewayServer(spark, sf_dir).start()
+    srv._run_lock.acquire()
+    t = threading.Thread(target=srv.stop, daemon=True)
+    t.start()
+    t.join(timeout=0.4)
+    assert t.is_alive(), "stop() proceeded without the run lock"
+    srv._run_lock.release()
+    t.join(timeout=10)
+    assert not t.is_alive()

@@ -20,6 +20,21 @@ def test_get_collapses_falsy_but_has_sees_presence():
     assert sorted(s.keys()) == ["empty", "none", "real", "zero"]
 
 
+def test_get_keeps_empty_containers_js_truthy():
+    """ADVICE r4 regression: JS `[] || null` and `{} || null` keep the
+    container (objects are truthy in JS) — Python's `not val` must
+    not eat them. NaN and False, JS-falsy, still collapse."""
+    s = Session("tok")
+    s.put("list", []).put("dict", {}).put("false", False).put("nan", float("nan"))
+    assert s.get("list") == []
+    assert s.get("dict") == {}
+    assert s.get("false") is None
+    assert s.get("nan") is None
+    # 0.0 is JS-falsy too (0 == 0.0 in JS — one number type)
+    s.put("fzero", 0.0)
+    assert s.get("fzero") is None
+
+
 def test_put_delete_chain_and_id():
     s = Session("t1")
     assert s.put("a", 1).delete("a").put("b", 2) is s
