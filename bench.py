@@ -68,6 +68,13 @@ def main() -> None:
     # both engines get the identical treatment.
     from data_wrangler_spark.functions.distributed import release_pinned
 
+    # MEDIAN of 3 measured runs per query (after the warmup):
+    # single-run deltas at this scale are dominated by JIT/GC/THREAD
+    # scheduling noise — r4's q_triangles "+48% regression" was pure
+    # run-to-run variance on an untouched plan. The median of three
+    # makes round-over-round deltas signal; the DuckDB baseline
+    # (tools/bench_duckdb.py) applies the identical treatment.
+    N_MEASURED = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in names:
         try:
@@ -76,12 +83,15 @@ def main() -> None:
             ).save()
         except Exception:
             pass
-        t0 = time.perf_counter()
-        df = REGISTRY[name].run(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        # release AFTER the measured run: the warmup's pinned frames
-        # stay visible to it (CacheManager matches identical plans —
+        runs = []
+        for _ in range(N_MEASURED):
+            t0 = time.perf_counter()
+            df = REGISTRY[name].run(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[len(runs) // 2], 4)
+        # release AFTER the measured runs: the warmup's pinned frames
+        # stay visible to them (CacheManager matches identical plans —
         # the steady-state regime the warm-run methodology measures),
         # while per-query release still caps accumulation at one
         # query's worth of cached partitions.

@@ -55,9 +55,12 @@ def main() -> None:
         if not spec.oracle:
             continue
         con.execute(spec.oracle).fetchall()  # warm (parquet metadata)
-        t0 = time.time()
-        rows = con.execute(spec.oracle).fetchall()
-        duck[name] = round(time.time() - t0, 4)
+        runs = []
+        for _ in range(3):  # median-of-3, matching bench.py
+            t0 = time.time()
+            rows = con.execute(spec.oracle).fetchall()
+            runs.append(time.time() - t0)
+        duck[name] = round(sorted(runs)[1], 4)
         print(f"duckdb {name}: {duck[name]}s ({len(rows)} rows)", file=sys.stderr)
 
     out: dict = {
@@ -74,9 +77,12 @@ def main() -> None:
         for name in duck:
             fn = REGISTRY[name]
             fn.run(spark, sf_dir).collect()  # warm (JIT + file listing)
-            t0 = time.time()
-            fn.run(spark, sf_dir).collect()
-            sp[name] = round(time.time() - t0, 4)
+            runs = []
+            for _ in range(3):  # median-of-3, matching bench.py
+                t0 = time.time()
+                fn.run(spark, sf_dir).collect()
+                runs.append(time.time() - t0)
+            sp[name] = round(sorted(runs)[1], 4)
             print(f"spark  {name}: {sp[name]}s", file=sys.stderr)
         out["spark_total_sec"] = round(sum(sp.values()), 4)
         out["spark"] = sp

@@ -65,8 +65,16 @@ def generate(spark, factor: int) -> str:
     ev, d, e = load("events"), load("documents"), load("embeddings")
     SO, SC, SS, SP = (stride(o, "o_orderkey"), stride(c, "c_custkey"),
                       stride(su, "s_suppkey"), stride(p, "p_partkey"))
-    SE, SU = stride(ev, "event_id"), stride(ev, "user_id")
-    SD, SV = stride(d, "doc_id"), stride(e, "vec_id")
+    SE = stride(ev, "event_id")
+    # user_id / doc_id / vec_id are ONE key domain (events.user_id →
+    # documents.doc_id → embeddings.vec_id; relational_extras.py:688,
+    # multimodal.py:32): a per-column stride would shift the copies
+    # differently whenever their maxes straddle a power of ten,
+    # silently emptying cross-table joins at higher factors — so the
+    # whole domain shares the widest stride (ADVICE r4).
+    SU = SD = SV = max(
+        stride(ev, "user_id"), stride(d, "doc_id"), stride(e, "vec_id")
+    )
 
     def rep(df, exprs):
         parts = []
@@ -114,6 +122,22 @@ def generate(spark, factor: int) -> str:
              ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
     rep_auto(e, {"vec_id": SV}).write.mode("overwrite").parquet(
         f"{out}/embeddings.parquet")
+
+    # the shared-stride contract, asserted: cross-table joins on the
+    # user_id/doc_id/vec_id domain must survive replication in EVERY
+    # copy, not just copy 0
+    ev2 = spark.read.parquet(f"{out}/events.parquet")
+    d2 = spark.read.parquet(f"{out}/documents.parquet")
+    e2 = spark.read.parquet(f"{out}/embeddings.parquet")
+    ud = ev2.join(d2, ev2.user_id == d2.doc_id).count()
+    dv = d2.join(e2, d2.doc_id == e2.vec_id).count()
+    base_dv = load("documents").join(
+        load("embeddings"), F.col("doc_id") == F.col("vec_id")
+    ).count()
+    assert ud > 0 and dv == factor * base_dv, (
+        f"cross-copy join broke: events⋈documents={ud}, "
+        f"documents⋈embeddings={dv} (want {factor}×{base_dv})"
+    )
 
     with open(f"{out}/_DONE", "w") as fh:
         fh.write(f"factor={factor} from {SRC}\n")
