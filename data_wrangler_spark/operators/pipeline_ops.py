@@ -35,7 +35,7 @@ from data_wrangler_spark.functions.text import (
     words,
 )
 from data_wrangler_spark.operators.dedup import _md5_long, _sql_md5_long
-from data_wrangler_spark.functions.distributed import pin
+from data_wrangler_spark.functions.distributed import pin, spread
 from data_wrangler_spark.registry import register
 
 SAMPLE_PCT = 10          # q_sample_hash keeps hash%100 < 10 → ~10%
@@ -482,9 +482,10 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_bloom_prejoin machinery); the containment fractions become
     upper bounds with a known FP rate while this exact formulation
     stays the auditable reference."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", words("text").alias("w")
-    )
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+        "doc_id",
+    ).select("doc_id", "source", words("text").alias("w"))
     sh = d.select(
         "doc_id",
         "source",
@@ -554,9 +555,10 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes a Bloom filter with the audit as exact reference), and
     the train stream left-semi probes it; one row per train doc comes
     back."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", words("text").alias("w")
-    )
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+        "doc_id",
+    ).select("doc_id", "source", words("text").alias("w"))
     sh = d.select(
         "doc_id",
         "source",
