@@ -212,3 +212,42 @@ def test_stream_rollup_merge_is_redelivery_idempotent(spark, sf_dir):
     b1 = int(versions[1][1:])
     below = [v for v in versions if int(v[1:]) < b1]
     assert below == [versions[0]]
+
+
+def test_ts_bounds_handles_legacy_int64_nanos_layout(spark, tmp_path):
+    """ADVICE r4 regression: the legacy fixture layout stores ts as
+    INT64 epoch-nanos; parquet footer stats are then plain ints, and
+    returning them raw would compare a numeric against ev's timestamp
+    ts. _ts_bounds must convert to the same wall-clock datetimes
+    load_table's timestamp_micros(ts div 1000) yields."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_wrangler_spark.streaming.windows import _ts_bounds
+
+    lo_ns = 1_600_000_000_123_456_789
+    hi_ns = 1_600_000_500_987_654_321
+    sf_dir = str(tmp_path)
+    pq.write_table(
+        pa.table({"ts": pa.array([lo_ns, hi_ns], type=pa.int64())}),
+        f"{sf_dir}/events.parquet",
+    )
+    lo, hi = _ts_bounds(spark, sf_dir, ev=None)  # ev unused on stats path
+    assert isinstance(lo, datetime.datetime) and isinstance(hi, datetime.datetime)
+    assert lo == datetime.datetime(2020, 9, 13, 12, 26, 40, 123456)
+    assert hi == datetime.datetime(2020, 9, 13, 12, 35, 0, 987654)
+    # timestamp-typed stats still come back as datetimes (current layout)
+    pq.write_table(
+        pa.table({"ts": pa.array(
+            [datetime.datetime(2021, 1, 1), datetime.datetime(2021, 6, 1)],
+            type=pa.timestamp("us"),
+        )}),
+        f"{sf_dir}/events.parquet",
+    )
+    lo2, hi2 = _ts_bounds(spark, sf_dir, ev=None)
+    assert (lo2, hi2) == (
+        datetime.datetime(2021, 1, 1),
+        datetime.datetime(2021, 6, 1),
+    )

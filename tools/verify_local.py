@@ -6,19 +6,27 @@ first, float-tolerance fallback reported separately). Use while
 iterating so driver-side CORRECTNESS_r{N}.json holds no surprises.
 
 Usage: python tools/verify_local.py [sf_dir] [query ...]
+       python tools/verify_local.py --json OUT.json [sf_dir ...]
+
+With ``--json``, runs the FULL registry at each given sf_dir (default
+sf0.001 + sf0.01) and writes one combined artifact — the per-round
+committed full-sweep record (VERDICT r4 #1: the driver samples only
+the 50 alphabetically-first queries, so the repo carries its own
+complete sweep; see README "Correctness artifacts").
 """
 
 from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 import time
 import traceback
 
 import duckdb
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -73,15 +81,12 @@ def approx_equal(a: list[tuple], b: list[tuple], rel=1e-9) -> bool:
     )
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-
-    from data_wrangler_spark.session import get_spark
+def sweep(spark, sf_dir: str, only: set[str]) -> tuple[dict, int, int, int]:
+    """Run the registry (or ``only``) at one sf_dir; returns
+    (per-query results, n_pass, n_fail, n_rows_only)."""
     from data_wrangler_spark.functions.distributed import release_pinned
     import __spark_entry__ as entry_mod
 
-    spark = get_spark("verify_local")
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     con = duck_con(sf_dir)
@@ -151,6 +156,45 @@ def main() -> int:
         print(f"{mark} {name}: {status} ({len(srows)} rows) [{time.time()-t0:.1f}s] {detail[:300]}")
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only, {len(results)} total")
+    return results, n_pass, n_fail, n_rows_only
+
+
+def main() -> int:
+    from data_wrangler_spark.session import get_spark
+
+    args = sys.argv[1:]
+    out_json = None
+    if "--json" in args:
+        i = args.index("--json")
+        out_json = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+
+    spark = get_spark("verify_local")
+
+    if out_json:
+        sf_dirs = args or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+        artifact: dict = {"sweeps": {}}
+        total_fail = 0
+        for sf_dir in sf_dirs:
+            print(f"\n=== full sweep @ {sf_dir} ===")
+            results, n_pass, n_fail, n_ro = sweep(spark, sf_dir, set())
+            total_fail += n_fail
+            artifact["sweeps"][sf_dir] = {
+                "n_pass": n_pass,
+                "n_fail": n_fail,
+                "n_rows_only": n_ro,
+                "n_total": len(results),
+                "results": results,
+            }
+        artifact["ok"] = total_fail == 0
+        with open(out_json, "w") as f:
+            json.dump(artifact, f, indent=1, default=str)
+        print(f"\nwrote {out_json} (ok={artifact['ok']})")
+        return 1 if total_fail else 0
+
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results, _, n_fail, _ = sweep(spark, sf_dir, only)
     with open("/root/repo/CORRECTNESS_LOCAL.json", "w") as f:
         json.dump(results, f, indent=1, default=str)
     return 1 if n_fail else 0
