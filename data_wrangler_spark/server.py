@@ -227,6 +227,16 @@ class GatewayServer:
                     body = json.dumps(payload, default=str).encode()
                     ctype = "application/json"
                 self.send_response(code)
+                # gateKeeper CORS headers on every response
+                # (index.js:194-196)
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.send_header(
+                    "Access-Control-Allow-Methods", "GET,PUT,POST,DELETE,OPTIONS"
+                )
+                self.send_header(
+                    "Access-Control-Allow-Headers",
+                    "Content-Type, Authorization, Content-Length, X-Requested-With",
+                )
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
@@ -248,6 +258,11 @@ class GatewayServer:
 
             def do_GET(self) -> None:  # noqa: N802 (stdlib contract)
                 self._dispatch("GET")
+
+            def do_OPTIONS(self) -> None:  # noqa: N802
+                # CORS preflight short-circuits with a bare 200
+                # (gateKeeper, index.js:198-201)
+                self._send(200, {})
 
             def do_POST(self) -> None:  # noqa: N802
                 self._dispatch("POST")

@@ -362,3 +362,15 @@ def test_stop_waits_for_run_lock(spark, sf_dir):
     srv._run_lock.release()
     t.join(timeout=10)
     assert not t.is_alive()
+
+
+def test_cors_headers_and_options_preflight(server):
+    """gateKeeper (index.js:194-201): CORS headers on every response;
+    OPTIONS short-circuits with a bare 200."""
+    r = urllib.request.Request(server.base_url + "/", method="OPTIONS")
+    with urllib.request.urlopen(r) as resp:
+        assert resp.status == 200
+        assert resp.headers["Access-Control-Allow-Origin"] == "*"
+        assert "OPTIONS" in resp.headers["Access-Control-Allow-Methods"]
+    with urllib.request.urlopen(server.base_url + "/") as resp:
+        assert resp.headers["Access-Control-Allow-Origin"] == "*"
