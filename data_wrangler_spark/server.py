@@ -213,6 +213,12 @@ class GatewayServer:
             f["name"]: f
             for f in (DEFAULT_FOREIGNERS if foreigners is None else foreigners)
         }
+        # configured plugin services (`config.json` plugins block →
+        # `index.js:139-156` mounts each plugin's query routes at
+        # /<pname>/query/<qname>); the reference ships one
+        self.plugin_services = {"salesforce"} & {
+            n.partition(".")[0] for n in self.templates.names() if "." in n
+        }
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -315,6 +321,12 @@ class GatewayServer:
                         )
                 if parts[0] == "ffi" and len(parts) >= 2:
                     return self._ffi_proxy(parts[1], parts[2:], q)
+                if (
+                    parts[0] in self.plugin_services
+                    and len(parts) == 3
+                    and parts[1] == "query"
+                ):
+                    return self._plugin_query(parts[0], parts[2], q, req_session)
                 if parts[0] == "run" and len(parts) == 2:
                     return self._run_registered(parts[1], q)
             elif method == "POST":
@@ -513,6 +525,36 @@ class GatewayServer:
             ) as resp:
                 return resp.status, resp.read()
         raise KeyError(f"no {service} route matches /{'/'.join(segs)}")
+
+    def _plugin_query(
+        self, service: str, qname: str, q: dict, req_session: Session
+    ) -> tuple[int, object]:
+        """Session-gated plugin query — `sfQueryRoute`
+        (`plugins/salesforce.js:74-119`), mounted at
+        `/<plugin>/query/<qname>` (`index.js:139-156`): the
+        gateKeeper-attached session must hold the service's auth
+        info (stored by /auth) or the request is refused with the
+        reference's error; then the service's named template runs
+        with examiner-validated query vars. (The reference hands the
+        SOQL to the live connection in the session; here the engine
+        executes the template mapped over the driver schema —
+        gateway.py documents the mapping.)"""
+        if not req_session.get(service):
+            # plugins/salesforce.js:84-86 (its literal hardcodes the
+            # service name; parameterized here)
+            return _err(f"Query: {service} auth info not found.")
+        tpl = self.templates.get(f"{service}.{qname}")  # KeyError → envelope
+        qvars = {
+            k: q.get(k) for k in (*tpl.named_params, *tpl.identifier_params)
+        }
+        if qvars:
+            ok, res = validate_query_vars(qvars)
+            if not ok:
+                return _err(res)
+            qvars = res
+        df = self.templates.run(self.spark, tpl.name, **qvars)
+        limit = int(q["limit"]) if "limit" in q else None
+        return _ok({"results": _rows_json(df, limit)})
 
     def _run_registered(self, qname: str, q: dict) -> tuple[int, object]:
         if qname not in self.engine.names():

@@ -374,3 +374,37 @@ def test_cors_headers_and_options_preflight(server):
         assert "OPTIONS" in resp.headers["Access-Control-Allow-Methods"]
     with urllib.request.urlopen(server.base_url + "/") as resp:
         assert resp.headers["Access-Control-Allow-Origin"] == "*"
+
+
+def test_plugin_query_route_is_session_gated(server):
+    """sfQueryRoute (plugins/salesforce.js:74-119) at
+    /<plugin>/query/<qname> (index.js:139-156): refused without the
+    service's auth info in the request session; served after /auth
+    stores it."""
+    from data_wrangler_spark.plugins import AUTH_PLUGINS, register_auth_plugin
+
+    # no token / fresh session → the reference's refusal, HTTP 200
+    code, body = get(server, "/salesforce/query/accounts")
+    assert code == 200 and body["ok"] is False
+    assert "auth info not found" in body["error"]
+
+    register_auth_plugin("salesforce", lambda info: {"ok": True, "info": info})
+    try:
+        code, body = req(
+            server,
+            "/auth",
+            method="POST",
+            body={"token": "sf-tok", "service": "salesforce",
+                  "auth": {"username": "u", "password": "p"}},
+        )
+        assert body == {"ok": True, "token": "sf-tok"}
+        code, body = get(server, "/salesforce/query/accounts?token=sf-tok&limit=4")
+        assert code == 200 and body["ok"] is True
+        assert len(body["results"]) == 4
+        assert {"id", "accountnumber", "name"} <= set(body["results"][0])
+        # unknown plugin query name → error envelope
+        code, body = get(server, "/salesforce/query/nosuch?token=sf-tok")
+        assert code == 200 and body["ok"] is False
+    finally:
+        AUTH_PLUGINS.pop("salesforce", None)
+        server.sessions.drop("sf-tok")
