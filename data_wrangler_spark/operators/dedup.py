@@ -697,21 +697,24 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("n_sh", "doc_id"))).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
+    # pair emission as TWO CHAINED GENERATORS (posexplode the anchor,
+    # explode its tail slice): rows stream through codegen with O(k)
+    # task memory per bucket — a single flatten(transform(...)) would
+    # materialize all C(k,2) pairs of a bucket in one array, an OOM
+    # hazard exactly when a giant true-duplicate group appears.
+    # ds ascends by n_sh, so the anchor x is the SMALLER set and the
+    # length filter is x.n_sh >= t·y.n_sh.
     cand = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    f"filter(flatten(transform(ds, (x, i) -> "
-                    f"transform(slice(ds, i + 2, size(ds) - i - 1), "
-                    f"y -> struct(x.doc_id AS da, y.doc_id AS db, "
-                    f"x.n_sh AS na, y.n_sh AS nb)))), "
-                    f"p -> p.na >= {t} * p.nb)"
-                )
-            ).alias("p")
-        )
+        buckets.select(F.posexplode("ds").alias("i", "x"), "ds")
         .select(
-            F.least("p.da", "p.db").alias("doc_a"),
-            F.greatest("p.da", "p.db").alias("doc_b"),
+            F.col("x.doc_id").alias("da"),
+            F.col("x.n_sh").alias("na"),
+            F.explode(F.expr("slice(ds, i + 2, size(ds) - i - 1)")).alias("y"),
+        )
+        .filter(F.col("na") >= t * F.col("y.n_sh"))
+        .select(
+            F.least("da", F.col("y.doc_id")).alias("doc_a"),
+            F.greatest("da", F.col("y.doc_id")).alias("doc_b"),
         )
         .distinct()
     )
