@@ -87,4 +87,12 @@ def reference_catalog(spark: SparkSession, sf_dir: str) -> SQLTemplates:
         doc="config.json:57 — select id, accountnumber, name from account",
         db="salesforce",
     )
+    reg.register(
+        "fromwhat",
+        "SELECT IDENTIFIER(:pk) AS id FROM IDENTIFIER(:what)",
+        doc="config.json:58 — select id from $what (our schema has "
+        "per-table pk names, so the pk is a second validated "
+        "identifier, as in test.anyById)",
+        db="salesforce",
+    )
     return reg

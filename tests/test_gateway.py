@@ -24,6 +24,7 @@ def test_all_reference_queries_registered(ref):
             "otherdb.freeForm",
             "otherdb.anyByField",
             "salesforce.accounts",
+            "salesforce.fromwhat",
         ]
     )
 
@@ -100,3 +101,17 @@ def test_desc_table(spark, ref):
 def test_accounts(spark, ref):
     df = ref.run(spark, "accounts")
     assert df.columns == ["id", "accountnumber", "name"]
+
+
+def test_fromwhat_identifier_validated(spark, ref, sf_dir):
+    """config.json:58 — select id from $what; identifiers validated
+    against the real catalog, never spliced."""
+    from data_wrangler_spark.catalog import UnknownIdentifierError, load_table
+
+    df = ref.run(spark, "fromwhat", what="supplier", pk="s_suppkey")
+    assert df.columns == ["id"]
+    assert df.count() == load_table(spark, sf_dir, "supplier").count()
+    import pytest as _pytest
+
+    with _pytest.raises(UnknownIdentifierError):
+        ref.run(spark, "fromwhat", what="supplier; drop table x", pk="s_suppkey")
