@@ -84,6 +84,42 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_xml_roundtrip",
+    oracle=_ORDERS_TEXT_ORACLE,
+    tags=("ext", "source", "sink"),
+)
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source round-trip — the one text format family the
+    repo lacked until Spark 4 folded spark-xml into core. The orders
+    projection writes through the native XML SINK (`format("xml")`,
+    rootTag/rowTag, entity escaping handled by the writer, one file
+    per task — never coalesce(1)) and reads back through the XML
+    SOURCE with rowTag + EXPLICIT schema (inference is a full extra
+    pass at scale, exactly like csv/jsonl; a per-file root element is
+    the format's contract, which is why a hand-rolled
+    one-element-per-line text write is NOT a valid XML lake layout —
+    the source parses one document per file). Oracle reads parquet
+    directly: the hash match certifies sink + source row-for-row.
+    Same text-safety contract as the other round-trips: integers and
+    strings only ever cross the format."""
+    path = f"{_IO_SCRATCH}/{_sf_tag(sf_dir)}/orders_xml"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        _orders_text(spark, sf_dir).write.mode("overwrite").format("xml").option(
+            "rootTag", "orders"
+        ).option("rowTag", "order").save(path)
+    schema = (
+        "o_orderkey long, o_orderstatus string, price_cents long, order_date string"
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema(schema)
+        .load(path)
+        .select("o_orderkey", "o_orderstatus", "price_cents", "order_date")
+    )
+
+
+@register(
     "q_jsonl_roundtrip",
     oracle="""
     SELECT event_id, user_id, event_type,

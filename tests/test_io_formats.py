@@ -258,3 +258,12 @@ def test_delete_rows_recovers_from_crash_window(spark, sf_dir):
     _recover_delete_commit(base, src)
     assert os.path.isdir(shard) and not os.path.exists(old)
     assert spark.read.parquet(src).count() == n_before
+
+
+def test_xml_roundtrip_matches_csv_roundtrip(spark, sf_dir):
+    """The XML sink+source hop must return byte-identical rows to the
+    CSV hop (both read back the same orders projection)."""
+    a = REGISTRY["q_xml_roundtrip"].run(spark, sf_dir)
+    b = REGISTRY["q_csv_roundtrip"].run(spark, sf_dir)
+    assert a.columns == b.columns
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
