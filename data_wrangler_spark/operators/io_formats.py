@@ -646,3 +646,140 @@ def q_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("sum_ids"),
         F.sum("n_chars").alias("sum_chars"),
     )
+
+
+SNAPSHOT_MOD = 89  # q_snapshot_commit: doc_id % 89 == 0 rows erased in v2
+
+
+@register(
+    "q_snapshot_commit",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+    FROM documents
+    WHERE doc_id % {SNAPSHOT_MOD} <> 0
+    GROUP BY lang
+    """,
+    tags=("ext", "layout", "maintenance"),
+)
+def q_snapshot_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-committed snapshot table — the Iceberg/Delta-style
+    commit protocol q_delete_rows' per-directory rename chain
+    approximates, done properly: data files are IMMUTABLE, each
+    version is a manifest (a JSON file listing its data files), and
+    a commit is ONE atomic rename of `manifest-vN.json.tmp` →
+    `manifest-vN.json` plus a CURRENT pointer flip. Readers resolve
+    CURRENT → manifest → file list, so they see v1 or v2 in full,
+    never a half-written mix — and v1 stays readable after the v2
+    commit (time travel; pinned by test). A crash before the pointer
+    flip leaves a stale-but-valid CURRENT: no recovery pass needed,
+    which is exactly why real lakehouses prefer manifest commits to
+    rename chains at 100 TB (the object store gives atomic
+    single-key puts, not atomic directory swaps).
+
+    The table's v1 is the documents corpus bucketed into immutable
+    shards; v2 is the GDPR-erasure commit (doc_id % 89 victims):
+    only VICTIM shards get replacement files, survivors' entries are
+    carried into the v2 manifest by reference — the minimal-rewrite
+    property, file-granular instead of q_delete_rows'
+    directory-granular. The query reads CURRENT (v2); the oracle
+    filters raw parquet — a hash match certifies no survivor lost,
+    no victim retained, through the manifest indirection."""
+    base = f"{_IO_SCRATCH}/{_sf_tag(sf_dir, 'documents')}/snapshot_tbl"
+
+    def _built() -> bool:
+        # complete iff the v2 commit landed AND CURRENT points at it —
+        # a crash mid-build leaves a valid-but-stale v1 pointer, which
+        # a rerun must rebuild from scratch, not serve
+        try:
+            with open(f"{base}/CURRENT") as fh:
+                return fh.read().strip() == "manifest-v2.json"
+        except OSError:
+            return False
+
+    if not _built():
+        import shutil as _shutil
+
+        _shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(f"{base}/data", exist_ok=True)
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars",
+            F.pmod(F.hash("doc_id"), F.lit(8)).alias("bucket"),
+        )
+        # v1 data files: one immutable shard per bucket
+        d.repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(f"{base}/stage_v1")
+        files_v1 = {}
+        for bk in range(8):
+            shard = f"{base}/stage_v1/bucket={bk}"
+            names = [f for f in os.listdir(shard) if f.endswith(".parquet")]
+            dests = []
+            for i, f_ in enumerate(names):
+                dest = f"data/v1-b{bk}-{i}.parquet"
+                os.replace(f"{shard}/{f_}", f"{base}/{dest}")
+                dests.append(dest)
+            files_v1[bk] = dests
+        _commit_manifest(base, 1, files_v1)
+
+        # v2: rewrite ONLY victim shards' files; survivors carry over.
+        # (victim buckets derive from the erasure keys BEFORE the
+        # write — the data files deliberately do not carry the bucket
+        # column, it lives in the manifest's file naming)
+        files_v2 = dict(files_v1)
+        victim_buckets = sorted(
+            r.bucket
+            for r in d.filter(F.col("doc_id") % SNAPSHOT_MOD == 0)
+            .select("bucket").distinct().collect()
+        )
+        for bk in victim_buckets:
+            kept = spark.read.parquet(
+                *[f"{base}/{p}" for p in files_v1[bk]]
+            ).filter(F.col("doc_id") % SNAPSHOT_MOD != 0)
+            stage = f"{base}/stage_v2_b{bk}"
+            kept.coalesce(1).write.mode("overwrite").parquet(stage)
+            names = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+            dests = []
+            for i, f_ in enumerate(names):
+                dest = f"data/v2-b{bk}-{i}.parquet"
+                os.replace(f"{stage}/{f_}", f"{base}/{dest}")
+                dests.append(dest)
+            files_v2[bk] = dests
+        _commit_manifest(base, 2, files_v2)
+
+    return read_snapshot(spark, base).groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+def _commit_manifest(base: str, version: int, files: dict) -> None:
+    """Write manifest-v{N}.json via tmp + atomic rename, then flip
+    CURRENT the same way — the object-store commit protocol (each
+    os.replace is one atomic key put)."""
+    import json as _json
+
+    man = {"version": version, "files": sorted(p for ps in files.values() for p in ps)}
+    mpath = f"{base}/manifest-v{version}.json"
+    with open(mpath + ".tmp", "w") as fh:
+        _json.dump(man, fh)
+    os.replace(mpath + ".tmp", mpath)
+    with open(f"{base}/CURRENT.tmp", "w") as fh:
+        fh.write(f"manifest-v{version}.json")
+    os.replace(f"{base}/CURRENT.tmp", f"{base}/CURRENT")
+
+
+def read_snapshot(spark: SparkSession, base: str, version: int | None = None) -> DataFrame:
+    """Resolve CURRENT (or a pinned version — time travel) to its
+    manifest's file list and read exactly those files."""
+    import json as _json
+
+    if version is None:
+        with open(f"{base}/CURRENT") as fh:
+            mname = fh.read().strip()
+    else:
+        mname = f"manifest-v{version}.json"
+    with open(f"{base}/{mname}") as fh:
+        man = _json.load(fh)
+    return spark.read.parquet(*[f"{base}/{p}" for p in man["files"]])

@@ -267,3 +267,46 @@ def test_xml_roundtrip_matches_csv_roundtrip(spark, sf_dir):
     b = REGISTRY["q_csv_roundtrip"].run(spark, sf_dir)
     assert a.columns == b.columns
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_snapshot_commit_time_travel_and_minimal_rewrite(spark, sf_dir):
+    """Manifest snapshots: v1 (pre-delete) stays readable after the
+    v2 commit; v2 carries survivor files BY REFERENCE (minimal
+    rewrite); CURRENT resolves to v2."""
+    import json
+    import os
+
+    from data_wrangler_spark.operators.io_formats import (
+        _IO_SCRATCH,
+        _sf_tag,
+        SNAPSHOT_MOD,
+        read_snapshot,
+    )
+
+    REGISTRY["q_snapshot_commit"].run(spark, sf_dir).collect()
+    base = f"{_IO_SCRATCH}/{_sf_tag(sf_dir, 'documents')}/snapshot_tbl"
+    n_total = load_table(spark, sf_dir, "documents").count()
+    n_victims = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % SNAPSHOT_MOD == 0)
+        .count()
+    )
+    # time travel: the v1 snapshot still holds every row
+    v1 = read_snapshot(spark, base, version=1)
+    assert v1.count() == n_total
+    # CURRENT → v2: victims gone, survivors intact
+    cur = read_snapshot(spark, base)
+    assert cur.count() == n_total - n_victims
+    assert cur.filter(F.col("doc_id") % SNAPSHOT_MOD == 0).count() == 0
+    # minimal rewrite: v2 references at least one UNCHANGED v1 file
+    # unless every bucket held a victim
+    m1 = json.load(open(f"{base}/manifest-v1.json"))
+    m2 = json.load(open(f"{base}/manifest-v2.json"))
+    shared = set(m1["files"]) & set(m2["files"])
+    rewritten_buckets = {p.split("-")[1] for p in set(m2["files"]) - shared}
+    all_buckets = {p.split("-")[1] for p in m1["files"]}
+    assert shared or rewritten_buckets == all_buckets
+    # immutability: v1 data files were never modified in place
+    assert set(m1["files"]) <= {
+        f"data/{f}" for f in os.listdir(f"{base}/data")
+    }
