@@ -84,9 +84,11 @@ def approx_equal(a: list[tuple], b: list[tuple], rel=1e-9) -> bool:
     )
 
 
-def sweep(spark, sf_dir: str, only: set[str]) -> tuple[dict, int, int, int]:
-    """Run the registry (or ``only``) at one sf_dir; returns
-    (per-query results, n_pass, n_fail, n_rows_only)."""
+def sweep(
+    spark, sf_dir: str, only: set[str], skip: set[str] = frozenset()
+) -> tuple[dict, int, int, int]:
+    """Run the registry (or ``only``, minus ``skip``) at one sf_dir;
+    returns (per-query results, n_pass, n_fail, n_rows_only)."""
     from data_wrangler_spark.functions.distributed import release_pinned
     import __spark_entry__ as entry_mod
 
@@ -96,7 +98,7 @@ def sweep(spark, sf_dir: str, only: set[str]) -> tuple[dict, int, int, int]:
 
     results, n_pass, n_fail, n_rows_only = {}, 0, 0, 0
     for name, fn in qs.items():
-        if only and name not in only:
+        if (only and name not in only) or name in skip:
             continue
         t0 = time.time()
         try:
@@ -166,10 +168,14 @@ def main() -> int:
     from data_wrangler_spark.session import get_spark
 
     args = sys.argv[1:]
-    out_json = None
+    out_json, skip = None, set()
     if "--json" in args:
         i = args.index("--json")
         out_json = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    if "--skip" in args:
+        i = args.index("--skip")
+        skip = set(args[i + 1].split(","))
         args = args[:i] + args[i + 2 :]
 
     spark = get_spark("verify_local")
@@ -180,13 +186,14 @@ def main() -> int:
         total_fail = 0
         for sf_dir in sf_dirs:
             print(f"\n=== full sweep @ {sf_dir} ===")
-            results, n_pass, n_fail, n_ro = sweep(spark, sf_dir, set())
+            results, n_pass, n_fail, n_ro = sweep(spark, sf_dir, set(), skip)
             total_fail += n_fail
             artifact["sweeps"][sf_dir] = {
                 "n_pass": n_pass,
                 "n_fail": n_fail,
                 "n_rows_only": n_ro,
                 "n_total": len(results),
+                "skipped": sorted(skip),
                 "results": results,
             }
         artifact["ok"] = total_fail == 0
