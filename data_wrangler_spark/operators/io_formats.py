@@ -738,7 +738,9 @@ def q_snapshot_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[f"{base}/{p}" for p in files_v1[bk]]
             ).filter(F.col("doc_id") % SNAPSHOT_MOD != 0)
             stage = f"{base}/stage_v2_b{bk}"
-            kept.coalesce(1).write.mode("overwrite").parquet(stage)
+            # sharded write — the manifest lists N files per bucket,
+            # so no coalesce(1) bottleneck at scale
+            kept.write.mode("overwrite").parquet(stage)
             names = [f for f in os.listdir(stage) if f.endswith(".parquet")]
             dests = []
             for i, f_ in enumerate(names):
