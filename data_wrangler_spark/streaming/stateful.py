@@ -84,3 +84,91 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.col("tc").cast("double") / 100).alias("total_value"),
     )
+
+
+def _asof_enrich(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Stream as-of enrichment: per user, carry the latest reference
+    row (a 'purchase') across micro-batches and stamp it onto every
+    target row (a 'click') with event-time ≥ the reference. Within a
+    batch the group's rows are concatenated and walked in ts order
+    (chunk order inside one batch is not time-ordered); ACROSS
+    batches correctness comes from the ts-split staging — later
+    micro-batches hold strictly later event times, so a reference can
+    never arrive after a target it should have enriched. Money is
+    carried as integer cents (exact)."""
+    (user_id,) = key
+    if state.exists:
+        ref_id, ref_cents = state.get
+    else:
+        ref_id, ref_cents = None, None
+    pdf = pd.concat(list(pdf_iter), ignore_index=True).sort_values("ts")
+    out_id, out_ref, out_cents = [], [], []
+    for row in pdf.itertuples(index=False):
+        if row.event_type == "purchase":
+            ref_id = int(row.event_id)
+            ref_cents = int(row.value * 100 + 0.5)
+        else:  # click → emit with the as-of state
+            out_id.append(int(row.event_id))
+            out_ref.append(ref_id)
+            out_cents.append(ref_cents)
+    state.update((ref_id, ref_cents))
+    yield pd.DataFrame(
+        {
+            "event_id": pd.array(out_id, dtype="Int64"),
+            "user_id": pd.array([user_id] * len(out_id), dtype="Int64"),
+            "ref_event_id": pd.array(out_ref, dtype="Int64"),
+            "last_purchase_cents": pd.array(out_cents, dtype="Int64"),
+        }
+    )
+
+
+@register(
+    "q_stream_asof_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           r.event_id AS ref_event_id,
+           CAST(floor(r.value * 100 + 0.5) AS BIGINT) AS last_purchase_cents
+    FROM (SELECT * FROM events WHERE event_type = 'click') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON e.user_id = r.user_id AND e.ts >= r.ts
+    """,
+    tags=("stream", "stateful", "asof"),
+)
+def q_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming AS-OF enrichment — the feature-store pattern batch
+    q_join_asof covers, done ONLINE: every click is stamped with the
+    user's most recent purchase at or before its event time, via
+    per-user state that survives micro-batches
+    (applyInPandasWithState). Spark has no native stream-stream as-of
+    join; this is the custom-stateful form the engine contract calls
+    for.
+
+    Exactness: the input stream is staged split-by-ts (later batches
+    = strictly later event times), so arrival order respects event
+    time and the emitted rows equal DuckDB's batch ASOF LEFT JOIN
+    exactly — a streaming-only operator with a full SQL oracle.
+    (user_id, ts) is unique in the fixture, so no tiebreak ambiguity
+    exists; state is two bigints per user — at 100 TB this is the
+    RocksDB-provider state-store case (streaming/windows.py notes),
+    sharded by the user_id shuffle."""
+    base, ev = _staged_events(spark, sf_dir, "asof_enrich", split_frac=0.5)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _asof_enrich,
+            outputStructType=(
+                "event_id bigint, user_id bigint, "
+                "ref_event_id bigint, last_purchase_cents bigint"
+            ),
+            stateStructType="ref_event_id bigint, ref_cents bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return _run_stream(stream, "q_stream_asof_enrich", output_mode="append")

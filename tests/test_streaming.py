@@ -251,3 +251,32 @@ def test_ts_bounds_handles_legacy_int64_nanos_layout(spark, tmp_path):
         datetime.datetime(2021, 1, 1),
         datetime.datetime(2021, 6, 1),
     )
+
+
+def test_stream_asof_enrich_state_crosses_batches(spark, sf_dir):
+    """The as-of state must actually survive the micro-batch
+    boundary: at least one click in the LATER half of event time
+    (batch 2) must be enriched by a purchase from the EARLIER half
+    (batch 1) — i.e. the reference was held in state, not co-batched."""
+    from data_wrangler_spark import REGISTRY
+    from data_wrangler_spark.catalog import load_table
+    from data_wrangler_spark.streaming.windows import _ts_bounds
+
+    out = REGISTRY["q_stream_asof_enrich"].run(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = _ts_bounds(spark, sf_dir, ev)
+    cut = lo + (hi - lo) * 0.5
+    ts_of = {
+        r.event_id: r.ts
+        for r in ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "ts")
+        .collect()
+    }
+    crossers = [
+        r
+        for r in out.filter(F.col("ref_event_id").isNotNull()).collect()
+        if ts_of[r.event_id] >= cut and ts_of[r.ref_event_id] < cut
+    ]
+    assert crossers, "no enrichment crossed the batch boundary"
+    # and unenriched clicks are exactly those with no earlier purchase
+    assert out.filter(F.col("ref_event_id").isNull()).count() > 0
