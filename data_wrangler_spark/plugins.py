@@ -31,6 +31,7 @@ import importlib
 import importlib.util
 import os
 import sys
+import warnings
 from typing import Callable
 
 from data_wrangler_spark.registry import REGISTRY, register
@@ -45,6 +46,16 @@ def register_auth_plugin(name: str, fn: Callable[[dict], dict]) -> None:
     name — what `config.json`'s plugins block does at boot."""
     if not callable(fn):
         raise PluginError(f"auth plugin {name!r} is not callable")
+    prev = AUTH_PLUGINS.get(name)
+    if prev is not None and prev is not fn:
+        # two plugin modules sharing a basename/SERVICE_NAME would
+        # silently change which credentials /auth accepts (ADVICE r5)
+        warnings.warn(
+            f"auth plugin {name!r} replaces an existing registration "
+            f"({getattr(prev, '__module__', '?')} -> "
+            f"{getattr(fn, '__module__', '?')})",
+            stacklevel=2,
+        )
     AUTH_PLUGINS[name] = fn
 
 

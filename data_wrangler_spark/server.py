@@ -61,6 +61,7 @@ from __future__ import annotations
 import json
 import re
 import threading
+import urllib.error
 import urllib.request
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -88,6 +89,21 @@ _UUID_RE = re.compile(
 _SQL_COMMENT_RE = re.compile(r"--+")
 
 DEFAULT_RUN_LIMIT = 100
+
+
+class RawRelay(bytes):
+    """Raw upstream relay body — bytes plus the upstream Content-Type,
+    so the /ffi proxy can pass the header through like the reference's
+    `request(...).pipe(res)` (`index.js:356-360`) instead of forcing
+    application/octet-stream."""
+
+    ctype: str = "application/octet-stream"
+
+    def __new__(cls, body: bytes, ctype: str | None):
+        self = super().__new__(cls, body)
+        if ctype:
+            self.ctype = ctype
+        return self
 
 # Spark error classes that mean "the client's value could not meet the
 # column type" — the reference's 400-invalid-parameter case
@@ -228,7 +244,9 @@ class GatewayServer:
             def _send(self, code: int, payload) -> None:
                 if isinstance(payload, bytes):  # /ffi raw relay
                     body = payload
-                    ctype = "application/octet-stream"
+                    ctype = getattr(
+                        payload, "ctype", "application/octet-stream"
+                    )
                 else:
                     body = json.dumps(payload, default=str).encode()
                     ctype = "application/json"
@@ -520,10 +538,19 @@ class GatewayServer:
             if not ok:
                 return _err(res)
             remote = _HB_RE.sub(lambda m: res[m.group(1)], r["path"])
-            with urllib.request.urlopen(
-                foreigner["baseURI"] + remote, timeout=10
-            ) as resp:
-                return resp.status, resp.read()
+            try:
+                with urllib.request.urlopen(
+                    foreigner["baseURI"] + remote, timeout=10
+                ) as resp:
+                    return resp.status, RawRelay(
+                        resp.read(), resp.headers.get("Content-Type")
+                    )
+            except urllib.error.HTTPError as e:
+                # non-2xx upstream: relay status + body like the
+                # reference's pipe (index.js:356-360), don't 500
+                return e.code, RawRelay(
+                    e.read(), e.headers.get("Content-Type")
+                )
         raise KeyError(f"no {service} route matches /{'/'.join(segs)}")
 
     def _plugin_query(
@@ -598,12 +625,14 @@ class GatewayServer:
         return self
 
     def stop(self) -> None:
-        # take _run_lock first: releasing pinned caches under a /run
-        # request still using its pinned range-partitioned frame
-        # would silently corrupt that request's results (ADVICE r4)
+        # shutdown FIRST (stop admitting + drain in-flight requests),
+        # THEN release pinned caches under _run_lock: the reverse
+        # order lets a /run admitted between release and shutdown
+        # re-pin caches that are never released and race
+        # server_close() (ADVICE r4 + r5)
+        self.httpd.shutdown()
         with self._run_lock:
             self.engine.release_cache()
-        self.httpd.shutdown()
         self.httpd.server_close()
         if self._thread:
             self._thread.join(timeout=5)

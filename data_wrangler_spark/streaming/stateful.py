@@ -10,6 +10,7 @@ RocksDB provider at 100 TB).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -108,7 +109,9 @@ def _asof_enrich(
     for row in pdf.itertuples(index=False):
         if row.event_type == "purchase":
             ref_id = int(row.event_id)
-            ref_cents = int(row.value * 100 + 0.5)
+            # floor, not int(): int() truncates toward zero and would
+            # diverge from the oracle's floor() for negative values
+            ref_cents = math.floor(row.value * 100 + 0.5)
         else:  # click → emit with the as-of state
             out_id.append(int(row.event_id))
             out_ref.append(ref_id)

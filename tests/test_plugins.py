@@ -54,3 +54,31 @@ def test_load_plugin_rejects_hookless_module(tmp_path):
 def test_load_plugin_rejects_missing_module():
     with pytest.raises(PluginError, match="cannot import"):
         load_plugin("no_such_plugin_module_xyz")
+
+
+def test_register_auth_plugin_warns_on_replacement():
+    """Two plugin modules sharing a SERVICE_NAME must not silently
+    change which credentials /auth accepts (ADVICE r5)."""
+    import warnings
+
+    from data_wrangler_spark.plugins import AUTH_PLUGINS, register_auth_plugin
+
+    def auth_a(info):
+        return {"ok": True}
+
+    def auth_b(info):
+        return {"ok": False}
+
+    name = "_dup_svc_test"
+    try:
+        register_auth_plugin(name, auth_a)
+        # same fn again: idempotent, no warning
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            register_auth_plugin(name, auth_a)
+        # different fn: warns, but still replaces
+        with pytest.warns(UserWarning, match="replaces an existing"):
+            register_auth_plugin(name, auth_b)
+        assert AUTH_PLUGINS[name] is auth_b
+    finally:
+        AUTH_PLUGINS.pop(name, None)

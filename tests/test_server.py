@@ -229,8 +229,14 @@ def test_ffi_proxy_relays_upstream(server, spark, sf_dir):
 
         def do_GET(self):
             seen.append(self.path)
-            body = json.dumps({"upstream": self.path}).encode()
-            self.send_response(200)
+            if self.path.startswith("/missing/"):
+                body = b"no such country"
+                self.send_response(404)
+                self.send_header("Content-Type", "text/plain")
+            else:
+                body = json.dumps({"upstream": self.path}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
@@ -251,7 +257,12 @@ def test_ffi_proxy_relays_upstream(server, spark, sf_dir):
                         "localpath": "/countrydata/$country/$fromYear/$toYear",
                         "path": "/{{ country }}/indicators/NY.GDP.PCAP.CD"
                         "?format=json&date={{ fromYear }}:{{ toYear }}",
-                    }
+                    },
+                    {
+                        "method": "get",
+                        "localpath": "/missing/$country",
+                        "path": "/missing/{{ country }}",
+                    },
                 ],
             }
         ],
@@ -261,14 +272,26 @@ def test_ffi_proxy_relays_upstream(server, spark, sf_dir):
             srv.base_url + "/ffi/WorldBank/countrydata/usa/2000/2010"
         ) as resp:
             assert resp.status == 200
+            # upstream Content-Type relays through (ADVICE r5)
+            assert resp.headers.get("Content-Type") == "application/json"
             assert json.loads(resp.read())["upstream"] == (
                 "/usa/indicators/NY.GDP.PCAP.CD?format=json&date=2000:2010"
             )
         assert seen == ["/usa/indicators/NY.GDP.PCAP.CD?format=json&date=2000:2010"]
+        # non-2xx upstream relays status + body + content type, like
+        # the reference's pipe — not a defensive 500 (ADVICE r5)
+        try:
+            urllib.request.urlopen(srv.base_url + "/ffi/WorldBank/missing/usa")
+            raise AssertionError("expected HTTP 404 relay")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+            assert e.headers.get("Content-Type") == "text/plain"
+            assert e.read() == b"no such country"
+        assert seen[-1] == "/missing/usa"
         # injection-shaped var rejected BEFORE any upstream contact
         code, body = get(srv, "/ffi/WorldBank/countrydata/usa--x/2000/2010")
         assert code == 200 and body["ok"] is False
-        assert len(seen) == 1
+        assert len(seen) == 2  # no third upstream contact
         code, body = get(srv, "/ffi/NoSuchSvc/anything")
         assert code == 200 and body["ok"] is False
     finally:

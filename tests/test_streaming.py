@@ -280,3 +280,29 @@ def test_stream_asof_enrich_state_crosses_batches(spark, sf_dir):
     assert crossers, "no enrichment crossed the batch boundary"
     # and unenriched clicks are exactly those with no earlier purchase
     assert out.filter(F.col("ref_event_id").isNull()).count() > 0
+
+
+def test_asof_enrich_negative_value_floor_rounding():
+    """Cents must floor like the oracle's floor(value*100+0.5):
+    int() truncates toward zero and would emit -123 for -1.235
+    where the oracle says -124 (ADVICE r5)."""
+    import pandas as pd
+
+    from data_wrangler_spark.streaming.stateful import _asof_enrich
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.saved = v
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime(["2021-01-01", "2021-01-02"]),
+            "event_type": ["purchase", "click"],
+            "value": [-1.235, 0.0],
+        }
+    )
+    (out,) = list(_asof_enrich((7,), iter([pdf]), FakeState()))
+    assert list(out["last_purchase_cents"]) == [-124]
