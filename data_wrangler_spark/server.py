@@ -91,18 +91,42 @@ _SQL_COMMENT_RE = re.compile(r"--+")
 DEFAULT_RUN_LIMIT = 100
 
 
+# upstream headers the /ffi proxy relays verbatim. The reference's
+# `request(...).pipe(res)` (`index.js:356-360`) streams ALL upstream
+# headers; urllib gives us the parsed set, so we pass through the ones
+# that change how a client must interpret the body. Content-Encoding
+# matters most: urlopen does NOT decompress, so a gzip body relayed
+# without it would be garbled (ADVICE r6).
+_RELAY_HEADERS = (
+    "Content-Type",
+    "Content-Encoding",
+    "Cache-Control",
+    "ETag",
+    "Last-Modified",
+)
+
+
 class RawRelay(bytes):
-    """Raw upstream relay body — bytes plus the upstream Content-Type,
-    so the /ffi proxy can pass the header through like the reference's
-    `request(...).pipe(res)` (`index.js:356-360`) instead of forcing
-    application/octet-stream."""
+    """Raw upstream relay body — bytes plus the upstream response
+    headers worth passing through (`_RELAY_HEADERS`), so the /ffi
+    proxy behaves like the reference's `request(...).pipe(res)`
+    (`index.js:356-360`) instead of forcing application/octet-stream
+    and dropping the transfer encoding."""
 
     ctype: str = "application/octet-stream"
 
-    def __new__(cls, body: bytes, ctype: str | None):
+    def __new__(cls, body: bytes, headers=None):
         self = super().__new__(cls, body)
-        if ctype:
-            self.ctype = ctype
+        relay: dict[str, str] = {}
+        if headers is not None:
+            get = headers.get if hasattr(headers, "get") else None
+            for h in _RELAY_HEADERS:
+                v = get(h) if get else None
+                if v:
+                    relay[h] = v
+        self.headers = relay
+        if relay.get("Content-Type"):
+            self.ctype = relay["Content-Type"]
         return self
 
 # Spark error classes that mean "the client's value could not meet the
@@ -242,11 +266,17 @@ class GatewayServer:
                 pass
 
             def _send(self, code: int, payload) -> None:
+                relay_headers: dict[str, str] = {}
                 if isinstance(payload, bytes):  # /ffi raw relay
                     body = payload
                     ctype = getattr(
                         payload, "ctype", "application/octet-stream"
                     )
+                    relay_headers = {
+                        k: v
+                        for k, v in getattr(payload, "headers", {}).items()
+                        if k != "Content-Type"  # sent below
+                    }
                 else:
                     body = json.dumps(payload, default=str).encode()
                     ctype = "application/json"
@@ -262,6 +292,8 @@ class GatewayServer:
                     "Content-Type, Authorization, Content-Length, X-Requested-With",
                 )
                 self.send_header("Content-Type", ctype)
+                for k, v in relay_headers.items():
+                    self.send_header(k, v)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
@@ -294,7 +326,16 @@ class GatewayServer:
             def do_DELETE(self) -> None:  # noqa: N802
                 self._dispatch("DELETE")
 
-        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        class _DrainingHTTPServer(ThreadingHTTPServer):
+            # non-daemon handler threads: server_close() (via
+            # ThreadingMixIn.block_on_close) then JOINS any in-flight
+            # handler before returning, so stop() really does drain
+            # requests before releasing engine caches (ADVICE r6 —
+            # with the stdlib default daemon_threads=True, stop()
+            # could return mid-request)
+            daemon_threads = False
+
+        self.httpd = _DrainingHTTPServer((host, port), Handler)
         self._thread: threading.Thread | None = None
         self._run_lock = threading.Lock()
 
@@ -542,15 +583,11 @@ class GatewayServer:
                 with urllib.request.urlopen(
                     foreigner["baseURI"] + remote, timeout=10
                 ) as resp:
-                    return resp.status, RawRelay(
-                        resp.read(), resp.headers.get("Content-Type")
-                    )
+                    return resp.status, RawRelay(resp.read(), resp.headers)
             except urllib.error.HTTPError as e:
                 # non-2xx upstream: relay status + body like the
                 # reference's pipe (index.js:356-360), don't 500
-                return e.code, RawRelay(
-                    e.read(), e.headers.get("Content-Type")
-                )
+                return e.code, RawRelay(e.read(), e.headers)
         raise KeyError(f"no {service} route matches /{'/'.join(segs)}")
 
     def _plugin_query(
@@ -625,14 +662,14 @@ class GatewayServer:
         return self
 
     def stop(self) -> None:
-        # shutdown FIRST (stop admitting + drain in-flight requests),
-        # THEN release pinned caches under _run_lock: the reverse
-        # order lets a /run admitted between release and shutdown
-        # re-pin caches that are never released and race
-        # server_close() (ADVICE r4 + r5)
+        # shutdown FIRST (stop admitting), then server_close() — which,
+        # because daemon_threads=False, JOINS any in-flight handler
+        # thread — and only THEN release pinned caches: no handler can
+        # still be mid-request against the engine, and no /run admitted
+        # late can re-pin caches that are never released (ADVICE r4-r6)
         self.httpd.shutdown()
+        self.httpd.server_close()
         with self._run_lock:
             self.engine.release_cache()
-        self.httpd.server_close()
         if self._thread:
             self._thread.join(timeout=5)

@@ -13,6 +13,7 @@ from __future__ import annotations
 import math
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -36,7 +37,11 @@ def _update_user_totals(
         n_events, cents = 0, 0
     for pdf in pdf_iter:
         n_events += len(pdf)
-        cents += int((pdf["value"] * 100 + 0.5).astype("int64").sum())
+        # floor, not a bare int64 cast: the cast truncates toward zero
+        # and would diverge from the oracle's floor() for negative
+        # values (-1.235 → -123 vs floor's -124) — same parity rule as
+        # _asof_enrich below
+        cents += int(np.floor(pdf["value"] * 100 + 0.5).astype("int64").sum())
     state.update((n_events, cents))
     yield pd.DataFrame(
         {"user_id": [user_id], "n_events": [n_events], "total_cents": [cents]}

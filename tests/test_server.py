@@ -233,6 +233,14 @@ def test_ffi_proxy_relays_upstream(server, spark, sf_dir):
                 body = b"no such country"
                 self.send_response(404)
                 self.send_header("Content-Type", "text/plain")
+            elif self.path.startswith("/gz/"):
+                import gzip
+
+                body = gzip.compress(b'{"compressed": true}')
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Encoding", "gzip")
+                self.send_header("Cache-Control", "max-age=60")
             else:
                 body = json.dumps({"upstream": self.path}).encode()
                 self.send_response(200)
@@ -263,6 +271,11 @@ def test_ffi_proxy_relays_upstream(server, spark, sf_dir):
                         "localpath": "/missing/$country",
                         "path": "/missing/{{ country }}",
                     },
+                    {
+                        "method": "get",
+                        "localpath": "/gz/$country",
+                        "path": "/gz/{{ country }}",
+                    },
                 ],
             }
         ],
@@ -288,10 +301,23 @@ def test_ffi_proxy_relays_upstream(server, spark, sf_dir):
             assert e.headers.get("Content-Type") == "text/plain"
             assert e.read() == b"no such country"
         assert seen[-1] == "/missing/usa"
+        # compressed upstream: Content-Encoding (and Cache-Control)
+        # relay through — urlopen does NOT decompress, so dropping the
+        # encoding header would garble the body for clients (ADVICE r6)
+        import gzip
+
+        with urllib.request.urlopen(
+            srv.base_url + "/ffi/WorldBank/gz/usa"
+        ) as resp:
+            assert resp.headers.get("Content-Encoding") == "gzip"
+            assert resp.headers.get("Cache-Control") == "max-age=60"
+            assert json.loads(gzip.decompress(resp.read())) == {
+                "compressed": True
+            }
         # injection-shaped var rejected BEFORE any upstream contact
         code, body = get(srv, "/ffi/WorldBank/countrydata/usa--x/2000/2010")
         assert code == 200 and body["ok"] is False
-        assert len(seen) == 2  # no third upstream contact
+        assert len(seen) == 3  # no further upstream contact
         code, body = get(srv, "/ffi/NoSuchSvc/anything")
         assert code == 200 and body["ok"] is False
     finally:

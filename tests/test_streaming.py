@@ -306,3 +306,32 @@ def test_asof_enrich_negative_value_floor_rounding():
     )
     (out,) = list(_asof_enrich((7,), iter([pdf]), FakeState()))
     assert list(out["last_purchase_cents"]) == [-124]
+
+
+def test_user_totals_negative_value_floor_rounding():
+    """Same floor-vs-truncate parity rule for _update_user_totals'
+    cents fold (ADVICE r6): a bare int64 cast truncates toward zero
+    and would accumulate -123 for -1.235 where the q_stream_stateful
+    oracle's floor(value*100+0.5) says -124."""
+    import pandas as pd
+
+    from data_wrangler_spark.streaming.stateful import _update_user_totals
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.saved = v
+            self.exists = True
+
+        @property
+        def get(self):
+            return self.saved
+
+    st = FakeState()
+    pdf = pd.DataFrame({"value": [-1.235, 2.005]})
+    (out,) = list(_update_user_totals((7,), iter([pdf]), st))
+    # -1.235*100+0.5 = -123.00000000000001 in binary → floor -124
+    # (truncation would give -123); 2.005*100+0.5 = 201.0 → 201
+    assert int(out["total_cents"][0]) == -124 + 201
+    assert int(out["n_events"][0]) == 2
