@@ -122,16 +122,31 @@ class SQLTemplates:
     def names(self) -> list[str]:
         return sorted(self._templates)
 
+    def alias(self, name: str, target: str, db: str | None = None) -> SQLTemplate:
+        """Register ``db.name`` as an alternate name for the already-
+        registered ``target`` template (same object — no copy, so a
+        bare-name lookup that matches both spellings is NOT
+        ambiguous). Lets the catalog expose the reference's literal
+        config.json keys while keeping earlier names working."""
+        if db is not None:
+            name = f"{db}.{name}"
+        if name in self._templates:
+            raise ValueError(f"duplicate template: {name}")
+        tpl = self.get(target)
+        self._templates[name] = tpl
+        return tpl
+
     def get(self, name: str) -> SQLTemplate:
         if name in self._templates:
             return self._templates[name]
-        # bare-name convenience lookup across db namespaces
+        # bare-name convenience lookup across db namespaces; aliases
+        # of one template count as one match
         matches = [
             k
             for k in self._templates
             if "." in k and k.rsplit(".", 1)[1] == name
         ]
-        if len(matches) == 1:
+        if len({id(self._templates[k]) for k in matches}) == 1:
             return self._templates[matches[0]]
         if matches:
             raise AmbiguousTemplateError(

@@ -68,6 +68,44 @@ def test_named_query_with_positional_param(server, spark, sf_dir):
     assert len(rows) == expect
 
 
+def test_every_literal_config_pair_resolves(server, spark, sf_dir):
+    """Every (db, query-key) pair from the reference's config.json,
+    spelled LITERALLY (config.json:13-38,57-58), resolves over HTTP —
+    a reference user's URLs work unchanged (VERDICT r6 #2)."""
+    from data_wrangler_spark.catalog import load_table
+
+    date = str(
+        load_table(spark, sf_dir, "orders")
+        .agg({"o_orderdate": "min"})
+        .collect()[0][0]
+    ).split(" ")[0]  # the reference URL shape: /q/billing/invoices/2014-10-01
+    key = (
+        load_table(spark, sf_dir, "lineitem")
+        .agg({"l_orderkey": "min"})
+        .collect()[0][0]
+    )
+    paths = [
+        f"/q/billing/invoices/{date}",
+        f"/q/billing/lineitems/{key}",
+        "/q/billing/anyById?relation=part&pk=p_partkey&id=5",
+        "/q/billing/getXfromYwhereZisQ?x=n_name&y=nation&z=n_regionkey&q=2",
+        "/q/support/descTable?table=region",
+        f"/q/support/ticket/{key}",
+        f"/q/support/ticketAnswers/{key}",
+        "/q/support/getStuff/AUTOMOBILE?relation=customer&field=c_mktsegment",
+        "/q/salesforce/accounts?limit=3",
+        "/q/salesforce/fromwhat?what=supplier&pk=s_suppkey",
+    ]
+    for path in paths:
+        code, body = get(server, path)
+        assert code == 200 and body["ok"] is True, (path, body)
+        assert body["results"], path
+    # the literal spelling and the rounds-1–6 alias run the same plan
+    _, lit = get(server, f"/q/billing/lineitems/{key}")
+    _, alias = get(server, f"/q/test/lineItems/{key}")
+    assert lit["results"] == alias["results"]
+
+
 def test_legacy_query_alias_matches_q_route(server, spark, sf_dir):
     """`/query/:qname` (index.js:323-324) — same handler, bare name."""
     from data_wrangler_spark.catalog import load_table
