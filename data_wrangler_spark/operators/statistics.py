@@ -126,15 +126,17 @@ def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (ORDER BY x_dec, o_custkey) AS i
       FROM spend),
     moments AS (
+      -- exact integer CENTS, not decimal→double: above 2^53 (hit at
+      -- the f5 probe) DuckDB's decimal→double cast is not correctly
+      -- rounded, but BIGINT→DOUBLE is IEEE round-to-nearest in both
+      -- engines, so identical integers give identical doubles
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             -- scale 2 is lossless for price data and keeps the
-             -- scaled integer < 2^53, where DuckDB's decimal→double
-             -- cast stops being correctly rounded
-             CAST(CAST(SUM(i * x_dec) AS DECIMAL(38,2)) AS DOUBLE) AS s1,
-             CAST(CAST(SUM(x_dec) AS DECIMAL(38,2)) AS DOUBLE) AS s0
+             CAST(CAST(SUM(i * x_dec) AS DECIMAL(38,2)) * 100 AS BIGINT) AS s1c,
+             CAST(CAST(SUM(x_dec) AS DECIMAL(38,2)) * 100 AS BIGINT) AS s0c
       FROM ranked)
-    SELECT n, s0 AS total_spend,
-           (2 * s1 - (n + 1) * s0) / (n * s0) AS gini
+    SELECT n, CAST(s0c AS DOUBLE) / 100 AS total_spend,
+           (2 * CAST(s1c AS DOUBLE) - (n + 1) * CAST(s0c AS DOUBLE))
+             / (n * CAST(s0c AS DOUBLE)) AS gini
     FROM moments
     """,
     tags=("ext", "stats"),
@@ -144,8 +146,10 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind data-mix audits (how concentrated is volume across
     sources/users?). Per-customer spend in exact decimal, global
     rank by (spend, custkey), then G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx)
-    from two exact decimal moments — the double division at the end
-    is the only inexact step and runs on identical operands in both
+    from two exact integer-cents moments — the BIGINT→DOUBLE
+    conversion (IEEE round-to-nearest in both engines, unlike
+    DuckDB's decimal→double past 2^53) and the final double division
+    are the only inexact steps and run on identical operands in both
     engines. The global rank runs TWO-PHASE (range partition →
     per-partition prefix counts as broadcast offsets, functions/
     distributed.py) — same algebra, no one-task sort."""
@@ -159,15 +163,21 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = pos.withColumn("i", F.col("_pos") + 1)
     moments = ranked.agg(
         F.count("*").alias("n"),
-        F.sum(F.col("i") * F.col("x_dec")).cast("decimal(38,2)").cast("double").alias("s1"),
-        F.sum("x_dec").cast("decimal(38,2)").cast("double").alias("s0"),
+        # exact integer cents (not decimal→double: past 2^53 DuckDB's
+        # decimal cast is not correctly rounded — seen as a 1-ulp
+        # PASS_APPROX at the f5 probe; BIGINT→DOUBLE is IEEE
+        # round-to-nearest in both engines)
+        (F.sum(F.col("i") * F.col("x_dec")).cast("decimal(38,2)") * 100)
+        .cast("bigint")
+        .alias("s1c"),
+        (F.sum("x_dec").cast("decimal(38,2)") * 100).cast("bigint").alias("s0c"),
     )
+    s0d = F.col("s0c").cast("double")
+    s1d = F.col("s1c").cast("double")
     return moments.select(
         "n",
-        F.col("s0").alias("total_spend"),
-        ((2 * F.col("s1") - (F.col("n") + 1) * F.col("s0")) / (F.col("n") * F.col("s0"))).alias(
-            "gini"
-        ),
+        (s0d / 100).alias("total_spend"),
+        ((2 * s1d - (F.col("n") + 1) * s0d) / (F.col("n") * s0d)).alias("gini"),
     )
 
 
