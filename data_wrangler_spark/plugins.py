@@ -63,6 +63,48 @@ class PluginError(ValueError):
     """Module not loadable, or it lacks the register_queries hook."""
 
 
+def make_salesforce_auth(login: Callable[[str, str], object]):
+    """Build a Salesforce-shaped `auth(info) -> dict` implementing the
+    reference's security-token retry dance (`plugins/salesforce.js:
+    19-47`): attempt `login(username, password)`; on failure, retry
+    EXACTLY ONCE with the security token CONCATENATED onto the
+    password (`info.password + info.securityToken`, salesforce.js:28)
+    — Salesforce's contract for logins from outside a trusted IP
+    range; on second failure return `{ok: false, error}` verbatim
+    (salesforce.js:31-33). A successful attempt attaches the live
+    connection under `info["conn"]` and returns `{ok: true, info}`
+    (salesforce.js:35-37,44-46).
+
+    `login(username, password)` is injected because no live
+    Salesforce exists in this environment: production wires a real
+    client; tests wire a fake that fails the first attempt. Raising
+    or returning a falsy value both count as login failure (jsforce
+    signals via the callback's `err`)."""
+
+    def _attempt(username: str, password: str):
+        try:
+            conn = login(username, password)
+        except Exception as exc:
+            return None, exc
+        return (conn, None) if conn else (None, "login failed")
+
+    def auth(info: dict) -> dict:
+        conn, err = _attempt(info.get("username"), info.get("password"))
+        if err is not None:
+            conn, err = _attempt(
+                info.get("username"),
+                str(info.get("password") or "")
+                + str(info.get("securityToken") or ""),
+            )
+            if err is not None:
+                return {"ok": False, "error": str(err)}
+        out = dict(info)
+        out["conn"] = conn
+        return {"ok": True, "info": out}
+
+    return auth
+
+
 def load_plugin(module_or_path: str) -> list[str]:
     """Load one plugin and return the query names it registered.
 

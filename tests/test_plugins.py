@@ -82,3 +82,98 @@ def test_register_auth_plugin_warns_on_replacement():
         assert AUTH_PLUGINS[name] is auth_b
     finally:
         AUTH_PLUGINS.pop(name, None)
+
+
+def test_salesforce_retry_contract():
+    """salesforce.js:19-47 pinned: first login fails → exactly ONE
+    retry with password+securityToken concatenated → ok with the
+    connection attached; two failures → {ok: false, error}
+    (VERDICT r6 #6)."""
+    from data_wrangler_spark.plugins import make_salesforce_auth
+
+    calls = []
+
+    def flaky_login(username, password):
+        calls.append((username, password))
+        if len(calls) == 1:
+            raise RuntimeError("INVALID_LOGIN: outside trusted IP range")
+        return {"session": "live"}
+
+    auth = make_salesforce_auth(flaky_login)
+    info = {"username": "u@x.com", "password": "pw", "securityToken": "TOK"}
+    rval = auth(info)
+    assert calls == [("u@x.com", "pw"), ("u@x.com", "pwTOK")]
+    assert rval["ok"] is True
+    assert rval["info"]["conn"] == {"session": "live"}
+    assert rval["info"]["username"] == "u@x.com"
+    # the caller's info dict is not mutated (jsforce mutates; the
+    # mirror returns a copy so a failed auth leaves no stale conn)
+    assert "conn" not in info
+
+    # first attempt succeeding never touches the security token
+    ok_calls = []
+
+    def good_login(username, password):
+        ok_calls.append((username, password))
+        return {"session": "first"}
+
+    rval = make_salesforce_auth(good_login)(info)
+    assert ok_calls == [("u@x.com", "pw")] and rval["ok"] is True
+
+    # both attempts failing relays the SECOND error, like the
+    # reference's `fn({ ok: false, error: e })` in the inner callback
+    def dead_login(username, password):
+        raise RuntimeError(f"bad creds for {password}")
+
+    rval = make_salesforce_auth(dead_login)(info)
+    assert rval == {"ok": False, "error": "bad creds for pwTOK"}
+
+
+def test_salesforce_retry_through_auth_route(spark, sf_dir):
+    """End-to-end: the retry plugin registered under 'salesforce',
+    /auth POST → first-fail → one retry → SESSION SAVED with the auth
+    info stashed under the service key (index.js:617-624)."""
+    from data_wrangler_spark.plugins import (
+        AUTH_PLUGINS,
+        make_salesforce_auth,
+        register_auth_plugin,
+    )
+    from data_wrangler_spark.server import GatewayServer
+
+    calls = []
+
+    def flaky_login(username, password):
+        calls.append(password)
+        if len(calls) == 1:
+            return None  # falsy err-path, like the jsforce callback
+        return {"session": "live"}
+
+    from contextlib import nullcontext
+
+    prev = AUTH_PLUGINS.get("salesforce")
+    with pytest.warns(UserWarning) if prev is not None else nullcontext():
+        register_auth_plugin("salesforce", make_salesforce_auth(flaky_login))
+    srv = GatewayServer(spark, sf_dir)
+    try:
+        code, body = srv.route(
+            "/auth",
+            method="POST",
+            body={
+                "service": "salesforce",
+                "auth": {
+                    "username": "u@x.com",
+                    "password": "pw",
+                    "securityToken": "TOK",
+                },
+            },
+        )
+        assert code == 200 and body["ok"] is True and body["token"]
+        assert calls == ["pw", "pwTOK"]
+        saved = srv.sessions.resolve(body["token"])
+        assert saved.get("salesforce")["conn"] == {"session": "live"}
+    finally:
+        if prev is not None:
+            with pytest.warns(UserWarning):
+                register_auth_plugin("salesforce", prev)
+        else:
+            AUTH_PLUGINS.pop("salesforce", None)
