@@ -49,7 +49,12 @@ def main() -> None:
     from data_wrangler_spark import REGISTRY
 
     spark = get_spark("bench")
-    names = [n for n in HEADLINE if n in REGISTRY]
+    # optional subset (comma-separated), e.g. the scan/join/agg/window
+    # flat set for the factor-50 probe where the pair-output dedup
+    # operators' quadratic OUTPUT would dominate the wall clock
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    wanted = subset.split(",") if subset else HEADLINE
+    names = [n for n in wanted if n in REGISTRY]
 
     # Reuse table DataFrame objects across queries: re-reading parquet
     # footers per query is fixed per-query overhead, not data-path

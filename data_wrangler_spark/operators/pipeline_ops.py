@@ -313,8 +313,64 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sweep-oracle prelude shared by q_dedup_cluster / q_dedup_keep_best:
+# materialize the Jaccard edge list as a TEMP TABLE first. Identical
+# semantics to the single-statement oracles below — restructured for
+# the oracle ENGINE, not the math: DuckDB 1.0 re-evaluates a plain CTE
+# at every reference, so `edges` inside a recursive CTE re-runs the
+# whole ~2-minute shingle self-join once per propagation round (and
+# AS MATERIALIZED makes it worse — measured >79 GB RSS at f5). Against
+# the temp table the same recursive closure finishes in 0.1 s at f5
+# (125k edges, largest component 95). verify_local prefers these; the
+# driver still gets the documented single-statement recursive oracle,
+# which is fine at its sf0.01 scale.
+def _cluster_edges_stmt(tmp: str) -> str:
+    return f"""
+    CREATE OR REPLACE TEMP TABLE {tmp} AS
+    WITH sh AS (
+      SELECT doc_id, {sql_shingles_of('w', 3)} AS shingles
+      FROM (SELECT doc_id, {sql_words('text')} AS w FROM documents)),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sh sa ON sa.doc_id = i.doc_a
+      JOIN sh sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.n_inter AS DOUBLE)
+              / (len(sa.shingles) + len(sb.shingles) - i.n_inter)
+            >= {CLUSTER_THRESHOLD})
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+    """
+
+
+def _cluster_comp_cte(tmp: str) -> str:
+    return f"""
+    WITH RECURSIVE reach AS (
+      SELECT doc_id AS node, doc_id AS label FROM documents
+      UNION
+      SELECT e.dst AS node, r.label FROM reach r JOIN {tmp} e ON e.src = r.node),
+    comp AS (SELECT node AS doc_id, MIN(label) AS component
+             FROM reach GROUP BY node)
+    """
+
+
 @register(
     "q_dedup_cluster",
+    oracle_sweep=f"""
+    {_cluster_edges_stmt('dwc_edges')};
+    {_cluster_comp_cte('dwc_edges')}
+    SELECT doc_id, component,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS n_members,
+           (doc_id = component) AS is_canonical
+    FROM comp
+    """,
     oracle=f"""
     WITH RECURSIVE
     sh AS (
@@ -653,6 +709,17 @@ def q_mix_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dedup_keep_best",
+    oracle_sweep=f"""
+    {_cluster_edges_stmt('dwk_edges')};
+    {_cluster_comp_cte('dwk_edges')},
+    ranked AS (
+      SELECT c.doc_id, c.component, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rk
+      FROM comp c JOIN documents d USING (doc_id))
+    SELECT doc_id, component, n_chars, (rk = 1) AS keep
+    FROM ranked
+    """,
     oracle=f"""
     WITH RECURSIVE
     sh AS (

@@ -29,6 +29,13 @@ class QuerySpec:
     tags: tuple[str, ...] = ()
     defaults: dict[str, Any] = field(default_factory=dict)
     doc: str = ""
+    # optional multi-statement DuckDB script computing the SAME result
+    # as `oracle`, restructured for the oracle ENGINE's sake (e.g. a
+    # temp-table edge list so DuckDB 1.0 doesn't re-evaluate a heavy
+    # CTE inside every recursive-CTE iteration). The local sweep
+    # (tools/verify_local.py) prefers it; the driver contract
+    # (oracle_sql()) still exports the single-statement `oracle`.
+    oracle_sweep: str | None = None
 
     def run(self, spark: SparkSession, sf_dir: str, **params: Any) -> DataFrame:
         kwargs = {**self.defaults, **params}
@@ -42,6 +49,7 @@ def register(
     name: str,
     oracle: str | None = None,
     tags: tuple[str, ...] = (),
+    oracle_sweep: str | None = None,
     **defaults: Any,
 ) -> Callable[[Callable[..., DataFrame]], Callable[..., DataFrame]]:
     """Decorator: register a query builder under ``name``.
@@ -61,6 +69,7 @@ def register(
             tags=tuple(tags),
             defaults=dict(defaults),
             doc=(fn.__doc__ or "").strip(),
+            oracle_sweep=oracle_sweep,
         )
         return fn
 

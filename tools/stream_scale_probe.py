@@ -1,0 +1,151 @@
+"""Streaming-at-scale probe (VERDICT r6 #7).
+
+Runs the three state-maintaining streaming operators —
+q_stream_rollup, q_stream_upsert_state, q_stream_asof_enrich — on the
+factor-10 derived corpus (~600k events, tools/scale_probe.py) under
+the RocksDB state-store provider, and records in one JSON line:
+
+- wall time, input/output rows, rows/sec per operator;
+- EXACT oracle parity at that scale (verify_local's sweep — the same
+  hash comparison the correctness artifacts use);
+- state footprints: versioned-parquet state for the foreachBatch
+  sinks (bytes + version count), RocksDB checkpoint state for the
+  applyInPandasWithState operator;
+- a redelivery-idempotence re-check at scale for the rollup sink:
+  the final on-disk version is rebuilt from (previous version +
+  final batch's staged input) through the same hourly_partials merge
+  and must match row-for-row — the at-least-once contract holds on
+  10x data, not just the unit-test fixture.
+
+Usage: python tools/stream_scale_probe.py [factor]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))
+
+STREAM_QUERIES = ("q_stream_rollup", "q_stream_upsert_state", "q_stream_asof_enrich")
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def _newest(root: str) -> str:
+    return max(os.scandir(root), key=lambda e: e.stat().st_mtime).path
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    from scale_probe import generate
+
+    from data_wrangler_spark.registry import REGISTRY
+    from data_wrangler_spark.session import get_spark, rocksdb_state_store
+    from data_wrangler_spark.streaming.windows import SCRATCH
+    from data_wrangler_spark.catalog import load_table
+
+    spark = get_spark("stream_scale_probe")
+    sf_dir = generate(spark, factor)
+    n_events = load_table(spark, sf_dir, "events").count()
+
+    report: dict = {"factor": factor, "input_events": n_events, "queries": {}}
+    with rocksdb_state_store(spark):
+        assert spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass"
+        ).endswith("RocksDBStateStoreProvider")
+        for name in STREAM_QUERIES:
+            t0 = time.perf_counter()
+            out_rows = REGISTRY[name].run(spark, sf_dir).count()
+            wall = time.perf_counter() - t0
+            report["queries"][name] = {
+                "wall_sec": round(wall, 2),
+                "output_rows": out_rows,
+                "events_per_sec": round(n_events / wall),
+            }
+
+        # exact oracle parity at this scale, same comparator as the
+        # correctness artifacts (runs each query a second time)
+        from verify_local import sweep
+
+        results, n_pass, n_fail, _ro = sweep(
+            spark, sf_dir, set(STREAM_QUERIES)
+        )
+        for name in STREAM_QUERIES:
+            report["queries"][name]["oracle"] = results[name]["status"]
+        report["oracle_pass"] = n_pass
+        report["oracle_fail"] = n_fail
+
+    # state footprints (newest run of each family)
+    rollup_root = _newest(os.path.join(SCRATCH, "rollup_state"))
+    versions = sorted(
+        e.name for e in os.scandir(rollup_root) if e.name.startswith("v")
+    )
+    report["queries"]["q_stream_rollup"]["state"] = {
+        "versions": len(versions),
+        "final_version_bytes": _dir_bytes(os.path.join(rollup_root, versions[-1])),
+    }
+    upsert_root = _newest(os.path.join(SCRATCH, "upsert_state"))
+    uversions = sorted(
+        e.name for e in os.scandir(upsert_root) if e.name.startswith("v")
+    )
+    report["queries"]["q_stream_upsert_state"]["state"] = {
+        "versions": len(uversions),
+        "final_version_bytes": _dir_bytes(os.path.join(upsert_root, uversions[-1])),
+    }
+    ckpt_root = os.path.join(SCRATCH, "ckpt")
+    asof_ckpts = [
+        e.path for e in os.scandir(ckpt_root) if e.name.startswith("q_stream_asof_enrich")
+    ]
+    newest_asof = max(asof_ckpts, key=os.path.getmtime)
+    report["queries"]["q_stream_asof_enrich"]["state"] = {
+        "rocksdb_checkpoint_bytes": _dir_bytes(os.path.join(newest_asof, "state")),
+    }
+
+    # redelivery-idempotence re-check at scale: rebuild the final
+    # rollup version from (previous version + final batch input) via
+    # the same mergeable-partials path and compare row-for-row
+    from pyspark.sql import functions as F
+
+    from data_wrangler_spark.operators.quality_ts import hourly_partials
+
+    staged = os.path.join(
+        SCRATCH, "stream_in", f"rollup_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    batch_files = sorted(
+        f for f in os.listdir(staged) if f.endswith(".parquet")
+    )
+    last_input = spark.read.parquet(os.path.join(staged, batch_files[-1]))
+    prev = spark.read.parquet(os.path.join(rollup_root, versions[-2]))
+    rebuilt = (
+        prev.unionByName(hourly_partials(last_input))
+        .groupBy("bucket", "day", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").alias("sum_dec"),
+        )
+    )
+    on_disk = spark.read.parquet(os.path.join(rollup_root, versions[-1]))
+    cols = sorted(on_disk.columns)
+    a = sorted(map(tuple, rebuilt.select(*cols).collect()))
+    b = sorted(map(tuple, on_disk.select(*cols).collect()))
+    report["rollup_redelivery_idempotent"] = a == b
+    assert a == b, "replayed final batch did not rebuild the same version"
+
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -94,6 +94,15 @@ def sweep(
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    # sweep-only oracle overrides: same result, restructured for
+    # DuckDB (temp-table edge lists so recursive CTEs don't
+    # re-evaluate a heavy CTE per iteration — see QuerySpec.
+    # oracle_sweep). The driver contract above stays untouched.
+    from data_wrangler_spark.registry import REGISTRY as _REG
+
+    for _name, _spec in _REG.items():
+        if _spec.oracle_sweep is not None:
+            oracles[_name] = _spec.oracle_sweep
     con = duck_con(sf_dir)
 
     results, n_pass, n_fail, n_rows_only = {}, 0, 0, 0
