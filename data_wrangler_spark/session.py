@@ -32,6 +32,15 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE's broadcast decision sees ACTUAL post-shuffle sizes, so it
+    # can be far more aggressive than the static estimate-based 10m
+    # default: a filtered fact side that lands at tens of MB at
+    # runtime converts SMJ→BHJ with local shuffle reads. Measured at
+    # the f50 probe (30M-row lineitem): q_inner_join 3.38→3.05s,
+    # q_join_multi 3.32→2.85s; raising the STATIC threshold instead
+    # regressed q_join_multi to 4.96s (estimate-blind broadcast of a
+    # 750k-row dim), so that one stays at its scale-safe default.
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "64m",
     # collect_list/collect_set run under ObjectHashAggregate, whose
     # default sort-based fallback kicks in at just 128 distinct keys
     # per task — far below any realistic partition. Raising it keeps
@@ -95,7 +104,13 @@ def get_spark(app_name: str = "data_wrangler_spark", cpus: int | None = None) ->
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # in local mode the driver heap IS the executor heap for all
+        # `cpus` task threads — 8g gave 32 CPU-bound tasks ~250 MB
+        # each and measurable GC stalls on the collect_list-heavy
+        # aggs (bench A/B: 24g took q_dedup_minhash 1.08→0.88s,
+        # q_triangles 1.42→1.16s, headline −4%). On a real cluster
+        # this knob is per-executor config, not here.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
