@@ -161,3 +161,76 @@ def read_jdbc_query(
         .option("fetchsize", str(fetchsize))
         .load()
     )
+
+
+# ── connection lifecycle — the reference's reconnect semantics ──────
+#
+# The reference wraps each configured connection in a node domain and,
+# when a FATAL connection-lost error surfaces (Postgres SQLSTATE
+# `57P01` admin_shutdown, node-mysql `PROTOCOL_CONNECTION_LOST`),
+# re-runs its connect thunk; any OTHER error re-throws
+# (`/root/reference/index.js:96-109`). Spark has no long-lived pooled
+# connection to babysit — every JDBC task opens a fresh connection —
+# so "reconnect" maps to RE-RUNNING THE ACTION: the retried read
+# opens new connections exactly as connectThunk re-created the pool.
+
+#: error signatures that mean "the CONNECTION died", not "the query is
+#: wrong": the reference's two literal codes plus standard SQLSTATE
+#: class 08 (connection exception — 08001 cannot-connect, 08003
+#: connection-does-not-exist, 08004 rejected, 08006 connection
+#: failure, 08S01 communication link failure; Derby signals a clean
+#: shutdown as 08006, which gives the embedded e2e test a REAL
+#: connection-termination to recover from).
+RECONNECT_SIGNATURES = (
+    "57P01",
+    "PROTOCOL_CONNECTION_LOST",
+    "08001",
+    "08003",
+    "08004",
+    "08006",
+    "08S01",
+)
+
+
+def is_connection_lost(exc: BaseException) -> bool:
+    """True iff the exception chain carries a connection-terminated
+    signature (`RECONNECT_SIGNATURES`). Py4J flattens the remote
+    SQLException chain into the message text, so a string scan over
+    the chain sees the SQLState wherever the JVM put it."""
+    seen: set[int] = set()
+    while exc is not None and id(exc) not in seen:
+        seen.add(id(exc))
+        msg = str(exc)
+        if any(sig in msg for sig in RECONNECT_SIGNATURES):
+            return True
+        exc = exc.__cause__ or exc.__context__
+    return False
+
+
+def with_reconnect(action, retries: int = 1, on_reconnect=None):
+    """Run ``action()``; on a connection-lost failure, retry up to
+    ``retries`` times (the reference reconnects indefinitely per
+    event; one bounded retry per call is the sane batch analog —
+    a still-down server then fails loudly). Non-connection errors
+    propagate unchanged, mirroring the reference's
+    ``cerr('Uncaught DB error!'); throw e``. ``on_reconnect(attempt,
+    exc)`` observes each recovery (the reference logs
+    'Reconnecting...')."""
+    import warnings
+
+    attempt = 0
+    while True:
+        try:
+            return action()
+        except Exception as exc:
+            if attempt >= retries or not is_connection_lost(exc):
+                raise
+            attempt += 1
+            if on_reconnect is not None:
+                on_reconnect(attempt, exc)
+            else:
+                warnings.warn(
+                    f"DB connection terminated ({exc!s:.120}); "
+                    f"reconnecting (attempt {attempt}/{retries})",
+                    stacklevel=2,
+                )

@@ -187,3 +187,83 @@ def test_derby_whole_query_delegation(spark, derby_db):
     rows = {r["REGION"]: (r["N"], r["TOTAL"]) for r in df.collect()}
     assert rows["east"][0] == 50 and rows["west"][0] == 50
     assert rows["west"][1] == sum(i * 1.5 for i in range(2, 101, 2))
+
+
+def test_reconnect_classifier_and_retry():
+    """index.js:96-109 mirrored: 57P01 / PROTOCOL_CONNECTION_LOST
+    (plus SQLSTATE class 08) retries the action; other errors
+    re-throw unchanged; retries are bounded."""
+    from data_wrangler_spark.sources.jdbc import (
+        is_connection_lost,
+        with_reconnect,
+    )
+
+    assert is_connection_lost(RuntimeError("FATAL: 57P01 admin_shutdown"))
+    assert is_connection_lost(RuntimeError("PROTOCOL_CONNECTION_LOST"))
+    assert is_connection_lost(RuntimeError("SQLState: 08006 connection failure"))
+    # chained cause is scanned too
+    outer = RuntimeError("task failed")
+    outer.__cause__ = RuntimeError("java.sql.SQLException: 08S01 link failure")
+    assert is_connection_lost(outer)
+    assert not is_connection_lost(RuntimeError("syntax error at or near"))
+
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError("FATAL: terminating connection (57P01)")
+        return "ok"
+
+    seen = []
+    assert (
+        with_reconnect(flaky, on_reconnect=lambda n, e: seen.append(n)) == "ok"
+    )
+    assert len(calls) == 2 and seen == [1]
+
+    # a query error must NOT be retried
+    def broken():
+        calls.append(2)
+        raise RuntimeError("ERROR: column nope does not exist")
+
+    calls.clear()
+    with pytest.raises(RuntimeError, match="does not exist"):
+        with_reconnect(broken)
+    assert calls == [2]
+
+    # a server that stays down exhausts the bounded retries loudly
+    def dead():
+        raise RuntimeError("08001 cannot establish connection")
+
+    with pytest.raises(RuntimeError, match="08001"):
+        with pytest.warns(UserWarning, match="reconnecting"):
+            with_reconnect(dead, retries=2)
+
+
+def test_derby_reconnect_after_real_shutdown(spark, derby_db):
+    """LIVE connection-termination round trip: shut the embedded Derby
+    database down (it raises SQLSTATE 08006, a real connection
+    failure), then read through with_reconnect — the retried action
+    opens fresh connections and Derby auto-boots, exactly the
+    reference's reconnect-then-continue behavior."""
+    from data_wrangler_spark.sources.jdbc import read_jdbc, with_reconnect
+
+    jvm = spark.sparkContext._jvm
+    try:
+        jvm.java.sql.DriverManager.getConnection(
+            f"jdbc:derby:{derby_db};shutdown=true"
+        )
+    except Exception as exc:  # a SUCCESSFUL shutdown signals 08006
+        assert "08006" in str(exc)
+
+    def action():
+        return read_jdbc(
+            spark,
+            adapter="derby",
+            host="",
+            database=derby_db,
+            table="remote_orders",
+            user="",
+        ).count()
+
+    assert with_reconnect(action) == 100
