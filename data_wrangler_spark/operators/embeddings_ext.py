@@ -719,3 +719,114 @@ def q_label_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cos_micro"),
     )
+
+
+KCENTER_K = 8  # q_select_kcenter: number of representatives
+
+
+def _sql_sqdist(a: str, b: str) -> str:
+    """Squared L2 distance as a strict LEFT FOLD over index order —
+    the same addition sequence Spark's F.aggregate performs, so the
+    doubles are bit-identical across engines (float32 inputs cast to
+    double exactly; each (x−y)² is one deterministic IEEE rounding;
+    DuckDB's list_reduce seeds with the first element, Spark with
+    0.0 — and 0.0 + t₁ ≡ t₁, so the fold sequences coincide)."""
+    return (
+        f"list_reduce(list_transform({a}, (x, i) -> "
+        f"(CAST(x AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+        f"(CAST(x AS DOUBLE) - CAST({b}[i] AS DOUBLE))), (p, q) -> p + q)"
+    )
+
+
+def _kcenter_oracle(k: int) -> str:
+    """Unrolled greedy farthest-point selection: K is a small model
+    constant, so the K−1 iterations become chained CTE pairs
+    (argmax pick → min-distance update) instead of a recursive CTE —
+    DuckDB's recursive term cannot aggregate, and chained
+    single-reference CTEs evaluate linearly (no re-evaluation
+    pathology)."""
+    parts = [
+        """
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings),
+    c0 AS (SELECT vec_id, e FROM base ORDER BY vec_id LIMIT 1),
+    d0 AS (
+      SELECT b.vec_id, b.e, """
+        + _sql_sqdist("b.e", "c.e")
+        + """ AS md
+      FROM base b, c0 c)"""
+    ]
+    for i in range(1, k):
+        parts.append(
+            f""",
+    c{i} AS (SELECT vec_id, e, md FROM d{i - 1}
+             ORDER BY md DESC, vec_id LIMIT 1),
+    d{i} AS (
+      SELECT d.vec_id, d.e, least(d.md, {_sql_sqdist('d.e', 'c.e')}) AS md
+      FROM d{i - 1} d, c{i} c)"""
+        )
+    picks = ["SELECT 0 AS rank, vec_id, CAST(NULL AS DOUBLE) AS sq_dist FROM c0"]
+    picks += [
+        f"SELECT {i} AS rank, vec_id, md AS sq_dist FROM c{i}" for i in range(1, k)
+    ]
+    return (
+        "".join(parts)
+        + "\n    SELECT CAST(rank AS INT) AS rank, vec_id, sq_dist FROM ("
+        + " UNION ALL ".join(picks)
+        + ") ORDER BY rank"
+    )
+
+
+@register(
+    "q_select_kcenter",
+    oracle=_kcenter_oracle(KCENTER_K),
+    tags=("llm", "embeddings", "sampling"),
+)
+def q_select_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) data selection — the coreset
+    strategy of Sener & Savarese (ICLR'18) used to pick maximally
+    DIVERSE training examples: start from the lowest vec_id, then
+    K−1 times take the vector farthest (squared L2) from everything
+    already selected, ties to the smaller vec_id. Complements the
+    similarity family's nearest-neighbor ops with the opposite
+    primitive (farthest-first traversal ≡ a 2-approximation of the
+    k-center cover).
+
+    Exactness: distances are strict index-order left folds on exact
+    float32→double values (see _sql_sqdist), so every comparison the
+    greedy argmax makes is over bit-identical doubles in both
+    engines; the oracle replays all K iterations as unrolled CTEs.
+
+    Scale: each round is (broadcast 1 new center) → per-row
+    least(md, dist) → TakeOrderedAndProject(1) — a K-round scan with
+    O(1) driver traffic per round and running min-distance state of
+    ONE double per row carried in the DataFrame (the classic
+    distributed farthest-point sweep; no pairwise matrix ever
+    exists). K is a model constant, so the plan is K chained narrow
+    stages; localCheckpoint truncates lineage each round."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("e")
+    )
+
+    def sqdist_to(center: list) -> F.Column:
+        c = F.array(*[F.lit(float(v)) for v in center])
+        return F.aggregate(
+            F.zip_with(F.col("e"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    first = e.orderBy("vec_id").limit(1).collect()[0]
+    picks = [(0, first.vec_id, None)]
+    cur = e.withColumn("md", sqdist_to(first.e)).localCheckpoint()
+    for rank in range(1, KCENTER_K):
+        far = cur.orderBy(F.desc("md"), F.asc("vec_id")).limit(1).collect()[0]
+        picks.append((rank, far.vec_id, far.md))
+        if rank < KCENTER_K - 1:
+            cur = cur.withColumn(
+                "md", F.least(F.col("md"), sqdist_to(far.e))
+            ).localCheckpoint()
+    return spark.createDataFrame(
+        picks, "rank int, vec_id long, sq_dist double"
+    ).orderBy("rank")

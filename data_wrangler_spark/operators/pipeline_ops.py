@@ -938,3 +938,60 @@ def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("div(n_chars * 1000000, mx)").alias("fill_micro"),
         F.expr("div(mx * 1000000, mn)").alias("imbalance_micro"),
     )
+
+
+DOMAIN_CAP_PCT = 2  # per-source ceiling as a percent of the corpus
+
+
+@register(
+    "q_domain_cap",
+    oracle=f"""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents),
+    ranked AS (
+      SELECT doc_id, source, lang,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {_sql_md5_long("CAST(doc_id AS VARCHAR)", seed=11)},
+                        doc_id
+             ) AS BIGINT) AS rk
+      FROM documents)
+    SELECT r.doc_id, r.source, r.lang, r.rk
+    FROM ranked r, n
+    WHERE r.rk <= (n.n_total * {DOMAIN_CAP_PCT} + 99) // 100
+    """,
+    tags=("llm", "pipeline"),
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document caps — the Common-Crawl-style guard against
+    a single source dominating the training mix (C4 and RefinedWeb
+    both cap per-domain contributions): every source keeps at most
+    ⌈{DOMAIN_CAP_PCT}% of the corpus⌉ documents, chosen by a SEEDED
+    md5 rank (deterministic, engine-independent, and uncorrelated
+    with doc_id order, so the kept subset is an unbiased sample of
+    the domain). The ceiling is computed with the positive-integer
+    floor-div identity `(n·pct + 99) // 100` — identical in Spark's
+    `div` and DuckDB's `//` for positive operands.
+
+    Scale: one window per source partition (partition-parallel, no
+    global sort — frames are domain-sized) and a broadcast 1-row
+    corpus total; at 100 TB this is a scan + one shuffle on source.
+    A skewed mega-domain makes one fat window partition: pre-salt by
+    md5-bucket and cap per (source, bucket) with a per-bucket quota
+    if a single domain exceeds a task's row budget."""
+    d = load_table(spark, sf_dir, "documents")
+    totals = d.agg(F.count("*").cast("bigint").alias("n_total"))
+    w = Window.partitionBy("source").orderBy(
+        _md5_long(F.col("doc_id").cast("string"), 11), "doc_id"
+    )
+    ranked = d.select(
+        "doc_id", "source", "lang",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(totals))
+        .filter(
+            F.col("rk")
+            <= F.expr(f"div(n_total * {DOMAIN_CAP_PCT} + 99, 100)")
+        )
+        .select("doc_id", "source", "lang", "rk")
+    )

@@ -742,3 +742,69 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("div(n_symbols_bpe * 1000000, n_chars_raw)"),
         )
     )
+
+
+@register(
+    "q_tokenizer_fertility",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, n_chars,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT)
+               AS n_tokens,
+             CAST(len({sql_words('text')}) AS BIGINT) AS n_words
+      FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)      AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT)  AS n_chars,
+           CAST(SUM(n_bytes) AS BIGINT)  AS n_bytes,
+           (SUM(n_chars) * 1000000) // SUM(n_tokens)  AS chars_per_token_micro,
+           (SUM(n_bytes) * 1000000) // SUM(n_tokens)  AS bytes_per_token_micro,
+           (SUM(n_tokens) * 1000000) // SUM(n_words)  AS fertility_micro
+    FROM t
+    GROUP BY lang
+    """,
+    tags=("llm", "text"),
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer-fertility audit: tokens per word
+    (fertility — the standard measure of how much a tokenizer
+    fragments a language), chars per token, and bytes per token
+    under the BPE-ish regex tokenizer. These ratios drive tokenizer
+    and mix decisions (a language with 2× fertility pays 2× the
+    sequence length for the same text) and, because byte counts
+    diverge from char counts exactly where multi-byte scripts live,
+    the bytes/chars pair doubles as an encoding audit. Ratios are
+    exact integer MICRO-UNITS via the positive-operand floor-div
+    identity (Spark `div` == DuckDB `//`); sums are exact BIGINTs.
+
+    Scale: a single scan-side projection (regexp token counts,
+    octet_length) plus one hash aggregation on lang — partial
+    (map-side) combine makes shuffle volume |langs| rows regardless
+    of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        "n_chars",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0))
+        .cast("long")
+        .alias("n_tokens"),
+        F.size(words("text")).cast("long").alias("n_words"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("n_bytes").alias("n_bytes"),
+        F.expr("div(sum(n_chars) * 1000000, sum(n_tokens))").alias(
+            "chars_per_token_micro"
+        ),
+        F.expr("div(sum(n_bytes) * 1000000, sum(n_tokens))").alias(
+            "bytes_per_token_micro"
+        ),
+        F.expr("div(sum(n_tokens) * 1000000, sum(n_words))").alias(
+            "fertility_micro"
+        ),
+    )

@@ -169,3 +169,26 @@ def test_label_similarity_matches_numpy_centroid_cosine(spark, sf_dir):
         a, b = cents[r.label_a], cents[r.label_b]
         cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert abs(r.cos_micro / 1e6 - cos) < 1e-5
+
+
+def test_kcenter_greedy_invariants(spark, sf_dir):
+    """Farthest-point selection: K distinct picks, rank 0 is the
+    lowest vec_id, and the selected max-min distance is
+    NON-INCREASING (adding a center can only shrink every min
+    distance — the 2-approximation's monotonicity)."""
+    from data_wrangler_spark.operators.embeddings_ext import KCENTER_K
+    from data_wrangler_spark.registry import REGISTRY
+    from data_wrangler_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    rows = REGISTRY["q_select_kcenter"].run(spark, sf_dir).collect()
+    assert [r.rank for r in rows] == list(range(KCENTER_K))
+    ids = [r.vec_id for r in rows]
+    assert len(set(ids)) == KCENTER_K
+    min_id = load_table(spark, sf_dir, "embeddings").agg(
+        F.min("vec_id")
+    ).first()[0]
+    assert ids[0] == min_id and rows[0].sq_dist is None
+    dists = [r.sq_dist for r in rows[1:]]
+    assert all(d > 0 for d in dists)
+    assert all(a >= b for a, b in zip(dists, dists[1:]))

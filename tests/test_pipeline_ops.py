@@ -229,3 +229,40 @@ def test_shard_balance_partitions_whole_corpus(spark, sf_dir):
     imb = rows[0].imbalance_micro
     assert all(r.imbalance_micro == imb for r in rows)
     assert 1_000_000 <= imb < 2_000_000, imb
+
+
+def test_domain_cap_enforced_and_unbiased(spark, sf_dir):
+    """No source exceeds ceil(2% of corpus); ranks are 1..cap and the
+    kept subset is hash-ordered (deterministic re-run)."""
+    from pyspark.sql import functions as F
+
+    from data_wrangler_spark.catalog import load_table
+    from data_wrangler_spark.operators.pipeline_ops import DOMAIN_CAP_PCT
+    from data_wrangler_spark.registry import REGISTRY
+
+    n_total = load_table(spark, sf_dir, "documents").count()
+    cap = (n_total * DOMAIN_CAP_PCT + 99) // 100
+    out = REGISTRY["q_domain_cap"].run(spark, sf_dir)
+    per = out.groupBy("source").agg(
+        F.count("*").alias("n"), F.max("rk").alias("mx")
+    )
+    for r in per.collect():
+        assert r.n <= cap and r.mx <= cap
+    # deterministic: same rows on a re-run
+    again = {tuple(r) for r in REGISTRY["q_domain_cap"].run(spark, sf_dir).collect()}
+    assert {tuple(r) for r in out.collect()} == again
+
+
+def test_tokenizer_fertility_sane(spark, sf_dir):
+    """Fertility ≥ 1 (the BPE-ish regex never merges across
+    whitespace, so tokens ≥ words), bytes ≥ chars (multi-byte
+    scripts), and the micro ratios reproduce the integer division of
+    the summed counts."""
+    from data_wrangler_spark.registry import REGISTRY
+
+    rows = REGISTRY["q_tokenizer_fertility"].run(spark, sf_dir).collect()
+    assert len(rows) >= 3
+    for r in rows:
+        assert r.fertility_micro >= 1_000_000, r
+        assert r.n_bytes >= r.n_chars
+        assert r.chars_per_token_micro == r.n_chars * 1_000_000 // r.n_tokens
