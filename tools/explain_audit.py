@@ -86,6 +86,10 @@ AUDIT = [
     ("q_join_null_skew", "null-key segregation: IsNotNull join + bypass union"),
     ("q_dq_checks", "expectation suite: anti-join FK checks, one row per check"),
     ("q_moving_median", "rolling median: day rollup + bounded expand, one shuffle"),
+    ("q_dedup_embed", "label-blocked GEMM: flat-array sub-blocks, pairs never shuffle"),
+    ("q_domain_cap", "per-source window + broadcast 1-row total, no global sort"),
+    ("q_tokenizer_fertility", "scan-side token counts, |langs|-row partial agg"),
+    ("q_select_kcenter", "K broadcast-sweep rounds, one running double per row"),
 ]
 
 
