@@ -759,9 +759,12 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
            CAST(SUM(n_chars) AS BIGINT)  AS n_chars,
            CAST(SUM(n_bytes) AS BIGINT)  AS n_bytes,
-           (SUM(n_chars) * 1000000) // SUM(n_tokens)  AS chars_per_token_micro,
-           (SUM(n_bytes) * 1000000) // SUM(n_tokens)  AS bytes_per_token_micro,
-           (SUM(n_tokens) * 1000000) // SUM(n_words)  AS fertility_micro
+           CAST((SUM(n_chars) * 1000000) // SUM(n_tokens) AS BIGINT)
+             AS chars_per_token_micro,
+           CAST((SUM(n_bytes) * 1000000) // SUM(n_tokens) AS BIGINT)
+             AS bytes_per_token_micro,
+           CAST((SUM(n_tokens) * 1000000) // SUM(n_words) AS BIGINT)
+             AS fertility_micro
     FROM t
     GROUP BY lang
     """,
