@@ -1221,3 +1221,73 @@ def q_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_days"),
         F.expr("median(total)").alias("med_total"),
     )
+
+
+@register(
+    "q_skew_audit",
+    oracle="""
+    WITH counts AS (
+      SELECT l_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1),
+    hot AS (SELECT key AS hot_key, cnt AS hot_cnt
+            FROM counts ORDER BY cnt DESC, key LIMIT 1),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT)  AS n_keys,
+             CAST(SUM(cnt) AS BIGINT)  AS n_rows,
+             CAST(MAX(cnt) AS BIGINT)  AS max_group,
+             quantile_cont(cnt, 0.5)   AS p50_group,
+             quantile_cont(cnt, 0.99)  AS p99_group
+      FROM counts)
+    SELECT s.n_keys, s.n_rows, s.max_group, s.p50_group, s.p99_group,
+           h.hot_key, h.hot_cnt,
+           CAST((s.max_group * 1000000) // s.n_rows AS BIGINT)
+             AS top1_share_micro
+    FROM stats s, hot h
+    """,
+    tags=("ext", "quality"),
+)
+def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit — the diagnostic a 100 TB job runs
+    BEFORE picking a join/agg strategy on a key: per-key group sizes
+    reduced to distinct-key count, max / exact p50 / exact p99 group
+    size (F.percentile ≡ DuckDB quantile_cont, the q_agg_percentile
+    parity), the hottest key itself (ties to the smaller key), and
+    the top-1 key's row share in integer micro-units. max/p50 ≫ 1 or
+    a large top-1 share is precisely the signal that routes a plan to
+    the engine's three skew weapons (salted join q_join_skewed,
+    salted two-phase distinct q_agg_skewed, null-key segregation
+    q_join_null_skew) or to AQE's skew-join split.
+
+    Scale: pass 1 is a partial-agg count per key (map-side combine —
+    shuffle volume is |keys| rows); pass 2 aggregates the |keys|-row
+    counts table (exact percentile sorts ONLY the counts table, not
+    the data; at extreme key cardinality swap in percentile_approx).
+    The hot-key probe is a 1-row TakeOrderedAndProject broadcast back
+    onto the 1-row stats frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    pin(counts.persist())
+    stats = counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_group"),
+        F.percentile("cnt", 0.5).alias("p50_group"),
+        F.percentile("cnt", 0.99).alias("p99_group"),
+    )
+    hot = (
+        counts.orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(1)
+        .select(F.col("key").alias("hot_key"), F.col("cnt").alias("hot_cnt"))
+    )
+    return stats.crossJoin(F.broadcast(hot)).select(
+        "n_keys",
+        "n_rows",
+        "max_group",
+        "p50_group",
+        "p99_group",
+        "hot_key",
+        "hot_cnt",
+        F.expr("div(max_group * 1000000, n_rows)").alias("top1_share_micro"),
+    )

@@ -263,3 +263,18 @@ def test_moving_median_matches_bruteforce(spark, sf_dir):
         window = [v for d, v in daily.items() if 0 <= (r.day - d).days <= 6]
         assert r.n_days == len(window)
         assert abs(r.med_total - pystats.median(window)) < 1e-9
+
+
+def test_skew_audit_consistency(spark, sf_dir):
+    """The audit's own invariants: n_rows = table count, hot_cnt =
+    max_group, p50 ≤ p99 ≤ max, top-1 share reproduces the integer
+    division."""
+    from data_wrangler_spark.catalog import load_table
+    from data_wrangler_spark.registry import REGISTRY
+
+    (r,) = REGISTRY["q_skew_audit"].run(spark, sf_dir).collect()
+    assert r.n_rows == load_table(spark, sf_dir, "lineitem").count()
+    assert r.hot_cnt == r.max_group
+    assert r.p50_group <= r.p99_group <= r.max_group
+    assert r.top1_share_micro == r.max_group * 1_000_000 // r.n_rows
+    assert r.n_keys > 0 and r.hot_key is not None

@@ -90,6 +90,7 @@ AUDIT = [
     ("q_domain_cap", "per-source window + broadcast 1-row total, no global sort"),
     ("q_tokenizer_fertility", "scan-side token counts, |langs|-row partial agg"),
     ("q_select_kcenter", "K broadcast-sweep rounds, one running double per row"),
+    ("q_skew_audit", "skew audit: partial-agg key counts, stats over |keys| rows"),
 ]
 
 
