@@ -581,7 +581,11 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     raw = load_table(spark, sf_dir, "embeddings")
-    max_label_n = raw.groupBy("label").count().agg(F.max("count")).first()[0]
+    # `or 0`: max over an empty table is NULL — an empty corpus must
+    # yield an empty result, not a TypeError at plan-build time
+    max_label_n = (
+        raw.groupBy("label").count().agg(F.max("count")).first()[0] or 0
+    )
     n_blocks = max(1, (int(max_label_n) + 511) // 512)
     e = raw.select(
         "vec_id",

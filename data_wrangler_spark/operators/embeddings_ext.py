@@ -739,42 +739,54 @@ def _sql_sqdist(a: str, b: str) -> str:
 
 
 def _kcenter_oracle(k: int) -> str:
-    """Unrolled greedy farthest-point selection: K is a small model
-    constant, so the K−1 iterations become chained CTE pairs
-    (argmax pick → min-distance update) instead of a recursive CTE —
-    DuckDB's recursive term cannot aggregate, and chained
-    single-reference CTEs evaluate linearly (no re-evaluation
-    pathology)."""
-    parts = [
-        """
-    WITH base AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings),
-    c0 AS (SELECT vec_id, e FROM base ORDER BY vec_id LIMIT 1),
-    d0 AS (
-      SELECT b.vec_id, b.e, """
-        + _sql_sqdist("b.e", "c.e")
-        + """ AS md
-      FROM base b, c0 c)"""
-    ]
+    """Unrolled greedy farthest-point selection as a STRICTLY LINEAR
+    CTE chain: K is a small model constant, so the K−1 iterations
+    unroll — but each level must be referenced EXACTLY ONCE, because
+    DuckDB 1.0 re-evaluates a plain CTE at every reference (the
+    q_dedup_cluster oracle_sweep pathology: a c{i}/d{i} pair chain
+    whose levels are referenced twice doubles evaluations per level,
+    ~2^K scans of the base table). Each level therefore computes its
+    own argmax pick via FIRST_VALUE window broadcasts (no second CTE
+    reference) and threads the accumulated picks list through as a
+    column; the final SELECT unnests the list from one row of the
+    last level. (A recursive CTE can\'t express this at all — the
+    recursive term cannot aggregate.)"""
+    dist_pe = _sql_sqdist("e", "pe")
+    lvl0 = """
+    WITH d0 AS (
+      SELECT vec_id, e,
+             """ + _sql_sqdist("e", "pe") + """ AS md,
+             [{'rank': 0, 'vec_id': pv, 'md': CAST(NULL AS DOUBLE)}] AS picks
+      FROM (
+        SELECT vec_id, e,
+               first_value(vec_id) OVER w AS pv,
+               first_value(e)      OVER w AS pe
+        FROM (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings)
+        WINDOW w AS (ORDER BY vec_id)))"""
+    parts = [lvl0]
     for i in range(1, k):
-        parts.append(
-            f""",
-    c{i} AS (SELECT vec_id, e, md FROM d{i - 1}
-             ORDER BY md DESC, vec_id LIMIT 1),
+        parts.append(f""",
     d{i} AS (
-      SELECT d.vec_id, d.e, least(d.md, {_sql_sqdist('d.e', 'c.e')}) AS md
-      FROM d{i - 1} d, c{i} c)"""
-        )
-    picks = ["SELECT 0 AS rank, vec_id, CAST(NULL AS DOUBLE) AS sq_dist FROM c0"]
-    picks += [
-        f"SELECT {i} AS rank, vec_id, md AS sq_dist FROM c{i}" for i in range(1, k)
-    ]
+      SELECT vec_id, e,
+             least(md, {dist_pe}) AS md,
+             list_append(picks,
+                         {{'rank': {i}, 'vec_id': pv, 'md': pm}}) AS picks
+      FROM (
+        SELECT vec_id, e, md, picks,
+               first_value(vec_id) OVER w AS pv,
+               first_value(e)      OVER w AS pe,
+               first_value(md)     OVER w AS pm
+        FROM d{i - 1}
+        WINDOW w AS (ORDER BY md DESC, vec_id)))""")
     return (
         "".join(parts)
-        + "\n    SELECT CAST(rank AS INT) AS rank, vec_id, sq_dist FROM ("
-        + " UNION ALL ".join(picks)
-        + ") ORDER BY rank"
+        + f"""
+    SELECT CAST(p.rank AS INT) AS rank, p.vec_id, p.md AS sq_dist
+    FROM (SELECT unnest(picks, recursive := true)
+          FROM (SELECT picks FROM d{k - 1} LIMIT 1)) p
+    ORDER BY rank"""
     )
 
 

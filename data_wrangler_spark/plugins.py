@@ -86,7 +86,12 @@ def make_salesforce_auth(login: Callable[[str, str], object]):
             conn = login(username, password)
         except Exception as exc:
             return None, exc
-        return (conn, None) if conn else (None, "login failed")
+        # only None (the callback's missing-result case) is failure:
+        # jsforce signals errors via `err`, and JS falsiness differs
+        # from Python's ([]/{}/empty clients are TRUTHY in JS — the
+        # sessions.py parity rule), so a falsy-but-present connection
+        # object must count as success
+        return (conn, None) if conn is not None else (None, "login failed")
 
     def auth(info: dict) -> dict:
         conn, err = _attempt(info.get("username"), info.get("password"))

@@ -262,6 +262,13 @@ class GatewayServer:
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
+            # bounded socket reads: with non-daemon handler threads
+            # (stop() joins them), an idle client that opened a
+            # connection and sent nothing would otherwise block
+            # rfile.readline() forever and hang stop(); on timeout the
+            # handler closes the connection and exits
+            timeout = 10
+
             def log_message(self, *a):  # quiet test logs
                 pass
 

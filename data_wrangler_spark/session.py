@@ -90,6 +90,20 @@ def shuffle_width(spark: SparkSession, n_keys: int, rows_per_task: int = 50_000)
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def _default_heap() -> str:
+    """Local-mode heap default: min(24g, 40% of MemTotal), floor 2g.
+    Conservative fallback of 8g when /proc/meminfo is unreadable."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(2, min(24, (total_gb * 2) // 5))}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 def get_spark(app_name: str = "data_wrangler_spark", cpus: int | None = None) -> SparkSession:
     """Build (or reuse) a session with engine defaults.
 
@@ -108,9 +122,14 @@ def get_spark(app_name: str = "data_wrangler_spark", cpus: int | None = None) ->
         # `cpus` task threads — 8g gave 32 CPU-bound tasks ~250 MB
         # each and measurable GC stalls on the collect_list-heavy
         # aggs (bench A/B: 24g took q_dedup_minhash 1.08→0.88s,
-        # q_triangles 1.42→1.16s, headline −4%). On a real cluster
-        # this knob is per-executor config, not here.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # q_triangles 1.42→1.16s, headline −4%). Capped at ~40% of
+        # physical RAM so the default stays safe on small hosts
+        # (a fixed 24g would invite the OOM killer on a 16 GB box).
+        # On a real cluster this knob is per-executor config, not here.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_heap()),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
     )

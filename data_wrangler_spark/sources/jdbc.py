@@ -192,16 +192,27 @@ RECONNECT_SIGNATURES = (
 )
 
 
+#: signatures as standalone tokens: a bare substring scan would let a
+#: longer digit run embed a code ('Task 308001 failed' contains
+#: '08001') and misclassify a query error as connection loss
+_RECONNECT_RE = re.compile(
+    "|".join(
+        f"(?<![0-9A-Za-z]){re.escape(sig)}(?![0-9A-Za-z])"
+        for sig in RECONNECT_SIGNATURES
+    )
+)
+
+
 def is_connection_lost(exc: BaseException) -> bool:
     """True iff the exception chain carries a connection-terminated
-    signature (`RECONNECT_SIGNATURES`). Py4J flattens the remote
-    SQLException chain into the message text, so a string scan over
-    the chain sees the SQLState wherever the JVM put it."""
+    signature (`RECONNECT_SIGNATURES`, matched as standalone tokens).
+    Py4J flattens the remote SQLException chain into the message
+    text, so a string scan over the chain sees the SQLState wherever
+    the JVM put it."""
     seen: set[int] = set()
     while exc is not None and id(exc) not in seen:
         seen.add(id(exc))
-        msg = str(exc)
-        if any(sig in msg for sig in RECONNECT_SIGNATURES):
+        if _RECONNECT_RE.search(str(exc)):
             return True
         exc = exc.__cause__ or exc.__context__
     return False

@@ -206,6 +206,11 @@ def test_reconnect_classifier_and_retry():
     outer.__cause__ = RuntimeError("java.sql.SQLException: 08S01 link failure")
     assert is_connection_lost(outer)
     assert not is_connection_lost(RuntimeError("syntax error at or near"))
+    # signatures match as standalone tokens only: digit runs that
+    # merely EMBED a code are not connection loss
+    assert not is_connection_lost(RuntimeError("Task 308001 failed: column nope"))
+    assert not is_connection_lost(RuntimeError("row id 1080013 rejected"))
+    assert is_connection_lost(RuntimeError("SQLState: 08001"))
 
     calls = []
 

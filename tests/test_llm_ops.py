@@ -438,3 +438,15 @@ def test_dedup_eval_confusion_consistency(spark, sf_dir):
     assert r.n_true > 0 and r.n_pred > 0
     assert r.recall_micro >= 800000, r.recall_micro
     assert r.precision_micro < 1000000
+
+
+def test_dedup_embed_empty_table(spark, tmp_path):
+    """An empty embeddings table yields an empty result, not a
+    plan-build TypeError from int(None) on the max label size."""
+    from data_wrangler_spark.registry import REGISTRY
+
+    src = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    empty_dir = str(tmp_path / "empty_sf")
+    src.limit(0).write.parquet(f"{empty_dir}/embeddings.parquet")
+    out = REGISTRY["q_dedup_embed"].run(spark, empty_dir)
+    assert out.count() == 0

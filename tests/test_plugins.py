@@ -128,6 +128,19 @@ def test_salesforce_retry_contract():
     rval = make_salesforce_auth(dead_login)(info)
     assert rval == {"ok": False, "error": "bad creds for pwTOK"}
 
+    # JS-falsiness parity (the sessions.py rule): a present but
+    # Python-falsy connection object is SUCCESS — jsforce signals
+    # failure via err/None, not via truthiness of the result
+    falsy_calls = []
+
+    def falsy_login(username, password):
+        falsy_calls.append(password)
+        return {}
+
+    rval = make_salesforce_auth(falsy_login)(info)
+    assert falsy_calls == ["pw"] and rval["ok"] is True
+    assert rval["info"]["conn"] == {}
+
 
 def test_salesforce_retry_through_auth_route(spark, sf_dir):
     """End-to-end: the retry plugin registered under 'salesforce',

@@ -495,3 +495,11 @@ def test_plugin_query_route_is_session_gated(server):
     finally:
         AUTH_PLUGINS.pop("salesforce", None)
         server.sessions.drop("sf-tok")
+
+
+def test_handler_socket_timeout_bounds_drain(server):
+    """With non-daemon handler threads, stop() joins in-flight
+    handlers — so an idle client connection must be bounded by the
+    handler's socket timeout or stop() would hang forever."""
+    assert server.httpd.RequestHandlerClass.timeout == 10
+    assert server.httpd.daemon_threads is False
