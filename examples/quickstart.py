@@ -47,9 +47,10 @@ def main() -> None:
     print("— the reference catalog over HTTP —")
     srv = GatewayServer(spark, sf_dir).start()
     try:
-        with urllib.request.urlopen(srv.base_url + "/q/test/lineItems/1") as r:
+        with urllib.request.urlopen(srv.base_url + "/q/billing/lineitems/1") as r:
             rows = json.loads(r.read())
-        print(f"GET /q/test/lineItems/1 -> {len(rows)} rows")
+        print(f"GET /q/billing/lineitems/1 -> {len(rows)} rows"
+              "  (the reference config.json URL, verbatim)")
         if rows:
             print(json.dumps(rows[0], default=str)[:120], "...")
     finally:
