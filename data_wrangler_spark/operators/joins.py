@@ -421,3 +421,99 @@ def q_join_null_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_spend"),
     )
+
+
+INCIDENT_SECS = 7200  # q_join_interval: incident window length
+INCIDENT_K = 90       # props.k threshold selecting incident events
+
+
+@register(
+    "q_join_interval",
+    oracle=f"""
+    WITH clk AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events WHERE event_type = 'click'),
+    a AS (
+      SELECT user_id, sec // 86400 AS day_idx,
+             MIN(sec) AS a_start, MAX(sec) AS a_end
+      FROM clk GROUP BY 1, 2),
+    b AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT)                    AS b_start,
+             CAST(floor(epoch(ts)) AS BIGINT) + {INCIDENT_SECS}  AS b_end
+      FROM events
+      WHERE event_type = 'purchase'
+        AND CAST(json_extract(props, '$.k') AS INT) > {INCIDENT_K})
+    SELECT a.user_id, a.day_idx, a.a_start, a.a_end,
+           CAST(COUNT(*) AS BIGINT) AS n_incidents,
+           CAST(SUM(least(a.a_end, b.b_end)
+                    - greatest(a.a_start, b.b_start)) AS BIGINT)
+             AS overlap_secs
+    FROM a JOIN b
+      ON a.a_start <= b.b_end AND b.b_start <= a.a_end
+    GROUP BY 1, 2, 3, 4
+    """,
+    tags=("ext", "join"),
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP join (the temporal workhorse q_join_range's
+    point-in-range form can't express): per-user daily click-activity
+    intervals ⨝ 2-hour incident windows (high-k purchases) on
+    `a_start ≤ b_end AND b_start ≤ a_end`, aggregated to incidents
+    touched and exact overlapped seconds per user-day. All interval
+    arithmetic runs in truncated epoch SECONDS (the behavioral.py
+    idiom — `F.unix_timestamp` ≡ DuckDB `floor(epoch(ts))`), so
+    every bound, comparison, and duration is integer-exact in both
+    engines.
+
+    Plan: the oracle states the declarative overlap theta-join; the
+    Spark plan is the BIN-BUCKETED form that scales — each activity
+    interval lives inside exactly ONE day bin (it is built per day),
+    each incident window explodes to the ≤2 day bins it touches
+    (`sequence` of day indices), and the join becomes a day-keyed
+    EQUI-join + residual overlap filter. Every overlapping pair meets
+    in exactly one bin (the a-side has one bin), so no pair dedup is
+    needed — hash-equality against the un-binned oracle proves the
+    decomposition lossless. At 100 TB this is the standard
+    interval-join recipe: bin width ≈ median interval length, fan-out
+    bounded by ⌈len/width⌉+1 per row, shuffle on the bin key replaces
+    the quadratic broadcast-nested-loop; skewed bins (an incident
+    storm) fall to AQE's skew split."""
+    ev = _t(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    a = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", sec.alias("sec"))
+        .withColumn("day_idx", F.expr("div(sec, 86400)"))
+        .groupBy("user_id", "day_idx")
+        .agg(F.min("sec").alias("a_start"), F.max("sec").alias("a_end"))
+    )
+    b = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & (F.get_json_object("props", "$.k").cast("int") > INCIDENT_K)
+        )
+        .select(sec.alias("b_start"))
+        .withColumn("b_end", F.col("b_start") + INCIDENT_SECS)
+        .withColumn(
+            "day_idx",
+            F.explode(
+                F.sequence(
+                    F.expr("div(b_start, 86400)"), F.expr("div(b_end, 86400)")
+                )
+            ),
+        )
+    )
+    return (
+        a.join(b, "day_idx")
+        .filter(
+            (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+        )
+        .groupBy("user_id", "day_idx", "a_start", "a_end")
+        .agg(
+            F.count("*").alias("n_incidents"),
+            F.sum(
+                F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
+            ).alias("overlap_secs"),
+        )
+    )

@@ -125,3 +125,19 @@ def test_recursive_hierarchy_depth_is_digit_count(spark, sf_dir):
         expect[(len(s) - 1, int(s[0]))] += 1
     got = {(r.depth, r.root): r.n_customers for r in rows}
     assert got == expect
+
+
+def test_join_interval_overlap_semantics(spark, sf_dir):
+    """Bin decomposition sanity beyond the oracle hash: every output
+    row's overlap length is positive and bounded by both the window
+    length and the activity interval; n_incidents >= 1."""
+    from data_wrangler_spark.operators.joins import INCIDENT_SECS
+    from data_wrangler_spark.registry import REGISTRY
+
+    rows = REGISTRY["q_join_interval"].run(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_incidents >= 1
+        assert 0 <= r.overlap_secs <= r.n_incidents * min(
+            INCIDENT_SECS, r.a_end - r.a_start or INCIDENT_SECS
+        )

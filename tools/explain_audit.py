@@ -91,6 +91,7 @@ AUDIT = [
     ("q_tokenizer_fertility", "scan-side token counts, |langs|-row partial agg"),
     ("q_select_kcenter", "K broadcast-sweep rounds, one running double per row"),
     ("q_skew_audit", "skew audit: partial-agg key counts, stats over |keys| rows"),
+    ("q_join_interval", "interval overlap as day-bin equi-join + residual"),
 ]
 
 
