@@ -995,3 +995,113 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "lang", "rk")
     )
+
+
+from data_wrangler_spark.operators.text_analysis import (
+    GOPHER_MAX_SHORT_FRAC,
+    GOPHER_MAX_MEAN_WLEN,
+    GOPHER_MAX_WORDS,
+    GOPHER_MIN_MEAN_WLEN,
+    GOPHER_MIN_STOPWORD_HITS,
+    GOPHER_MIN_WORDS,
+    GOPHER_STOPWORDS,
+)
+
+_GOPHER_HITS_SQL = " + ".join(
+    f"CAST(list_contains(w, '{s}') AS INT)" for s in GOPHER_STOPWORDS
+)
+
+
+@register(
+    "q_corpus_pipeline",
+    oracle=f"""
+    WITH keeper AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                                  ORDER BY doc_id) AS rn
+        FROM documents)
+      WHERE rn = 1),
+    quality AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, {sql_words('text')} AS w FROM documents)
+      WHERE len(w) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+        AND CAST(len(array_to_string(w, '')) AS DOUBLE) / len(w)
+              BETWEEN {GOPHER_MIN_MEAN_WLEN} AND {GOPHER_MAX_MEAN_WLEN}
+        AND CAST(len(list_filter(w, x -> length(x) <= 3)) AS DOUBLE) / len(w)
+              <= {GOPHER_MAX_SHORT_FRAC}
+        AND ({_GOPHER_HITS_SQL}) >= {GOPHER_MIN_STOPWORD_HITS}),
+    survivors AS (
+      SELECT d.doc_id, d.lang, d.source, d.n_chars
+      FROM documents d
+      JOIN keeper  k USING (doc_id)
+      JOIN quality q USING (doc_id)),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_surv FROM survivors),
+    capped AS (
+      SELECT s.*, CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {_sql_md5_long("CAST(doc_id AS VARCHAR)", seed=11)},
+                        doc_id) AS BIGINT) AS cap_rank
+      FROM survivors s)
+    SELECT c.doc_id, c.lang, c.source, c.n_chars, c.cap_rank
+    FROM capped c, n
+    WHERE c.cap_rank <= (n.n_surv * {DOMAIN_CAP_PCT} + 99) // 100
+      AND {_sql_md5_long("CAST(c.doc_id AS VARCHAR)", SPLIT_SEED)} % 10 < 8
+    """,
+    tags=("llm", "pipeline"),
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus pipeline END TO END as ONE composed query — the
+    selection a user materializes as their training set, proving the
+    stages compose declaratively instead of through intermediate
+    tables: exact-dedup keepers (q_dedup_exact's md5 rank) ∩ Gopher
+    quality passes (q_quality_gopher, composed via the registry) →
+    per-domain cap over the SURVIVOR population (q_domain_cap's
+    seeded rank, ceiling recomputed on the post-filter count — caps
+    apply to what remains, not the raw corpus) → train-split hash
+    (q_split_train_test's seed). One logical plan: Catalyst fuses the
+    dedup window, the quality scan, the cap window, and the split
+    predicate; nothing materializes between stages.
+
+    Scale: the composition inherits each stage's own story — one
+    md5-partition window, one scan-side quality filter, one
+    per-source window + broadcast 1-row survivor count, one
+    scan-side split predicate. The whole pipeline is two windows +
+    one broadcast over a single pass of the corpus."""
+    from data_wrangler_spark.registry import REGISTRY
+
+    d = load_table(spark, sf_dir, "documents")
+    keeper_w = Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy("doc_id")
+    keepers = (
+        d.withColumn("rn", F.row_number().over(keeper_w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    quality = (
+        REGISTRY["q_quality_gopher"]
+        .run(spark, sf_dir)
+        .filter(F.col("passes"))
+        .select("doc_id")
+    )
+    survivors = (
+        d.select("doc_id", "lang", "source", "n_chars")
+        .join(keepers, "doc_id")
+        .join(quality, "doc_id")
+    )
+    pin(survivors.persist())
+    n = survivors.agg(F.count("*").cast("bigint").alias("n_surv"))
+    cap_w = Window.partitionBy("source").orderBy(
+        _md5_long(F.col("doc_id").cast("string"), 11), "doc_id"
+    )
+    capped = survivors.withColumn(
+        "cap_rank", F.row_number().over(cap_w).cast("bigint")
+    )
+    split_h = _md5_long(F.col("doc_id").cast("string"), SPLIT_SEED) % 10
+    return (
+        capped.crossJoin(F.broadcast(n))
+        .filter(
+            (F.col("cap_rank") <= F.expr(f"div(n_surv * {DOMAIN_CAP_PCT} + 99, 100)"))
+            & (split_h < 8)
+        )
+        .select("doc_id", "lang", "source", "n_chars", "cap_rank")
+    )

@@ -266,3 +266,45 @@ def test_tokenizer_fertility_sane(spark, sf_dir):
         assert r.fertility_micro >= 1_000_000, r
         assert r.n_bytes >= r.n_chars
         assert r.chars_per_token_micro == r.n_chars * 1_000_000 // r.n_tokens
+
+
+def test_corpus_pipeline_composition(spark, sf_dir):
+    """The composed selection equals the intersection of its stages
+    computed independently, with the cap applied to survivors."""
+    from pyspark.sql import functions as F
+
+    from data_wrangler_spark.operators.pipeline_ops import (
+        DOMAIN_CAP_PCT,
+        SPLIT_SEED,
+    )
+    from data_wrangler_spark.operators.dedup import _md5_long
+    from data_wrangler_spark.registry import REGISTRY
+
+    out = REGISTRY["q_corpus_pipeline"].run(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    keepers = {r.doc_id for r in REGISTRY["q_dedup_exact"].run(spark, sf_dir).collect()}
+    quality = {
+        r.doc_id
+        for r in REGISTRY["q_quality_gopher"].run(spark, sf_dir).filter("passes").collect()
+    }
+    surv = keepers & quality
+    cap = (len(surv) * DOMAIN_CAP_PCT + 99) // 100
+    ids = {r.doc_id for r in rows}
+    assert ids <= surv
+    per_source = {}
+    for r in rows:
+        per_source[r.source] = per_source.get(r.source, 0) + 1
+        assert r.cap_rank <= cap
+    assert all(n <= cap for n in per_source.values())
+    # split predicate respected
+    import pyspark.sql.functions as _F
+
+    split = (
+        out.withColumn(
+            "h", _md5_long(_F.col("doc_id").cast("string"), SPLIT_SEED) % 10
+        )
+        .filter(_F.col("h") >= 8)
+        .count()
+    )
+    assert split == 0

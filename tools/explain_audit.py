@@ -92,6 +92,7 @@ AUDIT = [
     ("q_select_kcenter", "K broadcast-sweep rounds, one running double per row"),
     ("q_skew_audit", "skew audit: partial-agg key counts, stats over |keys| rows"),
     ("q_join_interval", "interval overlap as day-bin equi-join + residual"),
+    ("q_corpus_pipeline", "dedup+quality+cap+split fused in one plan, no stage tables"),
 ]
 
 
