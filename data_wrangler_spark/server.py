@@ -60,6 +60,7 @@ from __future__ import annotations
 
 import json
 import re
+import ssl
 import threading
 import urllib.error
 import urllib.request
@@ -231,11 +232,33 @@ def _err(msg: object) -> tuple[int, dict]:
     return 200, {"ok": False, "error": str(msg)}
 
 
+def listen_port(config_port: int, debug: bool = False) -> int:
+    """`--debug` flips the listener to 4401 regardless of the
+    configured port (`index.js:47-48`) — the reference's documented
+    workflow for running a debug instance side-by-side with prod."""
+    return 4401 if debug else config_port
+
+
+def _ssl_context(ssl_config: dict) -> ssl.SSLContext:
+    """Server TLS context from the reference's config shape
+    (`config.json:4-9` → `index.js:160-167`): `cert`/`key` become the
+    server chain, `ca` (optional) the trust anchors — the same three
+    file paths node's https.createServer takes."""
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(certfile=ssl_config["cert"], keyfile=ssl_config["key"])
+    if ssl_config.get("ca"):
+        ctx.load_verify_locations(cafile=ssl_config["ca"])
+    return ctx
+
+
 class GatewayServer:
-    """Threaded stdlib HTTP server over Engine + the reference
+    """Threaded stdlib HTTP(S) server over Engine + the reference
     catalog. Port 0 picks a free port (tests); `base_url` after
     start(). One Spark session serves all requests — the gateway is
-    a thin routing shim, exactly like the reference."""
+    a thin routing shim, exactly like the reference. An `ssl_config`
+    dict with `enabled: true` serves HTTPS exactly as the reference
+    does when `config.ssl.enabled` (`index.js:160-167`); `debug=True`
+    mirrors `--debug` (listen on 4401, `index.js:47-48`)."""
 
     def __init__(
         self,
@@ -244,7 +267,10 @@ class GatewayServer:
         host: str = "127.0.0.1",
         port: int = 0,
         foreigners: list[dict] | None = None,
+        ssl_config: dict | None = None,
+        debug: bool = False,
     ):
+        port = listen_port(port, debug)
         self.engine = Engine(spark, sf_dir)
         self.templates = reference_catalog(spark, sf_dir)
         self.spark = spark
@@ -302,10 +328,31 @@ class GatewayServer:
                 for k, v in relay_headers.items():
                     self.send_header(k, v)
                 self.send_header("Content-Length", str(len(body)))
+                if outer._shutting_down:
+                    # stop() has begun: break keep-alive so a client
+                    # pipelining requests on an open connection can't
+                    # reset the socket timeout forever and stall the
+                    # non-daemon handler join — drain is bounded to
+                    # the one in-flight request per connection
+                    self.send_header("Connection", "close")
+                    self.close_connection = True
                 self.end_headers()
                 self.wfile.write(body)
 
             def _dispatch(self, method: str) -> None:
+                # one FAIR-scheduler pool per request thread: under
+                # spark.scheduler.mode=FAIR (session.py) concurrent
+                # requests share the cluster fairly instead of
+                # head-of-line blocking behind one big scan; local
+                # properties are per-thread, and ThreadingHTTPServer
+                # gives each connection its own thread
+                try:
+                    outer.spark.sparkContext.setLocalProperty(
+                        "spark.scheduler.pool",
+                        f"gw-{threading.get_ident()}",
+                    )
+                except Exception:
+                    pass  # foreign session without a live context
                 body = {}
                 clen = int(self.headers.get("Content-Length") or 0)
                 if clen:
@@ -343,8 +390,14 @@ class GatewayServer:
             daemon_threads = False
 
         self.httpd = _DrainingHTTPServer((host, port), Handler)
+        self._tls = bool(ssl_config and ssl_config.get("enabled"))
+        if self._tls:
+            self.httpd.socket = _ssl_context(ssl_config).wrap_socket(
+                self.httpd.socket, server_side=True
+            )
         self._thread: threading.Thread | None = None
         self._run_lock = threading.Lock()
+        self._shutting_down = False
 
     # ── gateKeeper (`index.js:196-219`) ──────────────────────────
     def gate(self, token: str | None) -> Session:
@@ -659,7 +712,8 @@ class GatewayServer:
     @property
     def base_url(self) -> str:
         host, port = self.httpd.server_address[:2]
-        return f"http://{host}:{port}"
+        scheme = "https" if self._tls else "http"
+        return f"{scheme}://{host}:{port}"
 
     def start(self) -> "GatewayServer":
         self._thread = threading.Thread(
@@ -674,6 +728,7 @@ class GatewayServer:
         # thread — and only THEN release pinned caches: no handler can
         # still be mid-request against the engine, and no /run admitted
         # late can re-pin caches that are never released (ADVICE r4-r6)
+        self._shutting_down = True  # handlers stop honoring keep-alive
         self.httpd.shutdown()
         self.httpd.server_close()
         with self._run_lock:

@@ -131,6 +131,13 @@ def get_spark(app_name: str = "data_wrangler_spark", cpus: int | None = None) ->
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_heap()),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # FAIR job scheduling across concurrent submitter threads: the
+        # gateway serves N HTTP handlers on ONE session, and FIFO
+        # would let one large /q scan head-of-line-block every small
+        # request behind it. With no pool file, each named pool
+        # (gateway sets one per request thread) gets equal share.
+        # Static conf — applies when this builder creates the session.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
     )
     for k, v in RUNTIME_CONFS.items():

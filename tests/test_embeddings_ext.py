@@ -192,3 +192,17 @@ def test_kcenter_greedy_invariants(spark, sf_dir):
     dists = [r.sq_dist for r in rows[1:]]
     assert all(d > 0 for d in dists)
     assert all(a >= b for a, b in zip(dists, dists[1:]))
+
+
+def test_select_kcenter_empty_table(spark, tmp_path):
+    """An empty embeddings table yields an empty coreset, not an
+    IndexError on the seed collect (ADVICE r7 — mirrors
+    test_dedup_embed_empty_table)."""
+    from data_wrangler_spark.registry import REGISTRY
+
+    src = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    empty_dir = str(tmp_path / "empty_sf")
+    src.limit(0).write.parquet(f"{empty_dir}/embeddings.parquet")
+    out = REGISTRY["q_select_kcenter"].run(spark, empty_dir)
+    assert out.count() == 0
+    assert out.columns == ["rank", "vec_id", "sq_dist"]

@@ -503,3 +503,128 @@ def test_handler_socket_timeout_bounds_drain(server):
     handler's socket timeout or stop() would hang forever."""
     assert server.httpd.RequestHandlerClass.timeout == 10
     assert server.httpd.daemon_threads is False
+
+
+def test_debug_port_flip():
+    """`--debug` listens on 4401 regardless of the configured port
+    (`index.js:47-48`)."""
+    from data_wrangler_spark.server import listen_port
+
+    assert listen_port(4400) == 4400
+    assert listen_port(4400, debug=True) == 4401
+    assert listen_port(0, debug=True) == 4401
+    assert listen_port(0, debug=False) == 0
+
+
+def test_tls_listener(spark, sf_dir, tmp_path):
+    """`config.ssl.enabled` serves HTTPS (`index.js:160-167`,
+    cert/key/ca paths from `config.json:4-9`): one true TLS round
+    trip against a self-signed cert."""
+    import ssl
+    import subprocess
+
+    key, crt = str(tmp_path / "k.pem"), str(tmp_path / "c.pem")
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", key, "-out", crt, "-days", "1",
+         "-subj", "/CN=127.0.0.1",
+         "-addext", "subjectAltName=IP:127.0.0.1"],
+        check=True, capture_output=True,
+    )
+    srv = GatewayServer(
+        spark, sf_dir,
+        ssl_config={"enabled": True, "cert": crt, "key": key},
+    ).start()
+    try:
+        assert srv.base_url.startswith("https://")
+        ctx = ssl.create_default_context(cafile=crt)
+        with urllib.request.urlopen(srv.base_url + "/", context=ctx) as resp:
+            body = json.loads(resp.read())
+        assert body["registered_queries"] > 200
+    finally:
+        srv.stop()
+
+
+def test_ssl_disabled_stays_http(spark, sf_dir):
+    """`ssl.enabled: false` (or absent) serves plain HTTP, like the
+    reference's else-branch (`index.js:167`)."""
+    srv = GatewayServer(spark, sf_dir, ssl_config={"enabled": False})
+    try:
+        assert srv.base_url.startswith("http://")
+    finally:
+        srv.httpd.server_close()
+
+
+def test_stop_breaks_keepalive(spark, sf_dir):
+    """Once stop() begins, in-flight keep-alive connections get
+    `Connection: close` — a pipelining client can't reset the socket
+    timeout forever and stall the non-daemon handler join (ADVICE
+    r7)."""
+    import http.client
+
+    srv = GatewayServer(spark, sf_dir).start()
+    try:
+        host, port = srv.httpd.server_address[:2]
+        conn = http.client.HTTPConnection(host, port, timeout=10)
+        conn.request("GET", "/")
+        r1 = conn.getresponse()
+        r1.read()
+        assert r1.getheader("Connection") != "close"  # keep-alive honored
+        srv._shutting_down = True  # what stop() sets first
+        conn.request("GET", "/")
+        r2 = conn.getresponse()
+        r2.read()
+        assert r2.getheader("Connection") == "close"
+        conn.close()
+    finally:
+        srv._shutting_down = False
+        srv.stop()
+
+
+def test_concurrent_mixed_requests(server, spark, sf_dir):
+    """≥8 concurrent mixed requests against the ONE shared
+    SparkSession each get their own correct answer — the
+    serving-layer claim a real gateway migration asks about. Each
+    handler thread runs in its own FAIR scheduler pool
+    (server.py:_dispatch), so no request head-of-line blocks the
+    rest."""
+    import concurrent.futures
+
+    from data_wrangler_spark.catalog import load_table
+
+    okey = load_table(spark, sf_dir, "lineitem").agg(
+        {"l_orderkey": "min"}
+    ).collect()[0][0]
+
+    def check_lineitems():
+        code, body = get(server, f"/q/test/lineItems/{okey}")
+        assert code == 200 and body["ok"] is True
+        assert all(r["l_orderkey"] == okey for r in body["results"])
+        return "lineItems"
+
+    def check_accounts():
+        code, body = get(server, "/q/salesforce/accounts?limit=3")
+        assert code == 200 and body["ok"] is True
+        assert len(body["results"]) == 3
+        return "accounts"
+
+    def check_paged():
+        code, body = get(
+            server, "/db/test/rel/customer?page=1&perpage=5&sortby=c_name"
+        )
+        assert code == 200 and body["ok"] is True
+        assert len(body["results"]) == 5
+        names = [r["c_name"] for r in body["results"]]
+        assert names == sorted(names)
+        return "paged"
+
+    def check_dt():
+        code, body = get(server, "/dt/test/lineItems")
+        assert code == 200 and body["ok"] is True
+        return "dt"
+
+    jobs = [check_lineitems, check_accounts, check_paged, check_dt] * 3
+    with concurrent.futures.ThreadPoolExecutor(max_workers=12) as pool:
+        results = [f.result() for f in
+                   [pool.submit(j) for j in jobs]]
+    assert len(results) == 12  # every request returned correct rows

@@ -45,7 +45,10 @@ def _dir_bytes(path: str) -> int:
 
 
 def _newest(root: str) -> str:
-    return max(os.scandir(root), key=lambda e: e.stat().st_mtime).path
+    entries = list(os.scandir(root))
+    if not entries:
+        raise SystemExit(f"no state under {root} — did the stream run?")
+    return max(entries, key=lambda e: e.stat().st_mtime).path
 
 
 def main() -> None:
@@ -127,6 +130,15 @@ def main() -> None:
     batch_files = sorted(
         f for f in os.listdir(staged) if f.endswith(".parquet")
     )
+    if len(versions) < 2:
+        # a single micro-batch produced one state version — there is
+        # no (previous, final) pair to replay; report instead of
+        # dying on versions[-2] (ADVICE r7)
+        report["rollup_redelivery_idempotent"] = (
+            f"skipped: only {len(versions)} rollup version(s)"
+        )
+        print(json.dumps(report))
+        return
     last_input = spark.read.parquet(os.path.join(staged, batch_files[-1]))
     prev = spark.read.parquet(os.path.join(rollup_root, versions[-2]))
     rebuilt = (
