@@ -756,6 +756,16 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pin(sh)
+    return prefix_verified_pairs(spark, sh, t)
+
+
+def prefix_verified_pairs(spark: SparkSession, sh: DataFrame, t: float) -> DataFrame:
+    """The PPJoin candidate+verify pipeline over a prepared
+    (doc_id, shingles, n_sh) frame — factored so q_dedup_jaccard_prefix
+    and the fused keeper (pipeline_ops.q_dedup_prefix_keep) share one
+    implementation. `sh` should be persisted by the caller (it is
+    scanned for the index build AND the verify join). Returns
+    (doc_a, doc_b, jaccard) with jaccard ≥ t, doc_a < doc_b."""
     # tokens cross the wire as xxhash64 LONGS, never strings: the
     # candidate pipeline only needs a CONSISTENT global token order
     # and equality (any order makes the prefix filter lossless —

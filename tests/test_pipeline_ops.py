@@ -308,3 +308,42 @@ def test_corpus_pipeline_composition(spark, sf_dir):
         .count()
     )
     assert split == 0
+
+
+def test_dedup_prefix_keep_fusion_equals_composition(spark, sf_dir):
+    """The fused op's components must equal min-label components built
+    from q_dedup_jaccard_prefix's own verified pair set (same 0.6
+    threshold) — fusion changes the plan, not the math. Keeper flags:
+    exactly one keep per component, and it is the (n_chars desc,
+    doc_id) argmax."""
+    from data_wrangler_spark.operators.pipeline_ops import (
+        min_label_components,
+    )
+    from pyspark.sql import functions as F
+
+    fused = {
+        r.doc_id: r for r in run(spark, sf_dir, "q_dedup_prefix_keep").collect()
+    }
+    pairs = run(spark, sf_dir, "q_dedup_jaccard_prefix").select(
+        "doc_a", "doc_b"
+    )
+    from data_wrangler_spark.catalog import load_table
+
+    nodes = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    comp = {
+        r.node: r.label
+        for r in min_label_components(spark, nodes, pairs).collect()
+    }
+    assert set(comp) == set(fused)
+    assert all(fused[d].component == c for d, c in comp.items())
+
+    by_comp = {}
+    for r in fused.values():
+        by_comp.setdefault(r.component, []).append(r)
+    for members in by_comp.values():
+        keepers = [m for m in members if m.keep]
+        assert len(keepers) == 1
+        best = min(members, key=lambda m: (-m.n_chars, m.doc_id))
+        assert keepers[0].doc_id == best.doc_id

@@ -17,6 +17,7 @@ Usage: python tools/bench_duckdb.py [sf_dir] [--spark]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -31,12 +32,23 @@ TABLES = (
     "events documents embeddings"
 ).split()
 
+# per-query repeat budget: a timed run past this is recorded as-is
+# (runs=1) instead of median-of-3 — the pair-quadratic oracles at the
+# derived f10 fixture do 100× the sf0.1 work and a single run already
+# settles the ratio question by an order of magnitude
+SINGLE_RUN_OVER_SEC = 60.0
+
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        # driver fixtures are single files; Spark-written fixtures
+        # (the scale probe's derived dirs) are directories
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
     return con
 
@@ -54,14 +66,20 @@ def main() -> None:
         spec = REGISTRY[name]
         if not spec.oracle:
             continue
-        con.execute(spec.oracle).fetchall()  # warm (parquet metadata)
+        t0 = time.time()
+        rows = con.execute(spec.oracle).fetchall()  # warm (parquet metadata)
+        warm = time.time() - t0
         runs = []
-        for _ in range(3):  # median-of-3, matching bench.py
+        reps = 1 if warm > SINGLE_RUN_OVER_SEC else 3
+        for _ in range(reps):  # median-of-3, matching bench.py
             t0 = time.time()
             rows = con.execute(spec.oracle).fetchall()
             runs.append(time.time() - t0)
-        duck[name] = round(sorted(runs)[1], 4)
-        print(f"duckdb {name}: {duck[name]}s ({len(rows)} rows)", file=sys.stderr)
+        duck[name] = round(sorted(runs)[len(runs) // 2], 4)
+        print(
+            f"duckdb {name}: {duck[name]}s ({len(rows)} rows, {reps} reps)",
+            file=sys.stderr,
+        )
 
     out: dict = {
         "sf_dir": sf_dir,
@@ -76,14 +94,17 @@ def main() -> None:
         sp: dict[str, float] = {}
         for name in duck:
             fn = REGISTRY[name]
+            t0 = time.time()
             fn.run(spark, sf_dir).collect()  # warm (JIT + file listing)
+            warm = time.time() - t0
             runs = []
-            for _ in range(3):  # median-of-3, matching bench.py
+            reps = 1 if warm > SINGLE_RUN_OVER_SEC else 3
+            for _ in range(reps):  # median-of-3, matching bench.py
                 t0 = time.time()
                 fn.run(spark, sf_dir).collect()
                 runs.append(time.time() - t0)
-            sp[name] = round(sorted(runs)[1], 4)
-            print(f"spark  {name}: {sp[name]}s", file=sys.stderr)
+            sp[name] = round(sorted(runs)[len(runs) // 2], 4)
+            print(f"spark  {name}: {sp[name]}s ({reps} reps)", file=sys.stderr)
         out["spark_total_sec"] = round(sum(sp.values()), 4)
         out["spark"] = sp
         out["ratio_spark_over_duckdb"] = {
