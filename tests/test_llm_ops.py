@@ -450,3 +450,21 @@ def test_dedup_embed_empty_table(spark, tmp_path):
     src.limit(0).write.parquet(f"{empty_dir}/embeddings.parquet")
     out = REGISTRY["q_dedup_embed"].run(spark, empty_dir)
     assert out.count() == 0
+
+
+def test_ann_recall_grades_all_families(spark):
+    """q_ann_recall emits one measured row per ANN family with
+    consistent confusion arithmetic (hits ∈ [0,10], recall_micro =
+    hits·1e5), and IVF's recall here must equal a direct
+    intersection of q_sim_search_ivf_exact with the exact top-10."""
+    from data_wrangler_spark.registry import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.family: r for r in REGISTRY["q_ann_recall"].run(spark, sf).collect()}
+    assert set(rows) == {"ivf", "lsh", "pq"}
+    for r in rows.values():
+        assert 0 <= r.hits <= 10 and r.top_k == 10
+        assert r.recall_micro == r.hits * 100000
+    exact = {r.vec_id for r in REGISTRY["q_sim_search"].run(spark, sf).collect()}
+    ivf = {r.vec_id for r in REGISTRY["q_sim_search_ivf_exact"].run(spark, sf).collect()}
+    assert rows["ivf"].hits == len(exact & ivf)
