@@ -598,3 +598,55 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("attributed_value"),
         )
     )
+
+
+DEBOUNCE_WINDOW_SEC = 600  # q_dedup_temporal: same-signal silence window
+
+
+@register(
+    "q_dedup_temporal",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_id, user_id, event_type, ts, value,
+             floor(epoch(ts)) AS sec,
+             LAG(floor(epoch(ts))) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) AS prev_sec
+      FROM events)
+    SELECT event_id, user_id, event_type, ts, value
+    FROM d
+    WHERE prev_sec IS NULL OR sec - prev_sec > {DEBOUNCE_WINDOW_SEC}
+    """,
+    tags=("ext", "behavioral", "dedup"),
+)
+def q_dedup_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dedup (debounce): an event is kept iff the same
+    user's previous event of the same type is more than
+    DEBOUNCE_WINDOW_SEC older — the standard rate-limit for resent
+    telemetry signals / duplicate webhooks / retried client pings.
+    Sliding semantics (each survivor restarts nothing; every event
+    compares to its immediate same-key predecessor), so the decision
+    is a single LAG over (user_id, event_type) — one shuffle on the
+    dedup key, O(1) state per row, no gaps-and-islands numbering
+    needed. At 100 TB the window partitioning IS the shuffle
+    partitioning; a date-partitioned layout prunes the scan first and
+    per-key history never leaves its partition. Gap arithmetic uses
+    truncated epoch seconds (the repo-standard cross-engine idiom —
+    see q_sessionize). The streaming complement is q_stream_dedup
+    (watermarked dropDuplicates); this is the batch/backfill form."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        "value",
+        # NTZ → zoned → epoch seconds (session tz pinned UTC), matching
+        # the oracle's floor(epoch(ts)) — q_sessionize's idiom
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("sec"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    d = ev.withColumn("prev_sec", F.lag("sec").over(w))
+    return d.filter(
+        F.col("prev_sec").isNull()
+        | (F.col("sec") - F.col("prev_sec") > DEBOUNCE_WINDOW_SEC)
+    ).select("event_id", "user_id", "event_type", "ts", "value")

@@ -557,3 +557,70 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             benford.alias("benford_micro"),
         )
     )
+
+
+K_ANON = 5  # q_k_anonymity: minimum safe group size
+
+
+@register(
+    "q_k_anonymity",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type, hour(ts) AS hr,
+             CAST(floor(value / 100) AS BIGINT) AS vbucket,
+             CAST(COUNT(*) AS BIGINT) AS sz
+      FROM events GROUP BY 1, 2, 3)
+    SELECT event_type,
+           CAST(SUM(sz) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN sz < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small_groups,
+           CAST(SUM(CASE WHEN sz < {K_ANON} THEN sz ELSE 0 END) AS BIGINT)
+             AS suppressed_rows,
+           CAST(MIN(sz) AS BIGINT) AS min_group_size,
+           CAST(SUM(CASE WHEN sz < {K_ANON} THEN sz ELSE 0 END) AS BIGINT)
+             * 1000000
+             // CAST(SUM(sz) AS BIGINT) AS suppression_micro
+    FROM g GROUP BY 1
+    """,
+    tags=("ext", "statistics", "privacy"),
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit — the release gate that pairs with q_dp_count
+    in the privacy family: group the table by its quasi-identifier
+    tuple (event_type, hour-of-day, coarse value bucket), then report
+    per event_type how many QI groups fall below k=5 members and what
+    fraction of rows a suppress-small-groups release would drop
+    (integer micro-units; both engines' integer division truncates
+    identically on non-negatives). The standard pre-publication audit
+    for training corpora carrying user-derived telemetry.
+
+    Scale: two stacked aggregations — the QI groupBy partial-aggregates
+    map-side (the QI keyspace, |types|x24x|buckets|, is tiny relative
+    to the fact table), and the per-type re-agg runs on the already
+    aggregated frame; one real shuffle over the fact data, no window,
+    no join. hour() on the NTZ timestamp involves no zone math in
+    either engine."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").alias("hr"),
+        F.floor(F.col("value") / 100).cast("long").alias("vbucket"),
+    )
+    g = ev.groupBy("event_type", "hr", "vbucket").agg(F.count("*").alias("sz"))
+    small = F.col("sz") < K_ANON
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.sum("sz").alias("n_rows"),
+            F.count("*").alias("n_groups"),
+            F.sum(F.when(small, 1).otherwise(0)).alias("n_small_groups"),
+            F.sum(F.when(small, F.col("sz")).otherwise(0)).alias(
+                "suppressed_rows"
+            ),
+            F.min("sz").alias("min_group_size"),
+        )
+        .withColumn(
+            "suppression_micro",
+            F.expr("suppressed_rows * 1000000 DIV n_rows"),
+        )
+    )

@@ -86,3 +86,53 @@ def test_attribution_credits_full_purchase_mass(spark, sf_dir):
     assert sum(r.n_purchases for r in rows) == n_purch
     types = {r.event_type for r in ev.select("event_type").distinct().collect()}
     assert {r.first_type for r in rows} <= types
+
+
+def test_dedup_temporal_matches_python_replay(spark, sf_dir):
+    """Recompute the debounce decision in plain Python from the raw
+    events and compare the kept set exactly — pins the sliding
+    semantics (every event compares to its RAW predecessor, not the
+    last survivor)."""
+    from data_wrangler_spark.catalog import load_table
+    from data_wrangler_spark.operators.behavioral import DEBOUNCE_WINDOW_SEC
+
+    raw = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "ts")
+        .collect()
+    )
+    by_key = {}
+    for r in raw:
+        by_key.setdefault((r.user_id, r.event_type), []).append(r)
+    expected = set()
+    for key, evs in by_key.items():
+        evs.sort(key=lambda r: (r.ts, r.event_id))
+        prev_sec = None
+        for r in evs:
+            sec = int(r.ts.replace(tzinfo=None).timestamp())
+            if prev_sec is None or sec - prev_sec > DEBOUNCE_WINDOW_SEC:
+                expected.add(r.event_id)
+            prev_sec = sec  # raw predecessor, kept or not
+
+    kept = {
+        r.event_id
+        for r in REGISTRY["q_dedup_temporal"].run(spark, sf_dir).collect()
+    }
+    assert kept == expected
+    assert 0 < len(kept) < len(raw)  # the fixture has real duplicates
+
+
+def test_dedup_temporal_survivors_spaced(spark, sf_dir):
+    """Consecutive KEPT events per (user, type) are always more than
+    the window apart: k2's raw predecessor p satisfies k2-p > W and
+    p >= k1, so k2-k1 > W."""
+    from data_wrangler_spark.operators.behavioral import DEBOUNCE_WINDOW_SEC
+
+    rows = REGISTRY["q_dedup_temporal"].run(spark, sf_dir).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault((r.user_id, r.event_type), []).append(r.ts)
+    for ts_list in by_key.values():
+        ts_list.sort()
+        for a, b in zip(ts_list, ts_list[1:]):
+            assert (b - a).total_seconds() > DEBOUNCE_WINDOW_SEC

@@ -115,3 +115,25 @@ def test_benford_frequencies_sum_and_expectations(spark, sf_dir):
     for r in rows:
         expect = math.log10(1 + 1 / r.digit) * 1_000_000
         assert abs(r.benford_micro - expect) <= 2
+
+
+def test_k_anonymity_invariants_and_total(spark, sf_dir):
+    """Per-type audit rows are internally consistent and the n_rows
+    column partitions the full event count (exact values are pinned
+    by the DuckDB oracle)."""
+    from data_wrangler_spark.catalog import load_table
+    from data_wrangler_spark.operators.statistics import K_ANON
+
+    rows = REGISTRY["q_k_anonymity"].run(spark, sf_dir).collect()
+    assert rows
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_rows for r in rows) == total
+    for r in rows:
+        assert 1 <= r.min_group_size
+        assert 0 <= r.n_small_groups <= r.n_groups
+        assert 0 <= r.suppressed_rows <= r.n_rows
+        # small groups hold fewer than K rows each
+        assert r.suppressed_rows < K_ANON * (r.n_small_groups + 1)
+        assert r.suppression_micro == r.suppressed_rows * 1_000_000 // r.n_rows
+        if r.n_small_groups == 0:
+            assert r.suppressed_rows == 0 and r.min_group_size >= K_ANON

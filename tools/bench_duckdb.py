@@ -60,9 +60,15 @@ def main() -> None:
 
     from data_wrangler_spark import REGISTRY
 
+    # optional subset (comma-separated), mirroring bench.py — lets the
+    # f50 probe rerun just the fixed-overhead "weak set" head-to-head
+    # without paying the pair-quadratic oracles at 50x
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    wanted = subset.split(",") if subset else HEADLINE
+
     con = duck_con(sf_dir)
     duck: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in wanted:
         spec = REGISTRY[name]
         if not spec.oracle:
             continue
