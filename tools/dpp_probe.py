@@ -36,6 +36,12 @@ def _scan_leaf_metrics(df) -> list[dict]:
     scans are always leaves.
     """
     plan = df._jdf.queryExecution().executedPlan()
+    # a plan with exchanges/subqueries executes as AdaptiveSparkPlanExec
+    # even when spark.sql.adaptive.enabled=false was set post-session in
+    # some paths; it is CHILD-LESS (wraps its input as a field), so
+    # collectLeaves() can't pierce it — unwrap to the final plan first
+    if "AdaptiveSparkPlan" in plan.getClass().getName():
+        plan = plan.executedPlan()
     leaves = plan.collectLeaves()
     out = []
     for i in range(leaves.size()):

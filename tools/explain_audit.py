@@ -93,6 +93,10 @@ AUDIT = [
     ("q_skew_audit", "skew audit: partial-agg key counts, stats over |keys| rows"),
     ("q_join_interval", "interval overlap as day-bin equi-join + residual"),
     ("q_corpus_pipeline", "dedup+quality+cap+split fused in one plan, no stage tables"),
+    ("q_dedup_prefix_keep", "prefix candidates -> components -> keeper, pairs never output"),
+    ("q_ann_recall", "ANN recall: exact top-k + 3 index probes joined on query id"),
+    ("q_dedup_temporal", "debounce dedup: one LAG window shuffle on the dedup key"),
+    ("q_k_anonymity", "QI groupBy partial-aggregates map-side; re-agg on tiny frame"),
 ]
 
 
@@ -139,6 +143,49 @@ def main() -> None:
         out.append(f"## {name} — {why}\n")
         out.append("```")
         out.extend(dict.fromkeys(lines))  # dedupe, keep order
+        out.append("```\n")
+
+    # Runtime partition-pruning proof (VERDICT r7 #6): when the DPP
+    # probe artifact exists, render the measured file counts — plan
+    # shape says the scan CAN prune, these metrics say it DID.
+    import json as _json
+    import os as _os
+
+    if _os.path.exists("/root/repo/DPP_F10.json"):
+        out.append("## Runtime pruning proof at f10 (tools/dpp_probe.py → DPP_F10.json)\n")
+        out.append(
+            "FileSourceScan's own SQL metrics after execution: `numFiles` is\n"
+            "what the scan actually listed+read, `staticFilesNum` what it\n"
+            "would have read before runtime (dynamic) pruning.\n"
+        )
+        out.append("```")
+        with open("/root/repo/DPP_F10.json") as fh:
+            for line in fh:
+                rec = _json.loads(line)
+                disk = rec["disk_files_per_partition"]
+                out.append(
+                    f"{rec['query']}  (disk: "
+                    + ", ".join(f"{k}:{v}" for k, v in disk.items())
+                    + ")"
+                )
+                for s in rec["scans"]:
+                    m = s["metrics"]
+                    out.append(
+                        f"  scan: numFiles={m['numFiles']}"
+                        + (
+                            f" staticFilesNum={m['staticFilesNum']}"
+                            if "staticFilesNum" in m
+                            else ""
+                        )
+                        + f" numPartitions={m['numPartitions']}"
+                        + f" filesSize={m['filesSize']}"
+                        + (
+                            f" staticFilesSize={m['staticFilesSize']}"
+                            if "staticFilesSize" in m
+                            else ""
+                        )
+                        + f" pruningTime={m.get('pruningTime', 0)}ms"
+                    )
         out.append("```\n")
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("\n".join(out))
