@@ -109,7 +109,11 @@ def test_dedup_temporal_matches_python_replay(spark, sf_dir):
         evs.sort(key=lambda r: (r.ts, r.event_id))
         prev_sec = None
         for r in evs:
-            sec = int(r.ts.replace(tzinfo=None).timestamp())
+            # ts is naive UTC (timestamp_ntz); pin the zone so the
+            # replay doesn't depend on the host's local timezone
+            from datetime import timezone
+
+            sec = int(r.ts.replace(tzinfo=timezone.utc).timestamp())
             if prev_sec is None or sec - prev_sec > DEBOUNCE_WINDOW_SEC:
                 expected.add(r.event_id)
             prev_sec = sec  # raw predecessor, kept or not
