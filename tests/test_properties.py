@@ -153,6 +153,12 @@ def test_fdiv_identity_matches_python_floor_in_duckdb(a, b):
     """q_embed_pca's cross-engine floor division: the exactly-
     divisible-numerator identity evaluated by DuckDB (whose bare //
     truncates toward zero) must equal Python's flooring //."""
-    expr = f"(({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) // ({b})"
+    # operands cast to BIGINT as in production, where the identity is
+    # applied to SUM()-typed columns: DuckDB types bare literals as
+    # INT32 when they fit, and (a % b) + b then overflows INT32 for
+    # b near 2^31 (hypothesis-found edge) — a literal-typing artifact
+    # the real oracles never hit
+    av, bv = f"CAST({a} AS BIGINT)", f"CAST({b} AS BIGINT)"
+    expr = f"(({av}) - (((({av}) % ({bv})) + ({bv})) % ({bv}))) // ({bv})"
     got = duckdb.connect().execute(f"SELECT {expr}").fetchone()[0]
     assert got == a // b
