@@ -1251,6 +1251,16 @@ def q_dedup_prefix_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pin(hs)
     pairs = prefix_verified_pairs(spark, hs, t).select("doc_a", "doc_b")
+    return _keeper_from_pairs(spark, d, pairs)
+
+
+def _keeper_from_pairs(
+    spark: SparkSession, d: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Shared tail of the fused dedup-keeper family: verified pairs →
+    min-label components → per-component keeper window → ONE row per
+    doc (doc_id, component, n_chars, keep). Mirrors _PREFIX_KEEP_TAIL
+    on the oracle side."""
     nodes = d.select(F.col("doc_id").alias("node"))
     labels = min_label_components(spark, nodes, pairs)
     comp = labels.select(
@@ -1269,3 +1279,186 @@ def q_dedup_prefix_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rk") == 1).alias("keep"),
         )
     )
+
+
+# q_dedup_lsh_keep: exact-Jaccard acceptance for LSH candidates as an
+# integer cross-multiplication (t = 3/5): J ≥ t  ⟺  (den+num)·|∩| ≥ num·(|a|+|b|)
+LSH_KEEP_T_NUM = 3
+LSH_KEEP_T_DEN = 5
+
+
+def _lsh_keep_oracle(sweep: bool) -> str:
+    """DuckDB replay of the ENTIRE q_dedup_lsh_keep pipeline: minhash
+    signatures → banded buckets → MAX_BUCKET guard → candidate pairs →
+    exact integer-Jaccard verify on the md5-long shingle sets →
+    components → keeper. The sweep form materializes the verified edge
+    set into a temp table first — DuckDB 1.0 re-evaluates a plain CTE
+    at every recursive reference (see ROUND7.md), and this chain is
+    heavy at derived scale factors."""
+    from data_wrangler_spark.operators.dedup import (
+        MAX_BUCKET,
+        _band_union_sql,
+        _sig_select_sql,
+    )
+
+    body = f"""
+    sh0 AS (
+      SELECT doc_id, {sql_shingles_of('w', 3)} AS sh
+      FROM (SELECT doc_id, {sql_words('text')} AS w FROM documents)),
+    hsd AS (
+      SELECT doc_id,
+             list_distinct(list_transform(sh, s -> {_sql_md5_long('s')})) AS hs
+      FROM sh0),
+    ex AS (SELECT doc_id, unnest(hs) AS h FROM hsd),
+    sig AS (SELECT doc_id, {_sig_select_sql()} FROM sh0),
+    bands AS (
+      {_band_union_sql('sig')}),
+    guarded AS (
+      SELECT band, bucket, doc_id FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bsize FROM bands)
+      WHERE bsize <= {MAX_BUCKET}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM guarded a
+      JOIN guarded b ON a.band = b.band AND a.bucket = b.bucket
+                    AND a.doc_id < b.doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM cand c
+      JOIN ex a ON a.doc_id = c.doc_a
+      JOIN ex b ON b.doc_id = c.doc_b AND b.h = a.h
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN hsd sa ON sa.doc_id = i.doc_a
+      JOIN hsd sb ON sb.doc_id = i.doc_b
+      WHERE {LSH_KEEP_T_DEN + LSH_KEEP_T_NUM} * i.n_inter
+              >= {LSH_KEEP_T_NUM} * (len(sa.hs) + len(sb.hs)))"""
+    if sweep:
+        return f"""
+    CREATE OR REPLACE TEMP TABLE dlk_edges AS
+    WITH {body}
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs;
+    WITH RECURSIVE reach AS (
+      SELECT doc_id AS node, doc_id AS label FROM documents
+      UNION
+      SELECT e.dst AS node, r.label
+      FROM reach r JOIN dlk_edges e ON e.src = r.node),
+    {_PREFIX_KEEP_TAIL}
+    """
+    return f"""
+    WITH RECURSIVE
+    {body},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS label FROM documents
+      UNION
+      SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node),
+    {_PREFIX_KEEP_TAIL}
+    """
+
+
+@register(
+    "q_dedup_lsh_keep",
+    oracle=_lsh_keep_oracle(sweep=False),
+    oracle_sweep=_lsh_keep_oracle(sweep=True),
+    tags=("llm", "dedup", "pipeline"),
+)
+def q_dedup_lsh_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates FUSED with the keeper decision — the
+    100 TB complement of q_dedup_prefix_keep: candidate generation is
+    the banded LSH of q_dedup_minhash (4 bands × 4 rows, md5-derived
+    so both engines compute the IDENTICAL buckets), whose MAX_BUCKET
+    hot-bucket guard bounds per-bucket pair fan-out BY POLICY — the
+    cap that keeps planted-clique corpora from going quadratic, at
+    the price of LSH recall (q_dedup_eval grades that trade
+    exactly). Candidates are verified with EXACT Jaccard over the
+    md5-long shingle sets via an integer cross-multiplication
+    ((den+num)·|∩| ≥ num·(|a|+|b|) for t = 3/5) — no doubles anywhere
+    in the decision, so both engines accept the identical pair set —
+    then flow into min-label components and the per-component keeper
+    window: ONE row per doc, pairs never materialize as output.
+
+    Scale: one (band,bucket) exchange for candidates (singleton
+    buckets die in the agg; pair emission is array-side, ≤ C(cap,2)
+    per bucket by construction), one sort-merge verify join against
+    the cached hashed-set arrays (fixed-width repartition keeps the
+    CPU-bound verify spread — AQE's byte-based coalescing would
+    funnel it, see prefix_verified_pairs), O(diameter) component
+    rounds, window over cluster-sized frames."""
+    from pyspark import StorageLevel
+
+    from data_wrangler_spark.operators.dedup import (
+        MAX_BUCKET,
+        _band_table,
+        _minhash_signatures,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    hs = (
+        spread(d, "doc_id")
+        .select("doc_id", words("text").alias("w"))
+        .select("doc_id", shingles_from_words(F.col("w"), 3).alias("s"))
+        .select(
+            "doc_id",
+            F.array_distinct(F.transform("s", lambda x: _md5_long(x))).alias(
+                "hs"
+            ),
+        )
+        .withColumn("n_hs", F.size("hs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pin(hs)
+    buckets = (
+        _band_table(_minhash_signatures(d))
+        .groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= MAX_BUCKET))
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
+    # same AQE-funnel guard as prefix_verified_pairs: candidate rows
+    # are tiny in bytes but each costs an array_intersect
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cand = cand.repartition(n_part, "doc_a")
+    sa = hs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("n_hs").alias("n_a"),
+    )
+    sb = hs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("n_hs").alias("n_b"),
+    )
+    pairs = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("hs_a", "hs_b")))
+        .filter(
+            (LSH_KEEP_T_DEN + LSH_KEEP_T_NUM) * F.col("n_inter")
+            >= LSH_KEEP_T_NUM * (F.col("n_a") + F.col("n_b"))
+        )
+        .select("doc_a", "doc_b")
+    )
+    return _keeper_from_pairs(spark, d, pairs)

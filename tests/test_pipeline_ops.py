@@ -347,3 +347,38 @@ def test_dedup_prefix_keep_fusion_equals_composition(spark, sf_dir):
         assert len(keepers) == 1
         best = min(members, key=lambda m: (-m.n_chars, m.doc_id))
         assert keepers[0].doc_id == best.doc_id
+
+
+def test_lsh_keep_refines_prefix_keep(spark, sf_dir):
+    """q_dedup_lsh_keep's pair set is the LSH-candidate SUBSET of the
+    lossless prefix pair set at the same exact-Jaccard threshold
+    (3/5), so its components must REFINE the prefix components: every
+    LSH component sits inside exactly one prefix component, and the
+    keeper count can only grow (finer clusters → more keepers).
+    Exactly one keeper per LSH component, the (n_chars desc, doc_id)
+    argmax."""
+    lsh = {
+        r.doc_id: r for r in run(spark, sf_dir, "q_dedup_lsh_keep").collect()
+    }
+    pre = {
+        r.doc_id: r
+        for r in run(spark, sf_dir, "q_dedup_prefix_keep").collect()
+    }
+    assert set(lsh) == set(pre)  # one row per doc in both
+
+    comp_map = {}
+    for doc_id, r in lsh.items():
+        prev = comp_map.setdefault(r.component, pre[doc_id].component)
+        assert prev == pre[doc_id].component  # refinement
+
+    assert sum(r.keep for r in lsh.values()) >= sum(
+        r.keep for r in pre.values()
+    )
+    by_comp = {}
+    for r in lsh.values():
+        by_comp.setdefault(r.component, []).append(r)
+    for members in by_comp.values():
+        keeps = [r for r in members if r.keep]
+        assert len(keeps) == 1
+        best = max(members, key=lambda r: (r.n_chars, -r.doc_id))
+        assert keeps[0].doc_id == best.doc_id

@@ -96,6 +96,7 @@ AUDIT = [
     ("q_dedup_prefix_keep", "prefix candidates -> components -> keeper, pairs never output"),
     ("q_ann_recall", "ANN recall: exact top-k + 3 index probes joined on query id"),
     ("q_dedup_temporal", "debounce dedup: one LAG window shuffle on the dedup key"),
+    ("q_dedup_lsh_keep", "LSH buckets (capped) -> integer-Jaccard verify -> keeper"),
     ("q_k_anonymity", "QI groupBy partial-aggregates map-side; re-agg on tiny frame"),
 ]
 
