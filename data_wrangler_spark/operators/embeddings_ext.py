@@ -198,7 +198,7 @@ KM_ITER = 4     # update rounds
 KM_Q = 1 << 20  # quantization: float component ×2^20, floored
 
 
-def kmeans_cte_sql() -> str:
+def kmeans_cte_sql(k: int = KM_K) -> str:
     """Shared DuckDB CTE body for the integer k-means (no leading
     WITH): quantized components `v`, the recursive centroid table
     `cen`, final centroids `fin`, and the final assignment `km_asg`.
@@ -207,7 +207,10 @@ def kmeans_cte_sql() -> str:
     centroid (BIGINT squared distance, (dist, cl) tiebreak) and emits
     the next centroids as integer-division means. All arithmetic is
     BIGINT, so the trajectory is bit-identical to the Spark loop
-    regardless of partitioning or summation order."""
+    regardless of partitioning or summation order. `k` defaults to
+    the clustering family's KM_K; the IVF quantizer passes its own
+    nlist (tuned by tools/ann_tune.py) without perturbing
+    q_kmeans_exact/q_dedup_semantic."""
     from data_wrangler_spark.operators.dedup import _sql_md5_long
 
     key = _sql_md5_long("CAST(vec_id AS VARCHAR)")
@@ -228,7 +231,7 @@ def kmeans_cte_sql() -> str:
     cen(it, cl, dim, c) AS (
       SELECT 0, s.cl, v.dim, v.x
       FROM seed s JOIN v ON v.vec_id = s.vec_id
-      WHERE s.cl <= {KM_K}
+      WHERE s.cl <= {k}
       UNION ALL
       SELECT MAX(asg.it) + 1, asg.cl, v2.dim,
              CAST(SUM(v2.x) // CAST(count(*) AS BIGINT) AS BIGINT)
@@ -377,7 +380,7 @@ def _trunc_div(s: int, n: int) -> int:
     return s // n if s >= 0 else -((-s) // n)
 
 
-def kmeans_fit_mat(spark: SparkSession, sf_dir: str):
+def kmeans_fit_mat(spark: SparkSession, sf_dir: str, k: int = KM_K):
     """Run the integer k-means with an Arrow/numpy iteration and a
     DRIVER-RESIDENT centroid table — the same design as
     pyspark.ml.KMeans (centroids are O(K·dim) and live on the
@@ -408,10 +411,10 @@ def kmeans_fit_mat(spark: SparkSession, sf_dir: str):
     seed_rows = (
         v_arr.select("vec_id", "xs", seed_key.alias("sk"))
         .orderBy("sk", "vec_id")
-        .limit(KM_K)
+        .limit(k)
         .collect()
     )
-    cl_ids = np.arange(1, KM_K + 1, dtype=np.int64)
+    cl_ids = np.arange(1, k + 1, dtype=np.int64)
     cmat = np.vstack([np.asarray(r["xs"], dtype=np.int64) for r in seed_rows])
 
     # the iteration loop is shuffle-free (per-task partials collect
@@ -420,11 +423,11 @@ def kmeans_fit_mat(spark: SparkSession, sf_dir: str):
     return v_arr, cl_ids, cmat
 
 
-def kmeans_fit_arr(spark: SparkSession, sf_dir: str):
+def kmeans_fit_arr(spark: SparkSession, sf_dir: str, k: int = KM_K):
     """DataFrame-centroid wrapper over kmeans_fit_mat for consumers
     that join centroids relationally (kmeans_assign, the IVF cell
     probe)."""
-    v_arr, cl_ids, cmat = kmeans_fit_mat(spark, sf_dir)
+    v_arr, cl_ids, cmat = kmeans_fit_mat(spark, sf_dir, k=k)
 
     cen_rows = [
         (int(cl), int(dim_i), int(cmat[i, dim_i]))
@@ -490,12 +493,12 @@ def _km_loop(spark, v_arr, cl_ids, cmat):
     return cl_ids, cmat
 
 
-def kmeans_fit(spark: SparkSession, sf_dir: str):
+def kmeans_fit(spark: SparkSession, sf_dir: str, k: int = KM_K):
     """Exploded-contract wrapper over kmeans_fit_arr: returns
     (quantized components `v` [vec_id, dim, x], final centroids
     [cl, dim, c]) for consumers that join per-dimension
     (q_sim_search_ivf_exact's query-cell probe)."""
-    v_arr, cen = kmeans_fit_arr(spark, sf_dir)
+    v_arr, cen = kmeans_fit_arr(spark, sf_dir, k=k)
     v = v_arr.select("vec_id", F.posexplode("xs").alias("dim", "x"))
     return v, cen
 

@@ -36,6 +36,16 @@ from data_wrangler_spark.functions.vectors import (
 from data_wrangler_spark.registry import register
 
 N_PLANES = 16  # LSH hyperplanes → 16-bit signature, 4 bands × 4 bits
+LSH_BAND_BITS = 4
+# Multi-probe (Lv et al. 2007): the query also probes every bucket at
+# Hamming distance ≤ LSH_PROBE_R within each band. r=1 measured by
+# tools/ann_tune.py: recall@10 0.2 → 0.9-1.0 on every fixture
+# (sf0.001…f50) — these near-uniform synthetic embeddings are the
+# distance-concentration worst case, so single-probe recall collapses
+# while Hamming-1 probing recovers it (at a measured candidate-set
+# cost the harness reports honestly).
+LSH_PROBE_R = 1
+LSH_PROBE_MASKS = [0] + [1 << r for r in range(LSH_BAND_BITS)]
 
 
 def _query_vec(spark: SparkSession, sf_dir: str):
@@ -118,6 +128,7 @@ def _lsh_oracle(dim: int = 64) -> str:
     bands_q = "\n      UNION ALL\n      ".join(
         f"SELECT qe, {b} AS band, {band('qe', b)} AS bucket FROM q" for b in range(4)
     )
+    masks = "[" + ",".join(str(m) for m in LSH_PROBE_MASKS) + "]"
     return f"""
     WITH n AS (SELECT vec_id, label,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -125,7 +136,9 @@ def _lsh_oracle(dim: int = 64) -> str:
     q AS (SELECT e AS qe FROM n
           WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
     bn AS ({bands_n}),
-    bq AS ({bands_q}),
+    bq0 AS ({bands_q}),
+    bq AS (SELECT qe, band, xor(bucket, mm.m) AS bucket
+           FROM bq0 CROSS JOIN unnest({masks}) AS mm(m)),
     cand AS (
       SELECT DISTINCT bn.vec_id, bn.label, bn.e
       FROM bn JOIN bq ON bn.band = bq.band AND bn.bucket = bq.bucket
@@ -143,9 +156,13 @@ def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal ±1 weights (md5-seeded; identical constants embedded in
     the DuckDB oracle, so even this approximate index is
     oracle-checked); candidates = vectors sharing ≥1 of 4 signature
-    bands with the query; cosine re-rank of candidates only (1e-6
-    rounding). At 100 TB the bucket join replaces the full scan —
-    probed partitions ∝ bucket selectivity."""
+    bands with the MULTI-PROBED query (the query probes its own
+    bucket plus every Hamming-≤LSH_PROBE_R bucket per band — Lv et
+    al. 2007; measured by q_ann_recall / tools/ann_tune.py: recall@10
+    0.2 → 0.9-1.0 on every fixture); cosine re-rank of candidates
+    only (1e-6 rounding). At 100 TB the bucket join replaces the full
+    scan — probed partitions ∝ bucket selectivity, and multi-probe
+    multiplies QUERY rows (tiny side), never corpus rows."""
     raw = load_table(spark, sf_dir, "embeddings")
     dim = embedding_dim(raw)
     e = raw.select("vec_id", "label", to_double_array("embedding").alias("e"))
@@ -180,7 +197,13 @@ def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = e.withColumn("sig", signature(F.col("e")))
     qsig = (
         q.withColumn("sig", signature(F.col("qe")))
-        .select("qe", F.posexplode("sig").alias("band", "bucket"))
+        .select("qe", F.posexplode("sig").alias("band", "bucket0"))
+        .withColumn(
+            "m", F.explode(F.array(*[F.lit(m) for m in LSH_PROBE_MASKS]))
+        )
+        .select(
+            "qe", "band", F.col("bucket0").bitwiseXOR(F.col("m")).alias("bucket")
+        )
     )
     cand = (
         sig.select("vec_id", "label", "e", F.posexplode("sig").alias("band", "bucket"))
@@ -196,12 +219,18 @@ def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_ML_NPROBE = 8  # ann_tune-measured: 4 -> recall 0.3-0.5, 8 -> 0.9-1.0
+
+
 @register("q_sim_search_ivf", tags=("llm", "similarity", "approx"))  # rows-only: recall<1
 def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate search: k-means coarse
     quantizer (pyspark.ml, fixed seed) partitions vectors into
-    nlist=16 cells; a query probes its nprobe=4 nearest centroids and
-    exact-ranks only those cells (~25% of the corpus). At 100 TB:
+    nlist=16 cells; a query probes its nprobe=IVF_ML_NPROBE nearest
+    centroids and exact-ranks only those cells. nprobe=8 is the
+    tools/ann_tune.py-measured setting for ≥0.9 recall@10 on these
+    near-uniform fixtures (nprobe=4 measured 0.3-0.5 — distance
+    concentration spreads true neighbors across cells). At 100 TB:
     train the quantizer on a sample, store the cell id as a partition
     column — a probe then reads only nprobe partitions (partition
     pruning does the "index" lookup). Rows-only check; pytest pins
@@ -226,7 +255,7 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers = model.clusterCenters()
     # nprobe=4 nearest cells to the query (euclidean, like the quantizer)
     order = np.argsort([float(np.linalg.norm(qvec - c)) for c in centers])
-    probe_cells = [int(c) for c in order[:4]]
+    probe_cells = [int(c) for c in order[:IVF_ML_NPROBE]]
 
     cand = assigned.filter(
         F.col("cell").isin(probe_cells) & (F.col("vec_id") != qid)
@@ -353,10 +382,10 @@ def q_sim_search_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-memory variant (q_sim_search_ivf) only gestures at. Build
     (once per sf): train the k-means coarse quantizer, write vectors
     partitioned BY CELL plus a 16-row centroid table. Serve: read
-    the centroid table (tiny), pick nprobe=4 cells, and scan only
+    the centroid table (tiny), pick nprobe=IVF_ML_NPROBE cells, and scan only
     those — the `cell` filter is a PARTITION filter, so the "index
     probe" is literally directory pruning (the plan's PartitionFilters
-    proves ~75% of the corpus is never read). This is exactly how an
+    proves the non-probed cells are never read). This is exactly how an
     IVF index deploys on a data lake at 100 TB: the quantizer trains
     on a sample, assignments are the partition layout, and every
     query's IO is nprobe/nlist of the corpus. Same fixed seed as the
@@ -398,7 +427,7 @@ def q_sim_search_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = np.array(q.collect()[0]["qe"])
     centers = {r.cell: np.array(r.center) for r in spark.read.parquet(cen_path).collect()}
     order = sorted(centers, key=lambda c: float(np.linalg.norm(qvec - centers[c])))
-    probe_cells = [int(c) for c in order[:4]]
+    probe_cells = [int(c) for c in order[:IVF_ML_NPROBE]]
 
     vecs = spark.read.parquet(vec_path)
     dim = len(qvec)
@@ -412,7 +441,8 @@ def q_sim_search_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-IVFX_NPROBE = 4  # cells probed by the exact-oracle IVF
+IVFX_NLIST = 16  # exact-IVF quantizer cells (own k; KM_K=8 untouched)
+IVFX_NPROBE = 8  # cells probed (ann_tune-measured: 4/8 cells -> 0.5; 8/16 -> 0.9-1.0)
 IVFX_TOPK = 10
 
 
@@ -421,7 +451,7 @@ def _ivf_exact_oracle() -> str:
 
     return f"""
     WITH RECURSIVE
-    {kmeans_cte_sql()},
+    {kmeans_cte_sql(k=IVFX_NLIST)},
     qv AS (
       SELECT dim, x FROM v
       WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
@@ -472,7 +502,7 @@ def q_sim_search_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_fit,
     )
 
-    v, cen = kmeans_fit(spark, sf_dir)
+    v, cen = kmeans_fit(spark, sf_dir, k=IVFX_NLIST)
     asg = kmeans_assign(v, cen).select("vec_id", "cl")
 
     raw = load_table(spark, sf_dir, "embeddings")
@@ -511,9 +541,9 @@ def q_sim_search_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ── Product quantization (PQ) ANN ──────────────────────────────────
 PQ_M = 8        # subspaces
 PQ_SUB = 8      # dims per subspace (PQ_M × PQ_SUB = 64 = embedding dim)
-PQ_NCENT = 16   # centroids per subspace codebook
+PQ_NCENT = 32   # centroids per subspace codebook (16 -> 0.6-0.9 recall; 32 -> 0.9-1.0)
 PQ_TOPK = 10
-PQ_SHORTLIST = 64  # ADC candidates kept for the exact re-rank stage
+PQ_SHORTLIST = 256  # ADC candidates for exact re-rank (64 -> 0.6; 256 -> 0.9-1.0, still 0.3% of f50)
 PQ_Q = 1 << 20  # micro-unit quantizer (same as kmeans: floor(x·2^20))
 
 
@@ -692,8 +722,9 @@ def q_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_FAMILIES = (
     # (family, source query, config string)
     ("ivf", "q_sim_search_ivf_exact",
-     f"nlist=8,nprobe={IVFX_NPROBE},quantizer=int-kmeans"),
-    ("lsh", "q_sim_search_lsh", f"planes={N_PLANES},bands=4x4"),
+     f"nlist={IVFX_NLIST},nprobe={IVFX_NPROBE},quantizer=int-kmeans"),
+    ("lsh", "q_sim_search_lsh",
+     f"planes={N_PLANES},bands=4x4,probe_r={LSH_PROBE_R}"),
     ("pq", "q_sim_search_pq",
      f"m={PQ_M},ncent={PQ_NCENT},shortlist={PQ_SHORTLIST}"),
 )
