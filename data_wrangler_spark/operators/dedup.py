@@ -42,9 +42,15 @@ N_MINHASH = 16  # minhash signature length
 N_BANDS = 4  # LSH bands (rows per band = 16/4 = 4)
 MAX_BUCKET = 1000  # hot-bucket guard for the self-join
 
-# q_dedup_embed block sizing, keyed on (sf_dir, fixture mtime) — see
-# the sizing comment inside q_dedup_embed
-_EMBED_SIZING_CACHE: dict[tuple, int] = {}
+# q_dedup_embed block sizing: ONE entry per sf_dir, storing
+# (fixture mtime, sizing). Keying the dict on (sf_dir, mtime) would
+# grow unboundedly over process lifetime and could serve a stale
+# sizing when a part-file inside a directory fixture is overwritten
+# in place (directory mtime unchanged) — latest-entry-wins both
+# bounds growth and makes invalidation one comparison (ADVICE r8 #4).
+# Correctness never depends on it: the sizing only picks block
+# granularity; all same-label pairs are covered at any value.
+_EMBED_SIZING_CACHE: dict[str, tuple[float, int]] = {}
 
 
 def _fixture_mtime(sf_dir: str, table: str) -> float:
@@ -242,15 +248,14 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .filter((F.size("ds") >= 2) & (F.size("ds") <= MAX_BUCKET))
     )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ds, (x, i) -> "
-                "transform(slice(ds, i + 2, size(ds) - i - 1), "
-                "y -> struct(x AS doc_a, y AS doc_b))))"
-            )
-        ).alias("p")
-    ).select("p.doc_a", "p.doc_b")
+    # two chained generators (posexplode anchor, explode tail slice —
+    # the prefix_verified_pairs pattern): pairs stream through codegen
+    # with O(k) task memory instead of one array holding all C(k,2)
+    # pair structs of a bucket (~8 MB per row at MAX_BUCKET)
+    pairs = buckets.select(F.posexplode("ds").alias("i", "doc_a"), "ds").select(
+        "doc_a",
+        F.explode(F.expr("slice(ds, i + 2, size(ds) - i - 1)")).alias("doc_b"),
+    )
     # belt-and-braces: i<j positional pairing assumes doc_id is unique
     # (it is documents' pk); a duplicated doc_id would emit an (x,x)
     # self-pair the oracle's a.doc_id < b.doc_id predicate excludes
@@ -598,16 +603,18 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # block sizing needs max-rows-per-label, a driver-side scalar.
     # Memoized per fixture dir so repeated plan CONSTRUCTION (explain
     # audits, bench warm-up) pays the sizing scan once, not per call
-    # (ADVICE r7); only an upper bound is needed, so staleness across
-    # a rewritten fixture dir is handled by keying on dir+mtime.
-    key = (sf_dir, _fixture_mtime(sf_dir, "embeddings"))
-    if key not in _EMBED_SIZING_CACHE:
+    # (ADVICE r7); one latest entry per sf_dir, invalidated on mtime
+    # change (see _EMBED_SIZING_CACHE above).
+    mtime = _fixture_mtime(sf_dir, "embeddings")
+    cached = _EMBED_SIZING_CACHE.get(sf_dir)
+    if cached is None or cached[0] != mtime:
         # `or 0`: max over an empty table is NULL — an empty corpus
         # must yield an empty result, not a TypeError at plan-build
-        _EMBED_SIZING_CACHE[key] = int(
+        sizing = int(
             raw.groupBy("label").count().agg(F.max("count")).first()[0] or 0
         )
-    max_label_n = _EMBED_SIZING_CACHE[key]
+        _EMBED_SIZING_CACHE[sf_dir] = (mtime, sizing)
+    max_label_n = _EMBED_SIZING_CACHE[sf_dir][1]
     n_blocks = max(1, (int(max_label_n) + 511) // 512)
     e = raw.select(
         "vec_id",

@@ -384,6 +384,7 @@ def min_label_components(
     # (shuffle_width only ever narrows, so the 100 TB path is
     # unaffected)
     n_nodes = labels.count()
+    changed = 0
     with shuffle_width(spark, n_nodes):
         for _ in range(25):  # diameter bound; converges in ~3-5
             prop = labels.join(edges, labels["node"] == edges["src"]).select(
@@ -405,6 +406,18 @@ def min_label_components(
             if changed == 0:
                 break
     edges.unpersist()
+    if changed != 0:
+        # A chained near-dup graph (A~B~C~…) whose diameter exceeds
+        # the round bound would otherwise return silently-wrong
+        # components that diverge from the recursive-CTE oracle's full
+        # reachability (ADVICE r8 #3) — three operators share this
+        # tail (q_dedup_cluster, q_dedup_prefix_keep,
+        # q_dedup_lsh_keep), so fail loudly rather than mislabel.
+        raise RuntimeError(
+            f"min_label_components: not converged after 25 rounds "
+            f"({changed} labels still moving) — component diameter "
+            f"exceeds the bound; raise the round cap for this corpus"
+        )
     return labels
 
 
@@ -1423,17 +1436,20 @@ def q_dedup_lsh_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .filter((F.size("ds") >= 2) & (F.size("ds") <= MAX_BUCKET))
     )
+    # pair emission as TWO CHAINED GENERATORS (posexplode the anchor,
+    # explode its tail slice — the prefix_verified_pairs pattern):
+    # rows stream through codegen with O(k) task memory; a single
+    # flatten(transform(...)) would materialize all C(k,2) pair
+    # structs of a bucket in one array value (~500k structs / ~8 MB
+    # per row at MAX_BUCKET) — the OOM hazard ADVICE r8 #2 flagged.
     cand = (
-        buckets.select(
+        buckets.select(F.posexplode("ds").alias("i", "doc_a"), "ds")
+        .select(
+            "doc_a",
             F.explode(
-                F.expr(
-                    "flatten(transform(ds, (x, i) -> "
-                    "transform(slice(ds, i + 2, size(ds) - i - 1), "
-                    "y -> struct(x AS doc_a, y AS doc_b))))"
-                )
-            ).alias("p")
+                F.expr("slice(ds, i + 2, size(ds) - i - 1)")
+            ).alias("doc_b"),
         )
-        .select("p.doc_a", "p.doc_b")
         .filter(F.col("doc_a") != F.col("doc_b"))
         .distinct()
     )

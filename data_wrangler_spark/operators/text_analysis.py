@@ -304,7 +304,7 @@ BPE_SYMBOLS = "AB"  # single-char stand-ins for merged symbols (corpus
     "q_bpe_merges",
     oracle=f"""
     WITH w0 AS (
-      SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
       FROM documents),
     p0 AS (
       SELECT substr(word, i, 2) AS pair, CAST(count(*) AS BIGINT) AS cnt
@@ -609,7 +609,7 @@ def _bpe_merge_ctes() -> str:
     q_bpe_merges' oracle so both queries learn the same rules."""
     return """
     w0 AS (
-      SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
       FROM documents),
     p0 AS (
       SELECT substr(word, i, 2) AS pair, CAST(count(*) AS BIGINT) AS cnt
@@ -636,7 +636,7 @@ def _bpe_merge_ctes() -> str:
     "q_bpe_encode",
     oracle=f"""
     WITH {_bpe_merge_ctes()},
-    docs AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+    docs AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
              FROM documents),
     enc AS (
       SELECT doc_id, ws,

@@ -345,11 +345,17 @@ class GatewayServer:
                 # requests share the cluster fairly instead of
                 # head-of-line blocking behind one big scan; local
                 # properties are per-thread, and ThreadingHTTPServer
-                # gives each connection its own thread
+                # gives each connection its own thread. The pool name
+                # is the thread ident FOLDED INTO 64 SLOTS: Spark's
+                # FAIR scheduler retains every named pool in the root
+                # pool forever, so per-ident names would accumulate
+                # unboundedly under connection churn (ADVICE r8 #5) —
+                # 64 slots keep concurrent requests in (almost always)
+                # distinct pools while bounding the root pool's size.
                 try:
                     outer.spark.sparkContext.setLocalProperty(
                         "spark.scheduler.pool",
-                        f"gw-{threading.get_ident()}",
+                        f"gw-{threading.get_ident() % 64}",
                     )
                 except Exception:
                     pass  # foreign session without a live context
@@ -389,12 +395,41 @@ class GatewayServer:
             # could return mid-request)
             daemon_threads = False
 
+            # TLS is wrapped PER ACCEPTED CONNECTION, not on the
+            # listening socket: wrapping the listener runs the
+            # handshake inside accept() on the single serve_forever
+            # thread, so one client stalling mid-handshake would block
+            # ALL new connections (ADVICE r8 #1 — node's https server
+            # has no such bottleneck). Here accept() only wraps
+            # (cheap, no IO) and the handshake runs in the
+            # per-connection handler thread under a socket timeout.
+            tls_context: ssl.SSLContext | None = None
+            TLS_HANDSHAKE_TIMEOUT = 10.0
+
+            def get_request(self):
+                sock, addr = self.socket.accept()
+                if self.tls_context is not None:
+                    sock.settimeout(self.TLS_HANDSHAKE_TIMEOUT)
+                    sock = self.tls_context.wrap_socket(
+                        sock, server_side=True, do_handshake_on_connect=False
+                    )
+                return sock, addr
+
+            def process_request_thread(self, request, client_address):
+                if self.tls_context is not None:
+                    try:
+                        request.do_handshake()
+                    except Exception:
+                        # bad/stalled handshake kills only this
+                        # connection's thread — accept() never waited
+                        self.shutdown_request(request)
+                        return
+                super().process_request_thread(request, client_address)
+
         self.httpd = _DrainingHTTPServer((host, port), Handler)
         self._tls = bool(ssl_config and ssl_config.get("enabled"))
         if self._tls:
-            self.httpd.socket = _ssl_context(ssl_config).wrap_socket(
-                self.httpd.socket, server_side=True
-            )
+            self.httpd.tls_context = _ssl_context(ssl_config)
         self._thread: threading.Thread | None = None
         self._run_lock = threading.Lock()
         self._shutting_down = False

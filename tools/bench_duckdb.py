@@ -11,8 +11,18 @@ DuckDB oracle SQL (identical semantics by construction — the harness
 hash-matches the results) and, optionally, the Spark side, emitting a
 comparison table for BASELINE.md.
 
-Usage: python tools/bench_duckdb.py [sf_dir] [--spark]
-"""
+Usage: python tools/bench_duckdb.py [sf_dir] [--spark] [--arrow]
+
+--arrow switches BOTH engines to columnar Arrow result delivery
+(DuckDB `fetch_arrow_table()` vs Spark `toArrow()`). The default
+convention (`fetchall()` vs `collect()`) is symmetric in API shape
+but not in cost model: both build per-row Python objects, and for
+multi-million-row results that conversion dominates Spark far more
+than DuckDB (Row construction + driver single-thread assembly),
+so large-OUTPUT queries measure client materialization, not the
+plan. Arrow mode is the apples-to-apples delivery a real consumer
+(pandas, another engine, a writer) would use — no per-row Python
+objects on either side."""
 
 from __future__ import annotations
 
@@ -59,6 +69,7 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     with_spark = "--spark" in sys.argv
+    arrow = "--arrow" in sys.argv
 
     from data_wrangler_spark import REGISTRY
 
@@ -75,8 +86,15 @@ def main() -> None:
         if not spec.oracle:
             continue
         print(f"duckdb {name}: start", file=sys.stderr, flush=True)
+
+        def duck_fetch():
+            cur = con.execute(spec.oracle)
+            if arrow:
+                return cur.fetch_arrow_table().num_rows
+            return len(cur.fetchall())
+
         t0 = time.time()
-        rows = con.execute(spec.oracle).fetchall()  # warm (parquet metadata)
+        n_rows = duck_fetch()  # warm (parquet metadata)
         warm = time.time() - t0
         if warm > SINGLE_RUN_OVER_SEC:
             duck[name], reps = round(warm, 4), 0
@@ -84,17 +102,18 @@ def main() -> None:
             runs = []
             for _ in range(3):  # median-of-3, matching bench.py
                 t0 = time.time()
-                rows = con.execute(spec.oracle).fetchall()
+                n_rows = duck_fetch()
                 runs.append(time.time() - t0)
             duck[name], reps = round(sorted(runs)[1], 4), 3
         print(
-            f"duckdb {name}: {duck[name]}s ({len(rows)} rows, {reps} reps)",
+            f"duckdb {name}: {duck[name]}s ({n_rows} rows, {reps} reps)",
             file=sys.stderr,
             flush=True,
         )
 
     out: dict = {
         "sf_dir": sf_dir,
+        "delivery": "arrow" if arrow else "rows",
         "duckdb_total_sec": round(sum(duck.values()), 4),
         "duckdb": duck,
     }
@@ -107,8 +126,15 @@ def main() -> None:
         for name in duck:
             fn = REGISTRY[name]
             print(f"spark  {name}: start", file=sys.stderr, flush=True)
+
+            def spark_fetch():
+                df = fn.run(spark, sf_dir)
+                if arrow:
+                    return df.toArrow().num_rows
+                return len(df.collect())
+
             t0 = time.time()
-            fn.run(spark, sf_dir).collect()  # warm (JIT + file listing)
+            spark_fetch()  # warm (JIT + file listing)
             warm = time.time() - t0
             if warm > SINGLE_RUN_OVER_SEC:
                 sp[name], reps = round(warm, 4), 0
@@ -116,7 +142,7 @@ def main() -> None:
                 runs = []
                 for _ in range(3):  # median-of-3, matching bench.py
                     t0 = time.time()
-                    fn.run(spark, sf_dir).collect()
+                    spark_fetch()
                     runs.append(time.time() - t0)
                 sp[name], reps = round(sorted(runs)[1], 4), 3
             print(
