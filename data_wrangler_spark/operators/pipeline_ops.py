@@ -1478,3 +1478,241 @@ def q_dedup_lsh_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     return _keeper_from_pairs(spark, d, pairs)
+
+
+# ── q_corpus_pipeline_incremental (VERDICT r8 #3) ──────────────────
+# The daily-ingest production shape: the WHOLE selection pipeline —
+# near-dedup vs history, quality gate, survivor-population cap,
+# train split — runs over the new batch only. History contributes a
+# persisted LSH band index (q_dedup_incremental's) and a persisted
+# per-source survivor counter; it is never rescanned, never re-paired.
+
+_PIPE_INC_SCRATCH = "/root/repo/.scratch/pipeline_inc"
+
+
+def _pipe_inc_oracle() -> str:
+    from data_wrangler_spark.operators.dedup import (
+        INC_EXIST_PCT,
+        INC_JAC_MICRO,
+        MAX_BUCKET,
+        _band_union_sql,
+        _sig_select_sql,
+    )
+    from data_wrangler_spark.operators.text_analysis import (
+        GOPHER_MAX_MEAN_WLEN,
+        GOPHER_MAX_SHORT_FRAC,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEAN_WLEN,
+        GOPHER_MIN_STOPWORD_HITS,
+        GOPHER_MIN_WORDS,
+    )
+
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {sql_shingles_of('w', 3)} AS sh
+      FROM (SELECT doc_id, {sql_words('text')} AS w FROM documents)),
+    sig AS (SELECT doc_id, {_sig_select_sql()} FROM sh),
+    sig_ex AS (SELECT * FROM sig WHERE doc_id % 10 < {INC_EXIST_PCT}),
+    sig_new AS (SELECT * FROM sig WHERE doc_id % 10 >= {INC_EXIST_PCT}),
+    bands_ex AS ({_band_union_sql('sig_ex')}),
+    bands_new AS ({_band_union_sql('sig_new')}),
+    index_g AS (
+      SELECT band, bucket, doc_id FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bsize
+        FROM bands_ex)
+      WHERE bsize <= {MAX_BUCKET}),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS doc_new, e.doc_id AS doc_old
+      FROM bands_new n
+      JOIN index_g e ON e.band = n.band AND e.bucket = n.bucket),
+    shd AS (SELECT doc_id, list_distinct(sh) AS s FROM sh),
+    dup_new AS (
+      SELECT DISTINCT c.doc_new AS doc_id
+      FROM cand c
+      JOIN shd a ON a.doc_id = c.doc_new
+      JOIN shd b ON b.doc_id = c.doc_old
+      WHERE (len(list_intersect(a.s, b.s)) * 1000000)
+              // (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+            >= {INC_JAC_MICRO}),
+    quality AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, {sql_words('text')} AS w FROM documents)
+      WHERE len(w) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+        AND CAST(len(array_to_string(w, '')) AS DOUBLE) / len(w)
+              BETWEEN {GOPHER_MIN_MEAN_WLEN} AND {GOPHER_MAX_MEAN_WLEN}
+        AND CAST(len(list_filter(w, x -> length(x) <= 3)) AS DOUBLE) / len(w)
+              <= {GOPHER_MAX_SHORT_FRAC}
+        AND ({_GOPHER_HITS_SQL}) >= {GOPHER_MIN_STOPWORD_HITS}),
+    new_keeper AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                                  ORDER BY doc_id) AS rn
+        FROM documents WHERE doc_id % 10 >= {INC_EXIST_PCT})
+      WHERE rn = 1),
+    new_surv AS (
+      SELECT d.doc_id, d.lang, d.source, d.n_chars
+      FROM documents d
+      JOIN new_keeper k USING (doc_id)
+      JOIN quality q USING (doc_id)
+      WHERE d.doc_id % 10 >= {INC_EXIST_PCT}
+        AND d.doc_id NOT IN (SELECT doc_id FROM dup_new)),
+    exist_keeper AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                                  ORDER BY doc_id) AS rn
+        FROM documents WHERE doc_id % 10 < {INC_EXIST_PCT})
+      WHERE rn = 1),
+    exist_surv AS (
+      SELECT d.doc_id, d.source
+      FROM documents d
+      JOIN exist_keeper k USING (doc_id)
+      JOIN quality q USING (doc_id)
+      WHERE d.doc_id % 10 < {INC_EXIST_PCT}),
+    prior AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src
+      FROM exist_surv GROUP BY 1),
+    tot AS (
+      SELECT CAST((SELECT COUNT(*) FROM exist_surv)
+                  + (SELECT COUNT(*) FROM new_surv) AS BIGINT) AS n_all),
+    ranked AS (
+      SELECT s.*, CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {_sql_md5_long("CAST(doc_id AS VARCHAR)", seed=11)},
+                        doc_id) AS BIGINT) AS rk
+      FROM new_surv s)
+    SELECT r.doc_id, r.lang, r.source, r.n_chars,
+           COALESCE(p.n_src, 0) + r.rk AS cum_rank
+    FROM ranked r
+    LEFT JOIN prior p USING (source), tot
+    WHERE COALESCE(p.n_src, 0) + r.rk
+            <= (tot.n_all * {DOMAIN_CAP_PCT} + 99) // 100
+      AND {_sql_md5_long("CAST(r.doc_id AS VARCHAR)", SPLIT_SEED)} % 10 < 8
+    """
+
+
+@register(
+    "q_corpus_pipeline_incremental",
+    oracle=_pipe_inc_oracle(),
+    tags=("llm", "pipeline"),
+)
+def q_corpus_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus pipeline as a DAILY INGEST — q_corpus_pipeline's
+    selection semantics (dedup → quality → survivor-population cap →
+    train split) restated so the whole pipeline costs O(new batch),
+    not O(corpus). Docs with doc_id % 10 < INC_EXIST_PCT play the
+    already-ingested history; the rest are today's batch. Stages:
+
+    1. near-dedup vs HISTORY through the persisted LSH band index
+       (q_dedup_incremental, composed via the registry — index built
+       once, probed by one (band, bucket) equi-join, candidates
+       verified by exact integer Jaccard ≥ 0.5): a new doc matching
+       history is dropped;
+    2. exact dedup WITHIN the batch (md5 keeper rank — the cheap
+       in-batch pass production runs before the index probe);
+    3. the Gopher quality gate on batch survivors;
+    4. the per-source cap recomputed over the POST-INGEST survivor
+       population: history contributes a PERSISTED per-source
+       survivor counter (built once, like the index — history is
+       never rescanned), and a new doc is kept iff prior_kept(source)
+       + its seeded rank among new survivors stays within
+       ceil(DOMAIN_CAP_PCT% of the updated total);
+    5. the train-split hash on what remains.
+
+    The DuckDB oracle replays ALL of it from raw text — index build,
+    probe, verify, both survivor populations, counter, cap, split —
+    proving both persisted hops (band index, source counter) are
+    lossless.
+
+    Scale: per ingest the history-touching work is ONE equi-join
+    against the stored index and ONE broadcast of the (tiny) source
+    counter; everything else — signatures, quality scan, in-batch
+    window, rank window — is over the new batch. Cross-factor
+    timings in SCALE.md pin the claim: wall time tracks batch size,
+    not corpus size."""
+    import os as _os
+
+    from data_wrangler_spark.catalog import scratch_tag as _stag
+    from data_wrangler_spark.operators.dedup import INC_EXIST_PCT
+    from data_wrangler_spark.registry import REGISTRY
+
+    d = load_table(spark, sf_dir, "documents")
+    exist = F.col("doc_id") % 10 < INC_EXIST_PCT
+
+    # stage 1: dup-of-history ids via the persisted-index probe
+    dup_new = (
+        REGISTRY["q_dedup_incremental"]
+        .run(spark, sf_dir)
+        .select(F.col("doc_new").alias("doc_id"))
+        .distinct()
+    )
+
+    # stage 3 gate (shared SQL semantics with q_corpus_pipeline)
+    quality = (
+        REGISTRY["q_quality_gopher"]
+        .run(spark, sf_dir)
+        .filter(F.col("passes"))
+        .select("doc_id")
+    )
+
+    # stage 2: in-batch exact keeper
+    new_d = d.filter(~exist)
+    keeper_w = Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy("doc_id")
+    new_keeper = (
+        new_d.withColumn("rn", F.row_number().over(keeper_w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    new_surv = (
+        new_d.select("doc_id", "lang", "source", "n_chars")
+        .join(new_keeper, "doc_id")
+        .join(quality, "doc_id")
+        .join(dup_new, "doc_id", "left_anti")
+    )
+    pin(new_surv.persist())
+
+    # stage 4: persisted per-source history-survivor counter —
+    # built ONCE per corpus (the only time history is scanned), then
+    # a broadcast-sized read forever after
+    path = f"{_PIPE_INC_SCRATCH}/{_stag(sf_dir, 'documents')}"
+    if not _os.path.exists(f"{path}/_SUCCESS"):
+        exist_d = d.filter(exist)
+        ek = (
+            exist_d.withColumn("rn", F.row_number().over(keeper_w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id")
+        )
+        (
+            exist_d.select("doc_id", "source")
+            .join(ek, "doc_id")
+            .join(quality, "doc_id")
+            .groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_src"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    prior = spark.read.parquet(path)
+
+    n_exist = prior.agg(F.sum("n_src").cast("bigint").alias("n_exist"))
+    n_new = new_surv.agg(F.count("*").cast("bigint").alias("n_new"))
+    cap_w = Window.partitionBy("source").orderBy(
+        _md5_long(F.col("doc_id").cast("string"), 11), "doc_id"
+    )
+    ranked = new_surv.withColumn("rk", F.row_number().over(cap_w).cast("bigint"))
+    split_h = _md5_long(F.col("doc_id").cast("string"), SPLIT_SEED) % 10
+    return (
+        ranked.join(F.broadcast(prior), "source", "left")
+        .withColumn("cum_rank", F.coalesce(F.col("n_src"), F.lit(0)) + F.col("rk"))
+        .crossJoin(F.broadcast(n_exist))
+        .crossJoin(F.broadcast(n_new))
+        .filter(
+            (
+                F.col("cum_rank")
+                <= F.expr(f"div((n_exist + n_new) * {DOMAIN_CAP_PCT} + 99, 100)")
+            )
+            & (split_h < 8)
+        )
+        .select("doc_id", "lang", "source", "n_chars", "cum_rank")
+    )

@@ -468,3 +468,65 @@ def test_ann_recall_grades_all_families(spark):
     exact = {r.vec_id for r in REGISTRY["q_sim_search"].run(spark, sf).collect()}
     ivf = {r.vec_id for r in REGISTRY["q_sim_search_ivf_exact"].run(spark, sf).collect()}
     assert rows["ivf"].hits == len(exact & ivf)
+
+
+def test_mm_phash_locality_and_exactness(spark, sf_dir):
+    """Three pins. (1) Exactness: every reported Hamming distance is
+    recomputed from _phash_stub in plain Python and must be ≤ the
+    threshold. (2) Completeness: any corpus pair within 3 of 60 bits
+    is a GUARANTEED candidate (pigeonhole: ≤3 differing bits cannot
+    touch all 4 bands), so every such pair must be in the output.
+    (3) Locality — the property a cryptographic digest lacks: a
+    byte-level edit (single-char substitution) moves the hash only a
+    few bits, while unrelated payloads sit near 30/60. NOTE the
+    boundary this deliberately pins: phash is a LAYOUT hash, so
+    word-shingle Jaccard near-dups (reordered word soup) are NOT
+    byte-layout near-dups and are correctly invisible to it — that is
+    q_dedup_minhash's job; phash covers re-encoded/cropped-tail
+    payload dups."""
+    import itertools
+    import statistics
+
+    from data_wrangler_spark.catalog import load_table
+    from data_wrangler_spark.operators.multimodal import (
+        PHASH_MAXD,
+        _phash_stub,
+    )
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    hashes = {d: _phash_stub(t.encode()) for d, t in texts.items()}
+
+    def ham(a, b):
+        return bin(hashes[a] ^ hashes[b]).count("1")
+
+    rows = REGISTRY["q_mm_phash"].run(spark, sf_dir).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in rows}
+    for (a, b), h in got.items():
+        assert h == ham(a, b)
+        assert h <= PHASH_MAXD
+
+    # pigeonhole completeness over ALL corpus pairs
+    ids = sorted(hashes)
+    for a, b in itertools.combinations(ids, 2):
+        if ham(a, b) <= 3:
+            assert (a, b) in got, f"missed guaranteed pair ({a},{b})"
+
+    # locality under byte-level edits vs unrelated payloads
+    sample = ids[:20]
+    edit_h, rand_h = [], []
+    for i, d in enumerate(sample):
+        t = texts[d]
+        edited = ("X" if t[0] != "X" else "Y") + t[1:]
+        edit_h.append(
+            bin(_phash_stub(t.encode()) ^ _phash_stub(edited.encode())).count("1")
+        )
+        other = sample[(i + 7) % len(sample)]
+        if other != d:
+            rand_h.append(ham(d, other))
+    assert statistics.median(edit_h) <= PHASH_MAXD
+    assert statistics.median(rand_h) - statistics.median(edit_h) >= 10
