@@ -43,12 +43,13 @@ N_BANDS = 4  # LSH bands (rows per band = 16/4 = 4)
 MAX_BUCKET = 1000  # hot-bucket guard for the self-join
 
 # q_dedup_embed block sizing: ONE entry per sf_dir, storing
-# (fixture mtime, sizing). Keying the dict on (sf_dir, mtime) would
-# grow unboundedly over process lifetime and could serve a stale
-# sizing when a part-file inside a directory fixture is overwritten
-# in place (directory mtime unchanged) — latest-entry-wins both
-# bounds growth and makes invalidation one comparison (ADVICE r8 #4).
-# Correctness never depends on it: the sizing only picks block
+# (fixture mtime, sizing). Versus keying the dict on (sf_dir, mtime),
+# latest-entry-wins buys exactly one thing: bounded growth over the
+# process lifetime. Staleness detection is identical in both schemes
+# (both compare the observed mtime against what was cached), so an
+# in-place part-file overwrite that leaves the stat'd mtime unchanged
+# is served stale either way (ADVICE r9 #2) — harmless, because
+# correctness never depends on it: the sizing only picks block
 # granularity; all same-label pairs are covered at any value.
 _EMBED_SIZING_CACHE: dict[str, tuple[float, int]] = {}
 

@@ -1695,7 +1695,13 @@ def q_corpus_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     prior = spark.read.parquet(path)
 
-    n_exist = prior.agg(F.sum("n_src").cast("bigint").alias("n_exist"))
+    # coalesce: SUM over an empty prior counter is NULL, which would
+    # make the cap predicate NULL and drop every new-batch row — the
+    # oracle's COUNT(*)-based total is 0 and still emits capped docs
+    # (ADVICE r9 #1), so an empty history must read as 0 here too.
+    n_exist = prior.agg(
+        F.coalesce(F.sum("n_src"), F.lit(0)).cast("bigint").alias("n_exist")
+    )
     n_new = new_surv.agg(F.count("*").cast("bigint").alias("n_new"))
     cap_w = Window.partitionBy("source").orderBy(
         _md5_long(F.col("doc_id").cast("string"), 11), "doc_id"

@@ -59,6 +59,7 @@ rollups (q_rollup_serve) or paged lists; bulk results belong in sinks
 from __future__ import annotations
 
 import json
+import logging
 import re
 import ssl
 import threading
@@ -419,9 +420,17 @@ class GatewayServer:
                 if self.tls_context is not None:
                     try:
                         request.do_handshake()
-                    except Exception:
+                    except (ssl.SSLError, OSError) as exc:
                         # bad/stalled handshake kills only this
-                        # connection's thread — accept() never waited
+                        # connection's thread — accept() never waited.
+                        # Logged so cert/cipher/protocol misconfig is
+                        # visible to operators instead of silently
+                        # dropped connections (ADVICE r9 #4).
+                        logging.getLogger(__name__).warning(
+                            "TLS handshake failed from %s: %s",
+                            client_address,
+                            exc,
+                        )
                         self.shutdown_request(request)
                         return
                 super().process_request_thread(request, client_address)
