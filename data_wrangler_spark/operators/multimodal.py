@@ -374,6 +374,61 @@ def _phash_stub(payload: bytes) -> int:
     return h
 
 
+# adjacent-pixel comparison layout for the vectorized batch hasher:
+# bit (r, c) compares grid cell r*P_COLS+c against its right neighbor
+_PH_LEFT = [r * P_COLS + c for r in range(P_ROWS) for c in range(P_COLS - 1)]
+_PH_RIGHT = [i + 1 for i in _PH_LEFT]
+
+
+def _phash_batch(payloads) -> "np.ndarray":
+    """Vectorized `_phash_stub` over an Arrow batch (r9 next-round #2:
+    the per-payload Python loop was the ingest-side bottleneck at
+    image scale). One numpy pass: concatenate the batch's payload
+    bytes, sum every payload's P_PIX blocks in one
+    `np.add.reduceat(..., dtype=int64)` over the flattened block
+    boundaries (the blocks of consecutive payloads tile the buffer,
+    so one index array covers the whole batch; int64 accumulation —
+    exact, no uint8 wraparound), then evaluate the 60 adjacent-pixel
+    comparisons as array ops. Measured warm (SCALE.md "phash ingest
+    throughput"): 199 vs 60 MB/s on 2 KB payloads (3.3×), 301 vs
+    193 MB/s on 100 KB payloads (1.6×) — the win is largest exactly
+    where ingest batches live (many small payloads, where the scalar
+    loop pays 66 Python-level slice-sums per payload).
+    Bit-identical to _phash_stub — pinned by
+    tests/test_llm_ops.py on fixture payloads plus edge lengths
+    0, 1, P_PIX-1 (reduceat's empty-segment quirk of returning
+    buf[idx] instead of 0 is corrected by zeroing zero-length
+    blocks, matching Python's sum over an empty slice)."""
+    import numpy as np
+
+    vals = [bytes(p) if p is not None else b"" for p in payloads]
+    lens = np.fromiter((len(v) for v in vals), dtype=np.int64, count=len(vals))
+    buf = np.frombuffer(b"".join(vals), dtype=np.uint8)
+    off = np.zeros(len(vals), dtype=np.int64)
+    np.cumsum(lens[:-1], out=off[1:])
+    k = np.arange(P_PIX, dtype=np.int64)
+    # block k of payload i starts at off_i + k*n_i // P_PIX — same
+    # span arithmetic as the scalar; block k ends where block k+1
+    # starts, and payload i's last block ends where payload i+1 begins
+    starts = (off[:, None] + (k[None, :] * lens[:, None]) // P_PIX).ravel()
+    if len(buf) == 0:
+        px = np.zeros((len(vals), P_PIX), dtype=np.int64)
+    else:
+        # zero-length blocks are dropped BEFORE reduceat (their
+        # boundary index can equal len(buf) — e.g. an empty payload
+        # ending the batch — and reduceat's repeated-index quirk
+        # returns buf[idx] instead of 0); the surviving indices are
+        # strictly increasing and in-bounds, and results scatter back
+        # so empty blocks read 0 exactly like Python's empty-slice sum
+        seg_len = np.diff(starts, append=len(buf))
+        nonzero = seg_len > 0
+        sums = np.zeros(len(starts), dtype=np.int64)
+        sums[nonzero] = np.add.reduceat(buf, starts[nonzero], dtype=np.int64)
+        px = sums.reshape(len(vals), P_PIX)
+    weights = (np.int64(1) << np.arange(PHASH_BITS, dtype=np.int64))[None, :]
+    return ((px[:, _PH_LEFT] < px[:, _PH_RIGHT]) * weights).sum(axis=1)
+
+
 def _phash_oracle() -> str:
     """DuckDB replay of the ENTIRE phash pipeline: payload bytes via
     hex(encode(text)) hex-pair extraction, blockwise integer sums
@@ -450,7 +505,7 @@ def q_mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "phash": pdf["payload"].map(_phash_stub),
+                    "phash": _phash_batch(pdf["payload"].to_list()),
                 }
             )
 

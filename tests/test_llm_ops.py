@@ -530,3 +530,40 @@ def test_mm_phash_locality_and_exactness(spark, sf_dir):
             rand_h.append(ham(d, other))
     assert statistics.median(edit_h) <= PHASH_MAXD
     assert statistics.median(rand_h) - statistics.median(edit_h) >= 10
+
+
+def test_phash_batch_bit_identical_to_scalar(spark, sf_dir):
+    """The vectorized Arrow-batch hasher (_phash_batch, r10) must be
+    bit-identical to the scalar reference (_phash_stub) on every
+    fixture payload PLUS the lengths that exercise its reduceat
+    fix-ups: 0 (empty buffer / all-empty-block payload), 1 and
+    P_PIX-1 (every block empty or one byte — repeated boundary
+    indices), P_PIX (exactly one byte per block), and a payload
+    ENDING the batch with n=0 (its clipped boundary index would
+    otherwise read past the buffer)."""
+    from data_wrangler_spark.catalog import load_table
+    from data_wrangler_spark.operators.multimodal import (
+        P_PIX,
+        _phash_batch,
+        _phash_stub,
+    )
+
+    payloads = [
+        r.text.encode()
+        for r in load_table(spark, sf_dir, "documents")
+        .select("text")
+        .collect()
+    ]
+    payloads += [
+        b"",
+        b"\x01",
+        bytes(range(P_PIX - 1)),
+        bytes(range(P_PIX)),
+        b"\xff" * (P_PIX * 3 + 5),
+        b"",  # batch-final empty payload
+    ]
+    batch = _phash_batch(payloads).tolist()
+    scalar = [_phash_stub(p) for p in payloads]
+    assert batch == scalar
+    # and the all-empty batch (len(buf) == 0 fast path)
+    assert _phash_batch([b"", b""]).tolist() == [0, 0]

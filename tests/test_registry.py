@@ -69,3 +69,29 @@ def test_every_query_documented_and_tagged():
                     spec.oracle,
                     re.I,
                 ), f"{name} oracle references undefined relation {u!r}"
+
+
+def test_survey_inventory_is_generated():
+    """SURVEY §2.5's count table must byte-match a fresh render from
+    the live registry (r8 #8 / r9 #1 — the hand-kept counts drifted
+    two rounds running). Re-run `python tools/gen_inventory.py
+    --write` after any register() change."""
+    import re
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo / "tools"))
+    import gen_inventory
+
+    survey = (repo / "SURVEY.md").read_text()
+    m = re.search(
+        re.escape(gen_inventory.BEGIN) + ".*?" + re.escape(gen_inventory.END),
+        survey,
+        re.S,
+    )
+    assert m, "generated-inventory markers missing from SURVEY.md"
+    assert m.group(0) == gen_inventory.render(), (
+        "SURVEY.md inventory block is stale — "
+        "run `python tools/gen_inventory.py --write`"
+    )

@@ -214,8 +214,15 @@ def main() -> int:
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     results, _, n_fail, _ = sweep(spark, sf_dir, only)
+    # scratch artifact (gitignored): stamped with what was actually
+    # checked so a stale copy can't read as coverage evidence
     with open("/root/repo/CORRECTNESS_LOCAL.json", "w") as f:
-        json.dump(results, f, indent=1, default=str)
+        json.dump(
+            {"sf_dir": sf_dir, "only": sorted(only), "results": results},
+            f,
+            indent=1,
+            default=str,
+        )
     return 1 if n_fail else 0
 
 
