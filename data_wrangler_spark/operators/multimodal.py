@@ -429,12 +429,14 @@ def _phash_batch(payloads) -> "np.ndarray":
     return ((px[:, _PH_LEFT] < px[:, _PH_RIGHT]) * weights).sum(axis=1)
 
 
-def _phash_oracle() -> str:
-    """DuckDB replay of the ENTIRE phash pipeline: payload bytes via
-    hex(encode(text)) hex-pair extraction, blockwise integer sums
-    (identical span arithmetic — `//` truncation equals Python floor
-    on non-negatives), the 60 dHash comparisons, 4×15-bit banding,
-    candidate pair join, and exact Hamming (bit_count of xor)."""
+def _phash_pair_ctes() -> str:
+    """Shared DuckDB CTE chain replaying the phash pipeline up to
+    candidate pairs: payload bytes via hex(encode(text)) hex-pair
+    extraction, blockwise integer sums (identical span arithmetic —
+    `//` truncation equals Python floor on non-negatives), the 60
+    dHash comparisons, 4×15-bit banding, and the bucket pair join.
+    Used by q_mm_phash (pairs + Hamming) and q_mm_phash_keep
+    (pairs → components → keeper)."""
     bv = (
         "(strpos('0123456789ABCDEF', substr(hx, CAST(2*j-1 AS BIGINT), 1))-1)*16"
         " + (strpos('0123456789ABCDEF', substr(hx, CAST(2*j AS BIGINT), 1))-1)"
@@ -447,7 +449,7 @@ def _phash_oracle() -> str:
     )
     mask = (1 << PHASH_BAND_BITS) - 1
     return f"""
-    WITH b AS (
+    b AS (
       SELECT doc_id, octet_length(encode(text)) AS n,
              hex(encode(text)) AS hx
       FROM documents),
@@ -468,10 +470,61 @@ def _phash_oracle() -> str:
              a.phash AS pa, b.phash AS pb
       FROM banded a
       JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
-                   AND a.doc_id < b.doc_id)
+                   AND a.doc_id < b.doc_id)"""
+
+
+def _phash_oracle() -> str:
+    """q_mm_phash's oracle: the shared pair CTEs + exact Hamming
+    acceptance (bit_count of xor)."""
+    return f"""
+    WITH {_phash_pair_ctes()}
     SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
     FROM pairs
     WHERE bit_count(xor(pa, pb)) <= {PHASH_MAXD}
+    """
+
+
+def _phash_keep_oracle(sweep: bool) -> str:
+    """q_mm_phash_keep's oracle: the shared pair CTEs + Hamming
+    acceptance + symmetric edges + recursive min-label reachability +
+    the shared keeper tail (_PREFIX_KEEP_TAIL — identical keeper
+    semantics across the fused dedup family). The sweep variant
+    stages edges in a temp table so DuckDB doesn't re-evaluate the
+    hashing CTE chain inside every recursive iteration."""
+    from data_wrangler_spark.operators.pipeline_ops import _PREFIX_KEEP_TAIL
+
+    accepted = f"""
+    accepted AS (
+      SELECT doc_a, doc_b FROM pairs
+      WHERE bit_count(xor(pa, pb)) <= {PHASH_MAXD})"""
+    if sweep:
+        return f"""
+    CREATE OR REPLACE TEMP TABLE mpk_edges AS
+    WITH {_phash_pair_ctes()},
+    {accepted}
+    SELECT doc_a AS src, doc_b AS dst FROM accepted
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM accepted;
+    WITH RECURSIVE reach AS (
+      SELECT doc_id AS node, doc_id AS label FROM documents
+      UNION
+      SELECT e.dst AS node, r.label
+      FROM reach r JOIN mpk_edges e ON e.src = r.node),
+    {_PREFIX_KEEP_TAIL}
+    """
+    return f"""
+    WITH RECURSIVE
+    {_phash_pair_ctes()},
+    {accepted},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM accepted
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM accepted),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS label FROM documents
+      UNION
+      SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node),
+    {_PREFIX_KEEP_TAIL}
     """
 
 
@@ -496,6 +549,13 @@ def q_mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap; at 15 bits/band none occur). This is how image near-dup runs
     at 100 TB: hash at ingest, store the 8-byte signature, dedup on
     signatures alone."""
+    return _phash_verified_pairs(spark, sf_dir)
+
+
+def _phash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared candidate+verify plan: Arrow hash pass → banded bucket
+    equi-join → exact Hamming acceptance. Returns
+    (doc_a, doc_b, hamming) with hamming ≤ PHASH_MAXD."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
@@ -546,3 +606,36 @@ def q_mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= PHASH_MAXD)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+@register(
+    "q_mm_phash_keep",
+    oracle=_phash_keep_oracle(sweep=False),
+    oracle_sweep=_phash_keep_oracle(sweep=True),
+    tags=("llm", "multimodal", "dedup", "pipeline"),
+)
+def q_mm_phash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup FUSED with the keeper decision — the
+    multimodal dedup ACTION completing the fused-keeper matrix (every
+    other dedup family already has one: q_dedup_prefix_keep,
+    q_dedup_lsh_keep). Candidates and exact-Hamming acceptance are
+    q_mm_phash's banded plan verbatim (never all-pairs); accepted
+    pairs flow into min-label components and the per-component keeper
+    window (largest payload wins, doc_id tiebreak) — ONE row per
+    payload (doc_id, component, n_chars, keep), pairs never
+    materialize as output. The DuckDB oracle replays hashing,
+    banding, Hamming, the component recursion, and the keeper rank
+    bit-for-bit (_PREFIX_KEEP_TAIL — shared with the other keepers).
+
+    Scale: q_mm_phash's profile (payloads never shuffle — 8-byte
+    signatures only; bucket-join fan-out bounded by 15-bit-band
+    occupancy) plus O(component diameter) min-label rounds on the
+    accepted-pair edge list — near-dup clusters are tiny and
+    disconnected, so the propagation join touches edges, not the
+    corpus. This is the ingest-time image dedup action at 100 TB:
+    hash, bucket, verify, keep one payload per cluster."""
+    from data_wrangler_spark.operators.pipeline_ops import _keeper_from_pairs
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pairs = _phash_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return _keeper_from_pairs(spark, d, pairs)

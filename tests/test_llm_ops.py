@@ -567,3 +567,48 @@ def test_phash_batch_bit_identical_to_scalar(spark, sf_dir):
     assert batch == scalar
     # and the all-empty batch (len(buf) == 0 fast path)
     assert _phash_batch([b"", b""]).tolist() == [0, 0]
+
+
+def test_mm_phash_keep_components_and_keeper(spark, sf_dir):
+    """Fused multimodal keeper pins: (1) one row per document; (2)
+    every q_mm_phash accepted pair lands in one component (union-find
+    ground truth recomputed in plain Python — components must EQUAL
+    the transitive closure of accepted pairs, neither over- nor
+    under-merged); (3) exactly one keep per component and it is the
+    largest-n_chars doc (doc_id tiebreak)."""
+    from data_wrangler_spark.catalog import load_table
+
+    rows = REGISTRY["q_mm_phash_keep"].run(spark, sf_dir).collect()
+    docs = {
+        r.doc_id: r.n_chars
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    assert {r.doc_id for r in rows} == set(docs)
+
+    # ground-truth components: union-find over accepted pairs
+    parent = {d: d for d in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    pairs = REGISTRY["q_mm_phash"].run(spark, sf_dir).collect()
+    assert pairs, "fixture should contain phash near-dups"
+    for p in pairs:
+        parent[find(p.doc_a)] = find(p.doc_b)
+    truth = {d: min(x for x in docs if find(x) == find(d)) for d in docs}
+    got = {r.doc_id: r.component for r in rows}
+    assert got == truth
+
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        keeps = [m for m in members if m.keep]
+        assert len(keeps) == 1
+        best = min(members, key=lambda m: (-docs[m.doc_id], m.doc_id))
+        assert keeps[0].doc_id == best.doc_id
