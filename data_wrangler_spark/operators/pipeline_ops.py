@@ -671,6 +671,116 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAM_INC_SCRATCH = "/root/repo/.scratch/contam_inc"
+
+
+def _contam_inc_oracle() -> str:
+    from data_wrangler_spark.operators.dedup import INC_EXIST_PCT
+
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, source, {sql_words('text')} AS w FROM documents),
+    evset AS (
+        SELECT DISTINCT g FROM (
+          SELECT unnest({sql_shingles_of('w', CONTAM_NGRAM)}) AS g
+          FROM toks WHERE source = '{CONTAM_EVAL_SOURCE}')),
+    tr AS (
+        SELECT doc_id, unnest({sql_shingles_of('w', CONTAM_NGRAM)}) AS g
+        FROM toks
+        WHERE source <> '{CONTAM_EVAL_SOURCE}'
+          AND doc_id % 10 >= {INC_EXIST_PCT}),
+    tot AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        FROM tr GROUP BY doc_id),
+    mat AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_eval_matched
+        FROM tr WHERE g IN (SELECT g FROM evset) GROUP BY doc_id)
+    SELECT t.doc_id, t.n_grams,
+           COALESCE(m.n_eval_matched, 0)      AS n_eval_matched,
+           COALESCE(m.n_eval_matched, 0) >= 1 AS drop_doc
+    FROM tot t LEFT JOIN mat m ON t.doc_id = m.doc_id
+    """
+
+
+@register(
+    "q_contamination_incremental",
+    oracle=_contam_inc_oracle(),
+    tags=("llm", "quality", "contamination", "pipeline"),
+)
+def q_contamination_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time decontamination as production actually runs it
+    (VERDICT r9 #4): the held-out eval slice's distinct word 5-grams
+    are a PERSISTED index built ONCE (the benchmark is fixed — it
+    never grows with the corpus), and each daily batch of new
+    training docs (doc_id % 10 >= INC_EXIST_PCT plays today's batch,
+    the q_dedup_incremental split convention) probes that stored
+    index by one gram equi-join. Output per new train doc:
+    (doc_id, n_grams, n_eval_matched, drop_doc) with q_decontaminate's
+    ≥1-shared-gram drop rule. The DuckDB oracle replays BOTH hops
+    from raw text — index build and probe — proving the persisted
+    gram set is lossless.
+
+    Composes into q_corpus_pipeline_incremental as stage 2.5 (after
+    in-batch exact dedup, before the quality gate): the pipeline
+    anti-joins its new-batch survivors against this operator's
+    drop_doc set and replays the same gate on history when building
+    its survivor counter.
+
+    Scale: per ingest the work is O(new batch) — shingle today's
+    docs, one left-semi hash join against the stored gram index (the
+    index is eval-sized, i.e. tiny relative to the corpus: it
+    broadcasts; at 100 TB the exact set swaps for a Bloom filter
+    with this formulation as the auditable reference). History is
+    never rescanned and the eval set is never re-shingled.
+    Cross-factor timings in SCALE.md pin the claim: wall time tracks
+    batch size, not corpus size."""
+    import os as _os
+
+    from data_wrangler_spark.catalog import scratch_tag as _stag
+    from data_wrangler_spark.operators.dedup import INC_EXIST_PCT
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    path = f"{_CONTAM_INC_SCRATCH}/{_stag(sf_dir, 'documents')}"
+    if not _os.path.exists(f"{path}/_SUCCESS"):
+        (
+            spread(d.filter(F.col("source") == CONTAM_EVAL_SOURCE), "doc_id")
+            .select(
+                F.explode(
+                    shingles_from_words(words("text"), CONTAM_NGRAM)
+                ).alias("g")
+            )
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    evset = spark.read.parquet(path)
+    tr = spread(
+        d.filter(
+            (F.col("source") != CONTAM_EVAL_SOURCE)
+            & (F.col("doc_id") % 10 >= INC_EXIST_PCT)
+        ),
+        "doc_id",
+    ).select(
+        "doc_id",
+        F.explode(shingles_from_words(words("text"), CONTAM_NGRAM)).alias("g"),
+    )
+    tot = tr.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    mat = (
+        tr.join(evset, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_eval_matched"))
+    )
+    n_matched = F.coalesce(F.col("n_eval_matched"), F.lit(0).cast("long"))
+    return tot.join(mat, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        n_matched.alias("n_eval_matched"),
+        (n_matched >= 1).alias("drop_doc"),
+    )
+
+
 # target training-mix proportions per language (must sum to 1)
 MIX_WEIGHTS = {"en": 0.40, "zh": 0.20, "de": 0.15, "es": 0.15, "fr": 0.10}
 
@@ -1487,7 +1597,10 @@ def q_dedup_lsh_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # persisted LSH band index (q_dedup_incremental's) and a persisted
 # per-source survivor counter; it is never rescanned, never re-paired.
 
-_PIPE_INC_SCRATCH = "/root/repo/.scratch/pipeline_inc"
+# v2: counter semantics gained the stage-2.5 decontamination gate in
+# round 10 — the path bump invalidates r9 counters that would
+# otherwise read as fresh behind their _SUCCESS marker
+_PIPE_INC_SCRATCH = "/root/repo/.scratch/pipeline_inc_v2"
 
 
 def _pipe_inc_oracle() -> str:
@@ -1543,6 +1656,17 @@ def _pipe_inc_oracle() -> str:
         AND CAST(len(list_filter(w, x -> length(x) <= 3)) AS DOUBLE) / len(w)
               <= {GOPHER_MAX_SHORT_FRAC}
         AND ({_GOPHER_HITS_SQL}) >= {GOPHER_MIN_STOPWORD_HITS}),
+    toks5 AS (
+      SELECT doc_id, source, {sql_words('text')} AS w FROM documents),
+    evset AS (
+      SELECT DISTINCT g FROM (
+        SELECT unnest({sql_shingles_of('w', CONTAM_NGRAM)}) AS g
+        FROM toks5 WHERE source = '{CONTAM_EVAL_SOURCE}')),
+    leaky AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, unnest({sql_shingles_of('w', CONTAM_NGRAM)}) AS g
+        FROM toks5 WHERE source <> '{CONTAM_EVAL_SOURCE}')
+      WHERE g IN (SELECT g FROM evset)),
     new_keeper AS (
       SELECT doc_id FROM (
         SELECT doc_id,
@@ -1556,6 +1680,8 @@ def _pipe_inc_oracle() -> str:
       JOIN new_keeper k USING (doc_id)
       JOIN quality q USING (doc_id)
       WHERE d.doc_id % 10 >= {INC_EXIST_PCT}
+        AND d.source <> '{CONTAM_EVAL_SOURCE}'
+        AND d.doc_id NOT IN (SELECT doc_id FROM leaky)
         AND d.doc_id NOT IN (SELECT doc_id FROM dup_new)),
     exist_keeper AS (
       SELECT doc_id FROM (
@@ -1569,7 +1695,9 @@ def _pipe_inc_oracle() -> str:
       FROM documents d
       JOIN exist_keeper k USING (doc_id)
       JOIN quality q USING (doc_id)
-      WHERE d.doc_id % 10 < {INC_EXIST_PCT}),
+      WHERE d.doc_id % 10 < {INC_EXIST_PCT}
+        AND d.source <> '{CONTAM_EVAL_SOURCE}'
+        AND d.doc_id NOT IN (SELECT doc_id FROM leaky)),
     prior AS (
       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src
       FROM exist_surv GROUP BY 1),
@@ -1611,18 +1739,27 @@ def q_corpus_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
        history is dropped;
     2. exact dedup WITHIN the batch (md5 keeper rank — the cheap
        in-batch pass production runs before the index probe);
+    2.5. ingest-time DECONTAMINATION (round 10): eval-source docs
+       never enter training, and new train docs sharing ≥1 word
+       5-gram with the held-out eval slice are dropped via
+       q_contamination_incremental's PERSISTED eval-gram index
+       (composed via the registry — built once, probed by one gram
+       equi-join);
     3. the Gopher quality gate on batch survivors;
     4. the per-source cap recomputed over the POST-INGEST survivor
        population: history contributes a PERSISTED per-source
        survivor counter (built once, like the index — history is
-       never rescanned), and a new doc is kept iff prior_kept(source)
+       never rescanned; it replays the SAME gates, decontamination
+       included, so history counts what a same-pipeline ingest would
+       have kept), and a new doc is kept iff prior_kept(source)
        + its seeded rank among new survivors stays within
        ceil(DOMAIN_CAP_PCT% of the updated total);
     5. the train-split hash on what remains.
 
-    The DuckDB oracle replays ALL of it from raw text — index build,
-    probe, verify, both survivor populations, counter, cap, split —
-    proving both persisted hops (band index, source counter) are
+    The DuckDB oracle replays ALL of it from raw text — band-index
+    build, probe, verify, eval-gram index build and probe, both
+    survivor populations, counter, cap, split — proving all three
+    persisted hops (band index, eval-gram index, source counter) are
     lossless.
 
     Scale: per ingest the history-touching work is ONE equi-join
@@ -1648,6 +1785,16 @@ def q_corpus_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         .distinct()
     )
 
+    # stage 2.5: ingest-time decontamination, composed via the
+    # registry — running the builder also guarantees the persisted
+    # eval-gram index exists before the counter block reads it below
+    contam_drop = (
+        REGISTRY["q_contamination_incremental"]
+        .run(spark, sf_dir)
+        .filter(F.col("drop_doc"))
+        .select("doc_id")
+    )
+
     # stage 3 gate (shared SQL semantics with q_corpus_pipeline)
     quality = (
         REGISTRY["q_quality_gopher"]
@@ -1666,8 +1813,10 @@ def q_corpus_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     new_surv = (
         new_d.select("doc_id", "lang", "source", "n_chars")
+        .filter(F.col("source") != CONTAM_EVAL_SOURCE)
         .join(new_keeper, "doc_id")
         .join(quality, "doc_id")
+        .join(contam_drop, "doc_id", "left_anti")
         .join(dup_new, "doc_id", "left_anti")
     )
     pin(new_surv.persist())
@@ -1683,10 +1832,37 @@ def q_corpus_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
             .filter(F.col("rn") == 1)
             .select("doc_id")
         )
+        # history replays the decontamination gate (stage 2.5): the
+        # counter must count what a same-pipeline ingest would have
+        # kept. The eval-gram index was persisted by the
+        # q_contamination_incremental run above; history docs probe
+        # it once here — the only time history text is scanned.
+        evset = spark.read.parquet(
+            f"{_CONTAM_INC_SCRATCH}/{_stag(sf_dir, 'documents')}"
+        )
+        leaky_ex = (
+            spread(
+                exist_d.filter(F.col("source") != CONTAM_EVAL_SOURCE).select(
+                    "doc_id", "text"
+                ),
+                "doc_id",
+            )
+            .select(
+                "doc_id",
+                F.explode(
+                    shingles_from_words(words("text"), CONTAM_NGRAM)
+                ).alias("g"),
+            )
+            .join(evset, "g", "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
         (
             exist_d.select("doc_id", "source")
+            .filter(F.col("source") != CONTAM_EVAL_SOURCE)
             .join(ek, "doc_id")
             .join(quality, "doc_id")
+            .join(leaky_ex, "doc_id", "left_anti")
             .groupBy("source")
             .agg(F.count("*").cast("bigint").alias("n_src"))
             .coalesce(1)

@@ -387,13 +387,16 @@ def test_lsh_keep_refines_prefix_keep(spark, sf_dir):
 def test_corpus_pipeline_incremental_batch_only_and_cap(spark, sf_dir):
     """The incremental pipeline's output must be (a) new-batch docs
     only, (b) disjoint from the dup-of-history set the persisted
-    index reports, (c) quality-passing in-batch exact keepers, and
-    (d) capped: prior(source) + rank never exceeds the ceiling over
-    the POST-INGEST survivor population; the split predicate holds."""
+    index reports, (c) quality-passing in-batch exact keepers, (d)
+    decontaminated (stage 2.5, r10): no eval-source docs, no docs
+    sharing a 5-gram with the eval slice, and (e) capped:
+    prior(source) + rank never exceeds the ceiling over the
+    POST-INGEST survivor population; the split predicate holds."""
     from pyspark.sql import functions as F
 
     from data_wrangler_spark.operators.dedup import INC_EXIST_PCT, _md5_long
     from data_wrangler_spark.operators.pipeline_ops import (
+        CONTAM_EVAL_SOURCE,
         DOMAIN_CAP_PCT,
         SPLIT_SEED,
     )
@@ -418,6 +421,27 @@ def test_corpus_pipeline_incremental_batch_only_and_cap(spark, sf_dir):
     assert not (ids & dup_new)  # history dups dropped
     assert ids <= quality
 
+    # stage 2.5: no eval-source docs, no eval-gram leakers
+    from data_wrangler_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    eval_src = {
+        r.doc_id
+        for r in d.filter(F.col("source") == CONTAM_EVAL_SOURCE)
+        .select("doc_id")
+        .collect()
+    }
+    leaky = {
+        r.doc_id
+        for r in REGISTRY["q_decontaminate"]
+        .run(spark, sf_dir)
+        .filter("drop_doc")
+        .collect()
+    }
+    assert not (ids & eval_src)
+    assert not (ids & leaky)
+    assert leaky, "fixture should contain eval-gram leakage"
+
     # smoke that rerun is deterministic
     prior_df = REGISTRY["q_corpus_pipeline_incremental"].run(spark, sf_dir)
     assert {r.doc_id for r in prior_df.collect()} == ids
@@ -428,9 +452,6 @@ def test_corpus_pipeline_incremental_batch_only_and_cap(spark, sf_dir):
     # ceil(DOMAIN_CAP_PCT% of (n_exist + n_new)).
     from pyspark.sql import Window
 
-    from data_wrangler_spark.catalog import load_table
-
-    d = load_table(spark, sf_dir, "documents")
     keeper_w = Window.partitionBy(
         F.md5(F.lower(F.trim("text")))
     ).orderBy("doc_id")
@@ -450,8 +471,8 @@ def test_corpus_pipeline_incremental_batch_only_and_cap(spark, sf_dir):
         .select("doc_id")
         .collect()
     }
-    n_exist = len(exist_keepers & quality)
-    n_new = len((new_keepers & quality) - dup_new)
+    n_exist = len((exist_keepers & quality) - eval_src - leaky)
+    n_new = len((new_keepers & quality) - dup_new - eval_src - leaky)
     ceiling = ((n_exist + n_new) * DOMAIN_CAP_PCT + 99) // 100
     max_rank = max(r.cum_rank for r in rows)
     assert max_rank <= ceiling
@@ -467,3 +488,34 @@ def test_corpus_pipeline_incremental_batch_only_and_cap(spark, sf_dir):
         .count()
     )
     assert split_viol == 0
+
+
+def test_contamination_incremental_matches_batch_decontaminate(spark, sf_dir):
+    """The persisted-index probe must agree with the batch operator:
+    q_contamination_incremental's rows are exactly q_decontaminate's
+    rows restricted to the new batch (same n_grams, n_eval_matched,
+    drop_doc — proving the stored eval-gram index is lossless), and a
+    second run (index now warm) returns identical results."""
+    from data_wrangler_spark.operators.dedup import INC_EXIST_PCT
+    from data_wrangler_spark.registry import REGISTRY
+
+    inc = {
+        r.doc_id: (r.n_grams, r.n_eval_matched, r.drop_doc)
+        for r in REGISTRY["q_contamination_incremental"]
+        .run(spark, sf_dir)
+        .collect()
+    }
+    batch = {
+        r.doc_id: (r.n_grams, r.n_eval_matched, r.drop_doc)
+        for r in REGISTRY["q_decontaminate"].run(spark, sf_dir).collect()
+        if r.doc_id % 10 >= INC_EXIST_PCT
+    }
+    assert inc == batch
+    assert any(v[2] for v in inc.values()), "fixture should leak"
+    rerun = {
+        r.doc_id: (r.n_grams, r.n_eval_matched, r.drop_doc)
+        for r in REGISTRY["q_contamination_incremental"]
+        .run(spark, sf_dir)
+        .collect()
+    }
+    assert rerun == inc
