@@ -8,10 +8,23 @@ loop for picking planes/bands/multiprobe, nlist/nprobe, and
 m/ncent/shortlist BEFORE touching the Spark + oracle code.
 
 Usage: python tools/ann_tune.py /root/testdata/sf0.1
+       python tools/ann_tune.py --clustered [--queries 8]
+
+--clustered generates (once, deterministic rng seed 42) a
+mixture-of-Gaussians fixture at .scratch/ann_clustered — same row
+count / dim / schema as sf0.1's embeddings but with real cluster
+structure (20 centers, within-cluster std 0.05 of the unit sphere) —
+and tunes against it. The driver fixtures are near-uniform (the
+distance-concentration worst case), so candidate fractions measured
+there are upper bounds; this fixture measures how the SAME production
+knobs prune when embeddings look like production embeddings
+(VERDICT r9 #6). --queries N averages recall/fraction over the N
+lowest vec_ids instead of a single probe.
 """
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 
 import numpy as np
@@ -135,12 +148,61 @@ def pq_recall(ids, emb, qi, exact, cos, m, ncent, shortlist, q=1 << 20):
     return len(got & exact) / 10.0, shortlist / len(ids)
 
 
+CLUSTERED_PATH = "/root/repo/.scratch/ann_clustered/embeddings.parquet"
+
+
+def gen_clustered(n=2000, dim=64, k=20, std=0.05, seed=42) -> str:
+    """Deterministic mixture-of-Gaussians fixture, schema-identical to
+    the driver's embeddings table (vec_id int64, embedding
+    list<float>, label int32 = true cluster). Centers are unit
+    vectors; points are center + N(0, std) then re-normalized, so
+    within-cluster cosines sit near 1 while cross-cluster cosines
+    spread — the geometry real embedding models produce."""
+    import os
+
+    import pyarrow as pa
+
+    if os.path.exists(CLUSTERED_PATH):
+        return CLUSTERED_PATH
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((k, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    label = rng.integers(0, k, size=n)
+    X = centers[label] + rng.standard_normal((n, dim)) * std
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    os.makedirs(os.path.dirname(CLUSTERED_PATH), exist_ok=True)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(
+                [row.astype(np.float32) for row in X],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array(label.astype(np.int32)),
+        }
+    )
+    pq.write_table(t, CLUSTERED_PATH)
+    return CLUSTERED_PATH
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_queries = 1
+    if "--queries" in sys.argv:
+        n_queries = int(sys.argv[sys.argv.index("--queries") + 1])
+    if "--clustered" in sys.argv:
+        sf_dir = os.path.dirname(gen_clustered())
+    else:
+        sf_dir = args[0] if args else "/root/testdata/sf0.1"
     ids, emb = load(sf_dir)
-    qi = 0  # min vec_id after sort
-    exact, cos = exact_top10(ids, emb, qi)
-    print(f"{sf_dir}: n={len(ids)} dim={emb.shape[1]}")
+    qis = list(range(n_queries))  # lowest vec_ids after sort
+    probes = [(qi, *exact_top10(ids, emb, qi)) for qi in qis]
+    print(f"{sf_dir}: n={len(ids)} dim={emb.shape[1]} queries={n_queries}")
+
+    def avg(fn, *cfg):
+        rs, fs = zip(*(fn(ids, emb, qi, ex, cos, *cfg) for qi, ex, cos in probes))
+        return sum(rs) / len(rs), sum(fs) / len(fs)
+
     print("-- LSH (n_planes, bits/band, probe_radius) --")
     for np_, bits, pr in [
         (16, 4, 0), (16, 4, 1), (16, 4, 2),
@@ -149,16 +211,20 @@ def main():
         (32, 8, 2), (32, 8, 3),
         (24, 3, 1), (24, 3, 2),
         (16, 2, 0), (16, 2, 1),
+        # sharper buckets — these prune only on clustered corpora
+        (24, 8, 0), (24, 8, 1), (32, 8, 0), (32, 8, 1),
     ]:
-        r, frac = lsh_recall(ids, emb, qi, exact, cos, np_, bits, pr)
+        r, frac = avg(lsh_recall, np_, bits, pr)
         print(f"planes={np_:3d} bits={bits} probe_r={pr}: recall={r:.2f} cand_frac={frac:.3f}")
     print("-- IVF (k, nprobe) --")
-    for k, npr in [(8, 4), (8, 5), (8, 6), (16, 4), (16, 6), (16, 8), (32, 8), (32, 12)]:
-        r, frac = ivf_recall(ids, emb, qi, exact, cos, k, 4, npr)
+    for k, npr in [(8, 4), (8, 5), (8, 6), (16, 4), (16, 6), (16, 8), (32, 8), (32, 12),
+                   # sharper cells — these prune only on clustered corpora
+                   (32, 2), (32, 3), (32, 4), (64, 4), (64, 6), (64, 8)]:
+        r, frac = avg(ivf_recall, k, 4, npr)
         print(f"k={k:3d} nprobe={npr:2d}: recall={r:.2f} cand_frac={frac:.3f}")
     print("-- PQ (m, ncent, shortlist) --")
     for m, nc, sl in [(8, 16, 64), (8, 16, 128), (8, 16, 256), (8, 16, 512), (8, 32, 128), (8, 32, 256), (16, 16, 256)]:
-        r, frac = pq_recall(ids, emb, qi, exact, cos, m, nc, sl)
+        r, frac = avg(pq_recall, m, nc, sl)
         print(f"m={m:2d} ncent={nc:2d} shortlist={sl:3d}: recall={r:.2f} cand_frac={frac:.3f}")
 
 
