@@ -429,14 +429,14 @@ def _phash_batch(payloads) -> "np.ndarray":
     return ((px[:, _PH_LEFT] < px[:, _PH_RIGHT]) * weights).sum(axis=1)
 
 
-def _phash_pair_ctes() -> str:
-    """Shared DuckDB CTE chain replaying the phash pipeline up to
-    candidate pairs: payload bytes via hex(encode(text)) hex-pair
-    extraction, blockwise integer sums (identical span arithmetic —
-    `//` truncation equals Python floor on non-negatives), the 60
-    dHash comparisons, 4×15-bit banding, and the bucket pair join.
-    Used by q_mm_phash (pairs + Hamming) and q_mm_phash_keep
-    (pairs → components → keeper)."""
+def _phash_banded_ctes() -> str:
+    """Shared DuckDB CTE chain replaying the phash pipeline up to the
+    banded signature table: payload bytes via hex(encode(text))
+    hex-pair extraction, blockwise integer sums (identical span
+    arithmetic — `//` truncation equals Python floor on
+    non-negatives), the 60 dHash comparisons, 4×15-bit banding. Used
+    by q_mm_phash / q_mm_phash_keep (self-join pairs) and
+    q_mm_phash_incremental (exist-vs-new probe join)."""
     bv = (
         "(strpos('0123456789ABCDEF', substr(hx, CAST(2*j-1 AS BIGINT), 1))-1)*16"
         " + (strpos('0123456789ABCDEF', substr(hx, CAST(2*j AS BIGINT), 1))-1)"
@@ -464,7 +464,13 @@ def _phash_pair_ctes() -> str:
     banded AS (
       SELECT doc_id, phash, CAST(t.k AS INT) AS band,
              (phash >> (t.k * {PHASH_BAND_BITS})) & {mask} AS bucket
-      FROM ph, unnest([0, 1, 2, 3]) AS t(k)),
+      FROM ph, unnest([0, 1, 2, 3]) AS t(k))"""
+
+
+def _phash_pair_ctes() -> str:
+    """The banded chain + the self-join candidate pair CTE (used by
+    q_mm_phash and q_mm_phash_keep)."""
+    return f"""{_phash_banded_ctes()},
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.phash AS pa, b.phash AS pb
@@ -552,13 +558,10 @@ def q_mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _phash_verified_pairs(spark, sf_dir)
 
 
-def _phash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared candidate+verify plan: Arrow hash pass → banded bucket
-    equi-join → exact Hamming acceptance. Returns
-    (doc_a, doc_b, hamming) with hamming ≤ PHASH_MAXD."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.col("text").cast("binary").alias("payload")
-    )
+def _phash_banded_df(d: DataFrame) -> DataFrame:
+    """Arrow hash pass + banding for a (doc_id, payload) frame →
+    (doc_id, phash, band, bucket). Payloads never leave this plan
+    fragment — everything downstream shuffles 8-byte signatures."""
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -571,7 +574,7 @@ def _phash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ph = d.mapInPandas(hash_batches, "doc_id bigint, phash bigint")
     mask = (1 << PHASH_BAND_BITS) - 1
-    banded = ph.select(
+    return ph.select(
         "doc_id",
         "phash",
         F.explode(
@@ -587,7 +590,22 @@ def _phash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "phash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(
+        "doc_id",
+        "phash",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+
+def _phash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared candidate+verify plan: Arrow hash pass → banded bucket
+    equi-join → exact Hamming acceptance. Returns
+    (doc_a, doc_b, hamming) with hamming ≤ PHASH_MAXD."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    banded = _phash_banded_df(d)
     a = banded.select(
         "band", "bucket", F.col("doc_id").alias("doc_a"), F.col("phash").alias("pa")
     )
@@ -639,3 +657,95 @@ def q_mm_phash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     pairs = _phash_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
     return _keeper_from_pairs(spark, d, pairs)
+
+
+_PHASH_INC_SCRATCH = "/root/repo/.scratch/phash_inc"
+
+
+def _phash_inc_oracle() -> str:
+    from data_wrangler_spark.operators.dedup import INC_EXIST_PCT
+
+    return f"""
+    WITH {_phash_banded_ctes()},
+    pairs AS (
+      SELECT DISTINCT n.doc_id AS doc_new, e.doc_id AS doc_old,
+             n.phash AS pn, e.phash AS pe
+      FROM banded n
+      JOIN banded e ON e.band = n.band AND e.bucket = n.bucket
+      WHERE n.doc_id % 10 >= {INC_EXIST_PCT}
+        AND e.doc_id % 10 < {INC_EXIST_PCT})
+    SELECT doc_new, doc_old, CAST(bit_count(xor(pn, pe)) AS INT) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(pn, pe)) <= {PHASH_MAXD}
+    """
+
+
+@register(
+    "q_mm_phash_incremental",
+    oracle=_phash_inc_oracle(),
+    tags=("llm", "multimodal", "dedup"),
+)
+def q_mm_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL multimodal near-dedup — "hash at ingest, store the
+    8-byte signature" made literal (the q_dedup_incremental production
+    shape applied to q_mm_phash): payloads with doc_id % 10 <
+    INC_EXIST_PCT play the already-ingested corpus, whose BANDED
+    SIGNATURES (band, bucket, doc_id, phash — never the payloads)
+    persist once to scratch, partitioned by band. Today's batch hashes
+    its own payloads (the vectorized Arrow pass), probes the stored
+    index by one (band, bucket) equi-join, and verifies candidates
+    with exact Hamming ≤ PHASH_MAXD. Output: (doc_new, doc_old,
+    hamming). The DuckDB oracle replays index build and probe from raw
+    payload bytes — the persisted hop is proven lossless.
+
+    Scale: per ingest the work is O(new batch) — hash today's
+    payloads, one equi-join against the signature index (8 bytes per
+    stored payload + 16 bytes of band keys: a 100 TB image corpus
+    carries a few GB of index), verify only bucket-collided pairs.
+    History payloads are never re-read, never re-hashed, never
+    self-paired; the index grows by appending today's bands after the
+    probe. This is the ONLY affordable shape at 100 TB image scale:
+    the corpus is touched once (at its own ingest), forever after only
+    signatures move."""
+    import os as _os
+
+    from data_wrangler_spark.catalog import scratch_tag as _stag
+    from data_wrangler_spark.operators.dedup import INC_EXIST_PCT
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    exist = F.col("doc_id") % 10 < INC_EXIST_PCT
+
+    path = f"{_PHASH_INC_SCRATCH}/{_stag(sf_dir, 'documents')}"
+    if not _os.path.exists(f"{path}/_SUCCESS"):
+        (
+            _phash_banded_df(d.filter(exist))
+            .repartition("band")
+            .write.mode("overwrite")
+            .partitionBy("band")
+            .parquet(path)
+        )
+    index = spark.read.parquet(path).select(
+        "band",
+        "bucket",
+        F.col("doc_id").alias("doc_old"),
+        F.col("phash").alias("pe"),
+    )
+    probe = _phash_banded_df(d.filter(~exist)).select(
+        "band",
+        "bucket",
+        F.col("doc_id").alias("doc_new"),
+        F.col("phash").alias("pn"),
+    )
+    pairs = (
+        probe.join(index, ["band", "bucket"])
+        .select("doc_new", "doc_old", "pn", "pe")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("pn").bitwiseXOR(F.col("pe")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= PHASH_MAXD)
+        .select("doc_new", "doc_old", "hamming")
+    )

@@ -612,3 +612,38 @@ def test_mm_phash_keep_components_and_keeper(spark, sf_dir):
         assert len(keeps) == 1
         best = min(members, key=lambda m: (-docs[m.doc_id], m.doc_id))
         assert keeps[0].doc_id == best.doc_id
+
+
+def test_mm_phash_incremental_matches_batch_cross_pairs(spark, sf_dir):
+    """The persisted-signature probe must agree with the batch
+    operator: its (doc_new, doc_old, hamming) rows are exactly
+    q_mm_phash's accepted pairs with one exist-side and one new-side
+    payload (proving the stored banded index is lossless — same
+    buckets, same Hamming), it never pairs history with itself or the
+    batch with itself, and a warm-index rerun is identical."""
+    from data_wrangler_spark.operators.dedup import INC_EXIST_PCT
+
+    inc = {
+        (r.doc_new, r.doc_old): r.hamming
+        for r in REGISTRY["q_mm_phash_incremental"]
+        .run(spark, sf_dir)
+        .collect()
+    }
+    assert inc, "fixture should contain cross-split phash near-dups"
+    for new, old in inc:
+        assert new % 10 >= INC_EXIST_PCT and old % 10 < INC_EXIST_PCT
+    batch = {}
+    for r in REGISTRY["q_mm_phash"].run(spark, sf_dir).collect():
+        a_new = r.doc_a % 10 >= INC_EXIST_PCT
+        b_new = r.doc_b % 10 >= INC_EXIST_PCT
+        if a_new != b_new:
+            pair = (r.doc_a, r.doc_b) if a_new else (r.doc_b, r.doc_a)
+            batch[pair] = r.hamming
+    assert inc == batch
+    rerun = {
+        (r.doc_new, r.doc_old): r.hamming
+        for r in REGISTRY["q_mm_phash_incremental"]
+        .run(spark, sf_dir)
+        .collect()
+    }
+    assert rerun == inc

@@ -101,6 +101,7 @@ AUDIT = [
     ("q_contamination_incremental", "persisted eval-gram index; probe is one left-semi on grams"),
     ("q_mm_phash", "Arrow hash pass -> banded bucket join; payloads never shuffle"),
     ("q_mm_phash_keep", "phash banded pairs -> components -> keeper, pairs never output"),
+    ("q_mm_phash_incremental", "new-batch signatures probe the persisted band index"),
 ]
 
 
