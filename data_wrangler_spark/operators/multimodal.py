@@ -602,10 +602,16 @@ def _phash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared candidate+verify plan: Arrow hash pass → banded bucket
     equi-join → exact Hamming acceptance. Returns
     (doc_a, doc_b, hamming) with hamming ≤ PHASH_MAXD."""
+    from data_wrangler_spark.functions.distributed import pin
+
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
-    banded = _phash_banded_df(d)
+    # persisted: both sides of the self-join read the cached 32-byte
+    # signature rows instead of re-running the payload scan + Arrow
+    # hash pass (at 100 TB the hash pass is the dominant cost — it
+    # must run once per payload, not once per join side)
+    banded = pin(_phash_banded_df(d).persist())
     a = banded.select(
         "band", "bucket", F.col("doc_id").alias("doc_a"), F.col("phash").alias("pa")
     )
