@@ -878,6 +878,20 @@ def prefix_verified_pairs(spark: SparkSession, sh: DataFrame, t: float) -> DataF
 
 
 _INC_SCRATCH = "/root/repo/.scratch/dedup_inc"
+
+
+def _inc_index_path(sf_dir: str) -> str:
+    """Path of the persisted LSH band index, keyed on the constants
+    it was built from — changing the signature family, band layout,
+    hot-bucket cap, or split auto-invalidates the cache instead of
+    serving stale bands behind a _SUCCESS marker (r10 review)."""
+    from data_wrangler_spark.catalog import scratch_tag
+
+    params = (
+        f"mh={N_MINHASH},bands={N_BANDS},cap={MAX_BUCKET},"
+        f"exist={INC_EXIST_PCT}"
+    )
+    return f"{_INC_SCRATCH}/{scratch_tag(sf_dir, 'documents', params)}"
 INC_EXIST_PCT = 8       # doc_id % 10 < 8 → already-ingested corpus
 INC_JAC_MICRO = 500000  # exact-Jaccard acceptance for a true dup
 
@@ -946,12 +960,10 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     when 100 TB grows daily."""
     import os as _os
 
-    from data_wrangler_spark.catalog import scratch_tag as _stag
-
     d = load_table(spark, sf_dir, "documents")
     exist = F.col("doc_id") % 10 < INC_EXIST_PCT
 
-    path = f"{_INC_SCRATCH}/{_stag(sf_dir, 'documents')}"
+    path = _inc_index_path(sf_dir)
     if not _os.path.exists(f"{path}/_SUCCESS"):
         bands_ex = _band_table(_minhash_signatures(d.filter(exist)))
         guarded = bands_ex.withColumn(

@@ -709,10 +709,14 @@ def q_mm_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored payload + 16 bytes of band keys: a 100 TB image corpus
     carries a few GB of index), verify only bucket-collided pairs.
     History payloads are never re-read, never re-hashed, never
-    self-paired; the index grows by appending today's bands after the
-    probe. This is the ONLY affordable shape at 100 TB image scale:
-    the corpus is touched once (at its own ingest), forever after only
-    signatures move."""
+    self-paired. In production the day ends by appending today's
+    (already-computed) bands to the index so tomorrow probes against
+    them too; THIS operator deliberately leaves the index immutable —
+    the harness contract requires deterministic reruns, and an append
+    here would make the second run self-pair the batch (the rerun
+    test pins exactly that). Either way the shape is the only
+    affordable one at 100 TB image scale: each payload is touched
+    once, at its own ingest; forever after only signatures move."""
     import os as _os
 
     from data_wrangler_spark.catalog import scratch_tag as _stag
@@ -723,7 +727,12 @@ def q_mm_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exist = F.col("doc_id") % 10 < INC_EXIST_PCT
 
-    path = f"{_PHASH_INC_SCRATCH}/{_stag(sf_dir, 'documents')}"
+    # signature-index cache keyed on the hash/banding constants it was
+    # built from — changing them auto-invalidates (r10 review)
+    path = (
+        f"{_PHASH_INC_SCRATCH}/"
+        f"{_stag(sf_dir, 'documents', f'pix={P_PIX},grid={P_ROWS}x{P_COLS},bandbits={PHASH_BAND_BITS},exist={INC_EXIST_PCT}')}"
+    )
     if not _os.path.exists(f"{path}/_SUCCESS"):
         (
             _phash_banded_df(d.filter(exist))

@@ -674,6 +674,29 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CONTAM_INC_SCRATCH = "/root/repo/.scratch/contam_inc"
 
 
+def _contam_index_path(sf_dir: str) -> str:
+    """Path of the persisted eval-gram index. The governing constants
+    are folded into the cache key, so changing the gram size or the
+    eval source invalidates the index automatically instead of
+    serving stale grams behind a _SUCCESS marker (r10 review)."""
+    from data_wrangler_spark.catalog import scratch_tag as _stag
+
+    params = f"ngram={CONTAM_NGRAM},eval={CONTAM_EVAL_SOURCE}"
+    return f"{_CONTAM_INC_SCRATCH}/{_stag(sf_dir, 'documents', params)}"
+
+
+def _doc_grams(d: DataFrame) -> DataFrame:
+    """(doc_id, g): each doc's word CONTAM_NGRAM-grams, with
+    multiplicity — the ONE definition of "gram" shared by
+    q_contamination / q_decontaminate-style probes, the incremental
+    index build, and the pipeline counter's history replay (r10
+    review: previously three inlined copies that could drift)."""
+    return spread(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        F.explode(shingles_from_words(words("text"), CONTAM_NGRAM)).alias("g"),
+    )
+
+
 def _contam_inc_oracle() -> str:
     from data_wrangler_spark.operators.dedup import INC_EXIST_PCT
 
@@ -736,35 +759,26 @@ def q_contamination_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch size, not corpus size."""
     import os as _os
 
-    from data_wrangler_spark.catalog import scratch_tag as _stag
     from data_wrangler_spark.operators.dedup import INC_EXIST_PCT
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    path = f"{_CONTAM_INC_SCRATCH}/{_stag(sf_dir, 'documents')}"
+    path = _contam_index_path(sf_dir)
     if not _os.path.exists(f"{path}/_SUCCESS"):
         (
-            spread(d.filter(F.col("source") == CONTAM_EVAL_SOURCE), "doc_id")
-            .select(
-                F.explode(
-                    shingles_from_words(words("text"), CONTAM_NGRAM)
-                ).alias("g")
-            )
+            _doc_grams(d.filter(F.col("source") == CONTAM_EVAL_SOURCE))
+            .select("g")
             .distinct()
             .write.mode("overwrite")
             .parquet(path)
         )
     evset = spark.read.parquet(path)
-    tr = spread(
+    tr = _doc_grams(
         d.filter(
             (F.col("source") != CONTAM_EVAL_SOURCE)
             & (F.col("doc_id") % 10 >= INC_EXIST_PCT)
-        ),
-        "doc_id",
-    ).select(
-        "doc_id",
-        F.explode(shingles_from_words(words("text"), CONTAM_NGRAM)).alias("g"),
+        )
     )
     tot = tr.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     mat = (
@@ -1824,7 +1838,14 @@ def q_corpus_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     # stage 4: persisted per-source history-survivor counter —
     # built ONCE per corpus (the only time history is scanned), then
     # a broadcast-sized read forever after
-    path = f"{_PIPE_INC_SCRATCH}/{_stag(sf_dir, 'documents')}"
+    # the counter's governing semantics key its cache: a change to the
+    # split, gram size, eval source, or counter schema invalidates
+    # automatically (r10 review — no more manual _v2 renames)
+    counter_params = (
+        f"exist={INC_EXIST_PCT},ngram={CONTAM_NGRAM},"
+        f"eval={CONTAM_EVAL_SOURCE},schema=2"
+    )
+    path = f"{_PIPE_INC_SCRATCH}/{_stag(sf_dir, 'documents', counter_params)}"
     if not _os.path.exists(f"{path}/_SUCCESS"):
         exist_d = d.filter(exist)
         ek = (
@@ -1837,22 +1858,10 @@ def q_corpus_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         # kept. The eval-gram index was persisted by the
         # q_contamination_incremental run above; history docs probe
         # it once here — the only time history text is scanned.
-        evset = spark.read.parquet(
-            f"{_CONTAM_INC_SCRATCH}/{_stag(sf_dir, 'documents')}"
-        )
+        # _doc_grams is the same gram definition the gate used.
+        evset = spark.read.parquet(_contam_index_path(sf_dir))
         leaky_ex = (
-            spread(
-                exist_d.filter(F.col("source") != CONTAM_EVAL_SOURCE).select(
-                    "doc_id", "text"
-                ),
-                "doc_id",
-            )
-            .select(
-                "doc_id",
-                F.explode(
-                    shingles_from_words(words("text"), CONTAM_NGRAM)
-                ).alias("g"),
-            )
+            _doc_grams(exist_d.filter(F.col("source") != CONTAM_EVAL_SOURCE))
             .join(evset, "g", "left_semi")
             .select("doc_id")
             .distinct()

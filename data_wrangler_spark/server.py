@@ -420,6 +420,13 @@ class GatewayServer:
                 if self.tls_context is not None:
                     try:
                         request.do_handshake()
+                        # the timeout guards the HANDSHAKE only — a
+                        # legitimately slow client (>10 s between
+                        # requests on keep-alive, slow body upload)
+                        # must not be dropped mid-request, so restore
+                        # the blocking default once the handshake
+                        # completes (r10 review)
+                        request.settimeout(None)
                     except (ssl.SSLError, OSError) as exc:
                         # bad/stalled handshake kills only this
                         # connection's thread — accept() never waited.

@@ -384,9 +384,8 @@ def test_dedup_incremental_probe_only_crosses_split(spark, sf_dir):
     per-band partitions."""
     import os
 
-    from data_wrangler_spark.catalog import scratch_tag
     from data_wrangler_spark.operators.dedup import (
-        _INC_SCRATCH,
+        _inc_index_path,
         INC_EXIST_PCT,
         INC_JAC_MICRO,
         N_BANDS,
@@ -399,7 +398,7 @@ def test_dedup_incremental_probe_only_crosses_split(spark, sf_dir):
         assert r.doc_old % 10 < INC_EXIST_PCT
         assert r.jac_micro >= INC_JAC_MICRO
         assert 1 <= r.n_bands <= N_BANDS
-    path = f"{_INC_SCRATCH}/{scratch_tag(sf_dir, 'documents')}"
+    path = _inc_index_path(sf_dir)
     bands = {e.name for e in os.scandir(path) if e.name.startswith("band=")}
     assert len(bands) == N_BANDS
 

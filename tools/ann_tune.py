@@ -186,11 +186,22 @@ def gen_clustered(n=2000, dim=64, k=20, std=0.05, seed=42) -> str:
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    n_queries = 1
-    if "--queries" in sys.argv:
-        n_queries = int(sys.argv[sys.argv.index("--queries") + 1])
-    if "--clustered" in sys.argv:
+    argv = sys.argv[1:]
+    n_queries, clustered, args = 1, False, []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--queries":
+            if i + 1 >= len(argv):
+                raise SystemExit("--queries needs a value")
+            n_queries = int(argv[i + 1])
+            i += 2
+        elif argv[i] == "--clustered":
+            clustered = True
+            i += 1
+        else:
+            args.append(argv[i])
+            i += 1
+    if clustered:
         sf_dir = os.path.dirname(gen_clustered())
     else:
         sf_dir = args[0] if args else "/root/testdata/sf0.1"
