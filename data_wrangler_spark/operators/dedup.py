@@ -1139,6 +1139,176 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_dup", "kept_id", "cell", F.col("cos_sim").alias("cos_to_kept"))
 
 
+_EMB_INC_SCRATCH = "/root/repo/.scratch/embed_inc"
+
+
+def _embed_inc_path(sf_dir: str) -> str:
+    """Path of the persisted embedding-dedup index (centroids +
+    cell-assigned history vectors), keyed on the constants it was
+    built from so a parameter change auto-invalidates (r10)."""
+    from data_wrangler_spark.catalog import scratch_tag
+    from data_wrangler_spark.operators.embeddings_ext import (
+        KM_ITER,
+        KM_K,
+        KM_Q,
+    )
+
+    params = (
+        f"k={KM_K},q={KM_Q},it={KM_ITER},tau={SEM_TAU},"
+        f"exist={INC_EXIST_PCT}"
+    )
+    return f"{_EMB_INC_SCRATCH}/{scratch_tag(sf_dir, 'embeddings', params)}"
+
+
+def _embed_inc_oracle() -> str:
+    from data_wrangler_spark.operators.embeddings_ext import kmeans_cte_sql
+
+    cos = sql_round6(
+        f"{sql_dot('nw.e', 'h.e')} / ({sql_norm('nw.e')} * {sql_norm('h.e')})"
+    )
+    return f"""
+    WITH RECURSIVE
+    {kmeans_cte_sql(fit_where=f"vec_id % 10 < {INC_EXIST_PCT}")},
+    n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+    asg AS (
+      SELECT n.vec_id, n.e, CAST(a.cl AS INT) AS cell
+      FROM n JOIN km_asg a ON a.vec_id = n.vec_id),
+    hist AS (SELECT * FROM asg WHERE vec_id % 10 < {INC_EXIST_PCT}),
+    nw0 AS (SELECT * FROM asg WHERE vec_id % 10 >= {INC_EXIST_PCT})
+    SELECT nw.vec_id AS vec_new, h.vec_id AS vec_old, nw.cell,
+           {cos} AS cos_sim
+    FROM nw0 nw JOIN hist h ON h.cell = nw.cell
+    WHERE {cos} >= {SEM_TAU}
+    """
+
+
+@register(
+    "q_dedup_embed_incremental",
+    oracle=_embed_inc_oracle(),
+    tags=("llm", "dedup", "embedding"),
+)
+def q_dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL semantic dedup — the SemDeDup shape
+    (q_dedup_semantic) in the production ingest form that completes
+    the incremental matrix across all four dedup families (text LSH:
+    q_dedup_incremental; grams: q_contamination_incremental; phash:
+    q_mm_phash_incremental; embeddings: this). Vectors with
+    vec_id % 10 < INC_EXIST_PCT play the already-ingested corpus:
+    the integer k-means centroids are FIT on history alone and
+    persisted together with history's cell-assigned vectors — the
+    two artifacts a production vector-dedup index actually stores.
+    Today's batch assigns itself to the stored centroids (one Arrow
+    pass, closure-shipped K×dim matrix — no shuffle), joins history
+    members in its cell only, and reports exact cosine ≥ SEM_TAU as
+    (vec_new, vec_old, cell, cos_sim). The DuckDB oracle replays the
+    history-only fit (recursive CTE), both assignments, and the
+    cosines — both persisted artifacts proven lossless.
+
+    Scale: per ingest the work is O(new batch + collided pairs) —
+    history vectors are never re-read outside their own cells' joins,
+    never refit, never self-paired; the centroid matrix is KB-sized
+    and ships in the task closure. The cell index grows by appending
+    the new batch's assignments after the probe in production; the
+    harness operator leaves it immutable so reruns are deterministic.
+    At 100 TB, k scales with n to hold E|cell| constant (the
+    q_dedup_semantic knob), and the fit stays a bounded-iteration
+    integer loop over history partials."""
+    import os as _os
+
+    from data_wrangler_spark.functions.vectors import (
+        make_dot_udf,
+        norm,
+        round6,
+    )
+    from data_wrangler_spark.operators.embeddings_ext import (
+        kmeans_assign_mat,
+        kmeans_fit_mat,
+    )
+
+    exist = F.col("vec_id") % 10 < INC_EXIST_PCT
+    path = _embed_inc_path(sf_dir)
+    if not _os.path.exists(f"{path}/members/_SUCCESS"):
+        v_arr, cl_ids, cmat = kmeans_fit_mat(spark, sf_dir, fit_filter=exist)
+        (
+            spark.createDataFrame(
+                [
+                    (int(cl), [int(x) for x in cmat[i]])
+                    for i, cl in enumerate(cl_ids)
+                ],
+                "cl long, c array<long>",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{path}/centroids")
+        )
+        hist_asg = kmeans_assign_mat(
+            v_arr.filter(exist), cl_ids, cmat
+        ).select("vec_id", F.col("cl").cast("int").alias("cell"))
+        (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(exist)
+            .select("vec_id", to_double_array("embedding").alias("e"))
+            .join(hist_asg, "vec_id")
+            .write.mode("overwrite")
+            .parquet(f"{path}/members")
+        )
+    import numpy as np
+
+    cen_rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r.cl,
+    )
+    cl_ids = np.array([r.cl for r in cen_rows], dtype=np.int64)
+    cmat = np.vstack(
+        [np.asarray(r.c, dtype=np.int64) for r in cen_rows]
+    )
+    members = spark.read.parquet(f"{path}/members")
+
+    raw_new = load_table(spark, sf_dir, "embeddings").filter(~exist)
+    from data_wrangler_spark.operators.embeddings_ext import KM_Q
+
+    new_arr = raw_new.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda xf: F.floor(xf.cast("double") * KM_Q).cast("long"),
+        ).alias("xs"),
+    )
+    new_asg = kmeans_assign_mat(new_arr, cl_ids, cmat).select(
+        "vec_id", F.col("cl").cast("int").alias("cell")
+    )
+    a = (
+        raw_new.select("vec_id", to_double_array("embedding").alias("ea"))
+        .join(new_asg, "vec_id")
+        .select(
+            F.col("vec_id").alias("vec_new"),
+            "cell",
+            "ea",
+            norm(F.col("ea")).alias("na"),
+        )
+    )
+    b = members.select(
+        F.col("vec_id").alias("vec_old"),
+        "cell",
+        F.col("e").alias("eb"),
+        norm(F.col("e")).alias("nb"),
+    )
+    dot_udf = make_dot_udf()
+    return (
+        a.join(b, "cell")
+        .withColumn(
+            "cos_sim",
+            round6(
+                dot_udf(F.col("ea"), F.col("eb"))
+                / (F.col("na") * F.col("nb"))
+            ),
+        )
+        .filter(F.col("cos_sim") >= SEM_TAU)
+        .select("vec_new", "vec_old", "cell", "cos_sim")
+    )
+
+
 EVAL_JAC_MICRO = 500000  # ground-truth near-dup threshold for the eval
 
 

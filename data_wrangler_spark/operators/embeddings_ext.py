@@ -198,7 +198,7 @@ KM_ITER = 4     # update rounds
 KM_Q = 1 << 20  # quantization: float component ×2^20, floored
 
 
-def kmeans_cte_sql(k: int = KM_K) -> str:
+def kmeans_cte_sql(k: int = KM_K, fit_where: str = "") -> str:
     """Shared DuckDB CTE body for the integer k-means (no leading
     WITH): quantized components `v`, the recursive centroid table
     `cen`, final centroids `fin`, and the final assignment `km_asg`.
@@ -210,10 +210,18 @@ def kmeans_cte_sql(k: int = KM_K) -> str:
     regardless of partitioning or summation order. `k` defaults to
     the clustering family's KM_K; the IVF quantizer passes its own
     nlist (tuned by tools/ann_tune.py) without perturbing
-    q_kmeans_exact/q_dedup_semantic."""
+    q_kmeans_exact/q_dedup_semantic.
+
+    ``fit_where`` (a bare SQL predicate over vec_id/embedding)
+    restricts the vectors the centroids are FIT on — seeding and
+    every recursion step assign only that subset — while `km_asg`
+    still assigns ALL vectors against the final centroids. Empty
+    (the default) fits on everything, the pre-r10 behavior;
+    q_dedup_embed_incremental fits on the history split only."""
     from data_wrangler_spark.operators.dedup import _sql_md5_long
 
     key = _sql_md5_long("CAST(vec_id AS VARCHAR)")
+    fit_pred = f"WHERE {fit_where}" if fit_where else ""
     return f"""
     v0 AS (
       SELECT vec_id, embedding,
@@ -224,13 +232,14 @@ def kmeans_cte_sql(k: int = KM_K) -> str:
              CAST(floor(CAST(embedding[dim] AS DOUBLE) * {KM_Q}) AS BIGINT)
                AS x
       FROM v0),
+    vfit AS (SELECT * FROM v {fit_pred}),
     seed AS (
       SELECT vec_id,
              CAST(row_number() OVER (ORDER BY {key}, vec_id) AS INT) AS cl
-      FROM embeddings),
+      FROM embeddings {fit_pred}),
     cen(it, cl, dim, c) AS (
       SELECT 0, s.cl, v.dim, v.x
-      FROM seed s JOIN v ON v.vec_id = s.vec_id
+      FROM seed s JOIN vfit v ON v.vec_id = s.vec_id
       WHERE s.cl <= {k}
       UNION ALL
       SELECT MAX(asg.it) + 1, asg.cl, v2.dim,
@@ -242,10 +251,10 @@ def kmeans_cte_sql(k: int = KM_K) -> str:
         FROM (
           SELECT va.vec_id, cn.it, cn.cl,
                  SUM((va.x - cn.c) * (va.x - cn.c)) AS dist
-          FROM cen cn JOIN v va ON va.dim = cn.dim
+          FROM cen cn JOIN vfit va ON va.dim = cn.dim
           WHERE cn.it < {KM_ITER}
           GROUP BY va.vec_id, cn.it, cn.cl) d) asg
-      JOIN v v2 ON v2.vec_id = asg.vec_id
+      JOIN vfit v2 ON v2.vec_id = asg.vec_id
       WHERE asg.rn = 1
       GROUP BY asg.cl, v2.dim),
     fin AS (SELECT cl, dim, c FROM cen WHERE it = {KM_ITER}),
@@ -380,7 +389,7 @@ def _trunc_div(s: int, n: int) -> int:
     return s // n if s >= 0 else -((-s) // n)
 
 
-def kmeans_fit_mat(spark: SparkSession, sf_dir: str, k: int = KM_K):
+def kmeans_fit_mat(spark: SparkSession, sf_dir: str, k: int = KM_K, fit_filter=None):
     """Run the integer k-means with an Arrow/numpy iteration and a
     DRIVER-RESIDENT centroid table — the same design as
     pyspark.ml.KMeans (centroids are O(K·dim) and live on the
@@ -393,7 +402,13 @@ def kmeans_fit_mat(spark: SparkSession, sf_dir: str, k: int = KM_K):
     lowest cl (np.argmin returns the first minimum over the
     cl-ascending centroid matrix) — identical to the oracle's
     (dist, cl) rank. Returns (v_arr [vec_id, xs], cl id vector,
-    K×dim centroid matrix)."""
+    K×dim centroid matrix).
+
+    ``fit_filter`` (a Column predicate) restricts the vectors the
+    centroids are FIT on — seeding and the iteration loop use only
+    that subset — while the returned v_arr still covers the whole
+    table, so callers can assign everything (or any split) against
+    the fitted centroids. None (the default) fits on everything."""
     from data_wrangler_spark.operators.dedup import _md5_long
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -403,13 +418,14 @@ def kmeans_fit_mat(spark: SparkSession, sf_dir: str, k: int = KM_K):
             "embedding", lambda xf: F.floor(xf.cast("double") * KM_Q).cast("long")
         ).alias("xs"),
     ).cache()
+    v_fit = v_arr if fit_filter is None else v_arr.filter(fit_filter)
     # top-K by the md5 seed key via orderBy+limit (per-task heaps);
     # the K rows come back already in seed order, so cl = 1..K is
     # assigned driver-side — one job that also materializes the
     # v_arr cache, replacing the former window + join round trip
     seed_key = _md5_long(F.col("vec_id").cast("string"))
     seed_rows = (
-        v_arr.select("vec_id", "xs", seed_key.alias("sk"))
+        v_fit.select("vec_id", "xs", seed_key.alias("sk"))
         .orderBy("sk", "vec_id")
         .limit(k)
         .collect()
@@ -419,7 +435,7 @@ def kmeans_fit_mat(spark: SparkSession, sf_dir: str, k: int = KM_K):
 
     # the iteration loop is shuffle-free (per-task partials collect
     # into a driver-side int64 merge), so no shuffle sizing needed
-    cl_ids, cmat = _km_loop(spark, v_arr, cl_ids, cmat)
+    cl_ids, cmat = _km_loop(spark, v_fit, cl_ids, cmat)
     return v_arr, cl_ids, cmat
 
 

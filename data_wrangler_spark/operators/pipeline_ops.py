@@ -685,6 +685,27 @@ def _contam_index_path(sf_dir: str) -> str:
     return f"{_CONTAM_INC_SCRATCH}/{_stag(sf_dir, 'documents', params)}"
 
 
+def ensure_contam_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the persisted eval-gram index if missing and return it as
+    a DataFrame — shared by q_contamination_incremental, the pipeline
+    counter, and q_stream_decontaminate's static join side."""
+    import os as _os
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    path = _contam_index_path(sf_dir)
+    if not _os.path.exists(f"{path}/_SUCCESS"):
+        (
+            _doc_grams(d.filter(F.col("source") == CONTAM_EVAL_SOURCE))
+            .select("g")
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return spark.read.parquet(path)
+
+
 def _doc_grams(d: DataFrame) -> DataFrame:
     """(doc_id, g): each doc's word CONTAM_NGRAM-grams, with
     multiplicity — the ONE definition of "gram" shared by
@@ -757,23 +778,12 @@ def q_contamination_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     never rescanned and the eval set is never re-shingled.
     Cross-factor timings in SCALE.md pin the claim: wall time tracks
     batch size, not corpus size."""
-    import os as _os
-
     from data_wrangler_spark.operators.dedup import INC_EXIST_PCT
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    path = _contam_index_path(sf_dir)
-    if not _os.path.exists(f"{path}/_SUCCESS"):
-        (
-            _doc_grams(d.filter(F.col("source") == CONTAM_EVAL_SOURCE))
-            .select("g")
-            .distinct()
-            .write.mode("overwrite")
-            .parquet(path)
-        )
-    evset = spark.read.parquet(path)
+    evset = ensure_contam_index(spark, sf_dir)
     tr = _doc_grams(
         d.filter(
             (F.col("source") != CONTAM_EVAL_SOURCE)

@@ -748,3 +748,118 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("n_events"),
         F.sum("sum_dec").cast("double").alias("sum_value"),
     )
+
+
+def _stream_decontam_oracle() -> str:
+    from data_wrangler_spark.functions.text import sql_shingles_of, sql_words
+    from data_wrangler_spark.operators.dedup import INC_EXIST_PCT
+    from data_wrangler_spark.operators.pipeline_ops import (
+        CONTAM_EVAL_SOURCE,
+        CONTAM_NGRAM,
+    )
+
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, source, {sql_words('text')} AS w FROM documents),
+    evset AS (
+        SELECT DISTINCT g FROM (
+          SELECT unnest({sql_shingles_of('w', CONTAM_NGRAM)}) AS g
+          FROM toks WHERE source = '{CONTAM_EVAL_SOURCE}')),
+    tr AS (
+        SELECT doc_id, source,
+               unnest({sql_shingles_of('w', CONTAM_NGRAM)}) AS g
+        FROM toks
+        WHERE source <> '{CONTAM_EVAL_SOURCE}'
+          AND doc_id % 10 >= {INC_EXIST_PCT})
+    SELECT DISTINCT doc_id, source
+    FROM tr WHERE g IN (SELECT g FROM evset)
+    """
+
+
+@register(
+    "q_stream_decontaminate",
+    oracle=_stream_decontam_oracle(),
+    tags=("stream", "llm", "contamination"),
+)
+def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest decontamination — the q_contamination_incremental
+    gate run AS the ingest stream it is designed for: documents arrive
+    as a file stream (two micro-batches), each new train doc explodes
+    into its word 5-grams, a STREAM-STATIC LEFT-SEMI join probes the
+    persisted eval-gram index (the static side — broadcast into every
+    micro-batch, no state), and stateful dropDuplicates collapses the
+    surviving gram hits to one flagged row per document. Output: the
+    doc_ids a production ingest would QUARANTINE, emitted as they
+    stream past the gate. Runs a REAL stream (file source →
+    availableNow → memory sink); the oracle replays the same flag set
+    from raw text, so the persisted-index hop and the streaming
+    emission are both value-checked.
+
+    Scale: the static gram index is eval-sized (tiny — broadcasts; at
+    100 TB, a Bloom filter with this exact form as the audit path);
+    the stream side never shuffles before the dedup, whose state is
+    one key per FLAGGED doc — bounded by leakage volume, not corpus.
+    This is the gate q_corpus_pipeline_incremental applies in batch
+    (stage 2.5), here proven to compose with Structured Streaming
+    delivery."""
+    from data_wrangler_spark.functions.text import shingles_from_words, words
+    from data_wrangler_spark.operators.dedup import INC_EXIST_PCT
+    from data_wrangler_spark.operators.pipeline_ops import (
+        CONTAM_EVAL_SOURCE,
+        CONTAM_NGRAM,
+        ensure_contam_index,
+    )
+
+    evset = ensure_contam_index(spark, sf_dir)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    base = os.path.join(
+        SCRATCH,
+        "stream_in",
+        f"decontam_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    if not os.path.exists(os.path.join(base, "001.parquet")):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        # two deterministic halves by doc_id parity → two micro-batches
+        for i, half in enumerate(
+            (docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1))
+        ):
+            tmp = os.path.join(base, f"_tmp{i}")
+            half.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = next(
+                os.path.join(tmp, f)
+                for f in os.listdir(tmp)
+                if f.endswith(".parquet")
+            )
+            dst = os.path.join(base, f"{i:03d}.parquet")
+            shutil.move(src, dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            ts_file = time.time() + i
+            os.utime(dst, (ts_file, ts_file))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+        .filter(
+            (F.col("source") != CONTAM_EVAL_SOURCE)
+            & (F.col("doc_id") % 10 >= INC_EXIST_PCT)
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                shingles_from_words(words("text"), CONTAM_NGRAM)
+            ).alias("g"),
+        )
+        .join(evset, "g", "left_semi")
+        .select("doc_id", "source")
+        .dropDuplicates(["doc_id"])
+    )
+    return _run_stream(stream, "q_stream_decontaminate")
+
+
+

@@ -646,3 +646,70 @@ def test_mm_phash_incremental_matches_batch_cross_pairs(spark, sf_dir):
         .collect()
     }
     assert rerun == inc
+
+
+def test_dedup_embed_incremental_numpy_replay(spark, sf_dir):
+    """Full numpy replay of the incremental semantic dedup: load the
+    PERSISTED centroids, assign every vector in numpy (int64 squared
+    distance, lowest-cl tiebreak — the engine contract), and rebuild
+    the exact expected pair set {(new, old) co-celled, cosine ≥ τ}.
+    The operator must return precisely that set with matching
+    cosines; pairs must cross the split; a warm-index rerun is
+    identical."""
+    import numpy as np
+
+    from data_wrangler_spark.catalog import load_table
+    from data_wrangler_spark.operators.dedup import (
+        _embed_inc_path,
+        INC_EXIST_PCT,
+        SEM_TAU,
+    )
+    from data_wrangler_spark.operators.embeddings_ext import KM_Q
+
+    got = {
+        (r.vec_new, r.vec_old): r.cos_sim
+        for r in REGISTRY["q_dedup_embed_incremental"]
+        .run(spark, sf_dir)
+        .collect()
+    }
+    assert got, "fixture should contain cross-split semantic dups"
+    for new, old in got:
+        assert new % 10 >= INC_EXIST_PCT and old % 10 < INC_EXIST_PCT
+
+    path = _embed_inc_path(sf_dir)
+    cen = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r.cl,
+    )
+    C = np.vstack([np.asarray(r.c, dtype=np.int64) for r in cen])
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    cell = {}
+    for vid, e in vecs.items():
+        X = np.floor(e * KM_Q).astype(np.int64)
+        d = ((X[None, :] - C) ** 2).sum(axis=1)
+        cell[vid] = cen[int(d.argmin())].cl  # first min = lowest cl
+    expected = {}
+    for new in (v for v in vecs if v % 10 >= INC_EXIST_PCT):
+        for old in (v for v in vecs if v % 10 < INC_EXIST_PCT):
+            if cell[new] != cell[old]:
+                continue
+            a, b = vecs[new], vecs[old]
+            cos = round(
+                float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b)), 6
+            )
+            if cos >= SEM_TAU:
+                expected[(new, old)] = cos
+    assert set(got) == set(expected)
+    for k, v in got.items():
+        assert abs(v - expected[k]) < 2e-6
+
+    rerun = {
+        (r.vec_new, r.vec_old): r.cos_sim
+        for r in REGISTRY["q_dedup_embed_incremental"]
+        .run(spark, sf_dir)
+        .collect()
+    }
+    assert rerun == got

@@ -335,3 +335,24 @@ def test_user_totals_negative_value_floor_rounding():
     # (truncation would give -123); 2.005*100+0.5 = 201.0 → 201
     assert int(out["total_cents"][0]) == -124 + 201
     assert int(out["n_events"][0]) == 2
+
+
+def test_stream_decontaminate_matches_batch_gate(spark, sf_dir):
+    """The streamed quarantine set must equal the batch gate exactly:
+    q_contamination_incremental's drop_doc ids, one row per doc (the
+    stream-static semi join + stateful dedup never duplicates or
+    misses a flagged doc across micro-batches)."""
+    from data_wrangler_spark.registry import REGISTRY
+
+    rows = REGISTRY["q_stream_decontaminate"].run(spark, sf_dir).collect()
+    got = [r.doc_id for r in rows]
+    assert len(got) == len(set(got)), "dedup emitted a doc twice"
+    batch = {
+        r.doc_id
+        for r in REGISTRY["q_contamination_incremental"]
+        .run(spark, sf_dir)
+        .filter("drop_doc")
+        .collect()
+    }
+    assert set(got) == batch
+    assert batch, "fixture should contain eval-gram leakage"
