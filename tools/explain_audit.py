@@ -102,6 +102,7 @@ AUDIT = [
     ("q_mm_phash", "Arrow hash pass -> banded bucket join; payloads never shuffle"),
     ("q_mm_phash_keep", "phash banded pairs -> components -> keeper, pairs never output"),
     ("q_mm_phash_incremental", "new-batch signatures probe the persisted band index"),
+    ("q_dedup_embed_incremental", "closure-shipped centroid assign; cell join vs persisted members"),
 ]
 
 
