@@ -1266,15 +1266,11 @@ def q_dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = spark.read.parquet(f"{path}/members")
 
     raw_new = load_table(spark, sf_dir, "embeddings").filter(~exist)
-    from data_wrangler_spark.operators.embeddings_ext import KM_Q
+    from data_wrangler_spark.operators.embeddings_ext import quantize_xs
 
-    new_arr = raw_new.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda xf: F.floor(xf.cast("double") * KM_Q).cast("long"),
-        ).alias("xs"),
-    )
+    # the SHARED quantizer — new vectors must be quantized exactly as
+    # the persisted centroids were fit (r10 review)
+    new_arr = quantize_xs(raw_new)
     new_asg = kmeans_assign_mat(new_arr, cl_ids, cmat).select(
         "vec_id", F.col("cl").cast("int").alias("cell")
     )

@@ -383,6 +383,21 @@ def kmeans_assign_mat(
     return v_arr.mapInPandas(assign, "vec_id long, cl long, dist long")
 
 
+def quantize_xs(e: DataFrame) -> DataFrame:
+    """(vec_id, xs): embedding components as integer micro-units
+    (floor(x · KM_Q), int64) — THE quantizer. Fit (kmeans_fit_mat)
+    and every probe against persisted centroids
+    (q_dedup_embed_incremental) must share this single definition:
+    a drifted copy would assign new vectors with a different
+    quantizer than the stored centroids were fit with (r10 review)."""
+    return e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda xf: F.floor(xf.cast("double") * KM_Q).cast("long")
+        ).alias("xs"),
+    )
+
+
 def _trunc_div(s: int, n: int) -> int:
     """SQL `div` (truncate toward zero) on Python ints — Python's //
     floors toward -inf, which differs on negative sums."""
@@ -412,12 +427,7 @@ def kmeans_fit_mat(spark: SparkSession, sf_dir: str, k: int = KM_K, fit_filter=N
     from data_wrangler_spark.operators.dedup import _md5_long
 
     e = load_table(spark, sf_dir, "embeddings")
-    v_arr = e.select(
-        "vec_id",
-        F.transform(
-            "embedding", lambda xf: F.floor(xf.cast("double") * KM_Q).cast("long")
-        ).alias("xs"),
-    ).cache()
+    v_arr = quantize_xs(e).cache()
     v_fit = v_arr if fit_filter is None else v_arr.filter(fit_filter)
     # top-K by the md5 seed key via orderBy+limit (per-task heaps);
     # the K rows come back already in seed order, so cl = 1..K is

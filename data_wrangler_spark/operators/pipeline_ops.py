@@ -1851,9 +1851,27 @@ def q_corpus_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     # the counter's governing semantics key its cache: a change to the
     # split, gram size, eval source, or counter schema invalidates
     # automatically (r10 review — no more manual _v2 renames)
+    # the key folds in EVERY gate the counter bakes in — split,
+    # decontamination, AND the Gopher quality thresholds (r10 review:
+    # omitting the quality constants would serve a stale counter
+    # after a GOPHER_* change, the exact trap params-keying closes)
+    from data_wrangler_spark.operators.text_analysis import (
+        GOPHER_MAX_MEAN_WLEN,
+        GOPHER_MAX_SHORT_FRAC,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEAN_WLEN,
+        GOPHER_MIN_STOPWORD_HITS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+    )
+
     counter_params = (
         f"exist={INC_EXIST_PCT},ngram={CONTAM_NGRAM},"
-        f"eval={CONTAM_EVAL_SOURCE},schema=2"
+        f"eval={CONTAM_EVAL_SOURCE},schema=2,"
+        f"gopher={GOPHER_MIN_WORDS}-{GOPHER_MAX_WORDS}-"
+        f"{GOPHER_MIN_MEAN_WLEN}-{GOPHER_MAX_MEAN_WLEN}-"
+        f"{GOPHER_MAX_SHORT_FRAC}-{GOPHER_MIN_STOPWORD_HITS}-"
+        f"{len(GOPHER_STOPWORDS)}"
     )
     path = f"{_PIPE_INC_SCRATCH}/{_stag(sf_dir, 'documents', counter_params)}"
     if not _os.path.exists(f"{path}/_SUCCESS"):
@@ -1865,11 +1883,12 @@ def q_corpus_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         # history replays the decontamination gate (stage 2.5): the
         # counter must count what a same-pipeline ingest would have
-        # kept. The eval-gram index was persisted by the
-        # q_contamination_incremental run above; history docs probe
-        # it once here — the only time history text is scanned.
-        # _doc_grams is the same gram definition the gate used.
-        evset = spark.read.parquet(_contam_index_path(sf_dir))
+        # kept. ensure_contam_index is self-healing (builds the
+        # eval-gram index if missing — no ordering dependence on the
+        # stage-2.5 run above); history docs probe it once here —
+        # the only time history text is scanned. _doc_grams is the
+        # same gram definition the gate used.
+        evset = ensure_contam_index(spark, sf_dir)
         leaky_ex = (
             _doc_grams(exist_d.filter(F.col("source") != CONTAM_EVAL_SOURCE))
             .join(evset, "g", "left_semi")

@@ -420,13 +420,12 @@ class GatewayServer:
                 if self.tls_context is not None:
                     try:
                         request.do_handshake()
-                        # the timeout guards the HANDSHAKE only — a
-                        # legitimately slow client (>10 s between
-                        # requests on keep-alive, slow body upload)
-                        # must not be dropped mid-request, so restore
-                        # the blocking default once the handshake
-                        # completes (r10 review)
-                        request.settimeout(None)
+                        # post-handshake I/O is governed by
+                        # Handler.timeout = 10 (StreamRequestHandler.
+                        # setup() re-applies it to the socket), the
+                        # DELIBERATE bounded-read contract that keeps
+                        # stop() from hanging on idle clients — so no
+                        # timeout reset is needed or wanted here.
                     except (ssl.SSLError, OSError) as exc:
                         # bad/stalled handshake kills only this
                         # connection's thread — accept() never waited.

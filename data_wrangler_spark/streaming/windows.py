@@ -262,24 +262,18 @@ def _ts_bounds(spark: SparkSession, sf_dir: str, ev: DataFrame):
         return lo, hi
 
 
-def _staged_events(spark: SparkSession, sf_dir: str, tag: str, n_copies: int = 1,
-                   split_frac: float | None = None) -> tuple[str, DataFrame]:
-    """Stage the events table into scratch parquet files that a file
-    stream will consume as separate micro-batches (one file per
-    trigger, ordered by modification time)."""
-    ev = load_table(spark, sf_dir, "events")
-    base = os.path.join(SCRATCH, "stream_in", f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}")
+def _stage_parts(tag_base: str, parts: list) -> str:
+    """Stage pre-split DataFrames as one parquet file each, with
+    strictly increasing mtimes → deterministic micro-batch order.
+    Rebuilds UNCONDITIONALLY: staging is cheap, and any existence-
+    based cache here would replay stale fixture bytes against a
+    fresh oracle after the source parquet is regenerated (the mtime
+    trap every scratch_tag-keyed cache avoids by keying; a stream
+    input is rebuilt instead of keyed because its content also
+    depends on the split policy of the calling operator)."""
+    base = os.path.join(SCRATCH, "stream_in", tag_base)
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
-
-    parts: list[DataFrame] = []
-    if split_frac is not None:
-        lo, hi = _ts_bounds(spark, sf_dir, ev)
-        cut = lo + (hi - lo) * split_frac
-        parts = [ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut)]
-    else:
-        parts = [ev] * n_copies
-
     for i, p in enumerate(parts):
         tmp = os.path.join(base, f"_tmp{i}")
         p.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -292,6 +286,27 @@ def _staged_events(spark: SparkSession, sf_dir: str, tag: str, n_copies: int = 1
         # strictly increasing mtimes → deterministic batch order
         ts_file = time.time() + i
         os.utime(dst, (ts_file, ts_file))
+    return base
+
+
+def _staged_events(spark: SparkSession, sf_dir: str, tag: str, n_copies: int = 1,
+                   split_frac: float | None = None) -> tuple[str, DataFrame]:
+    """Stage the events table into scratch parquet files that a file
+    stream will consume as separate micro-batches (one file per
+    trigger, ordered by modification time)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    parts: list[DataFrame] = []
+    if split_frac is not None:
+        lo, hi = _ts_bounds(spark, sf_dir, ev)
+        cut = lo + (hi - lo) * split_frac
+        parts = [ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut)]
+    else:
+        parts = [ev] * n_copies
+
+    base = _stage_parts(
+        f"{tag}_{os.path.basename(sf_dir.rstrip('/'))}", parts
+    )
     return base, ev
 
 
@@ -815,30 +830,15 @@ def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    base = os.path.join(
-        SCRATCH,
-        "stream_in",
+    # two deterministic halves by doc_id parity → two micro-batches;
+    # staged via the shared helper (rebuilds each run — no stale cache)
+    base = _stage_parts(
         f"decontam_{os.path.basename(sf_dir.rstrip('/'))}",
+        [
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+        ],
     )
-    if not os.path.exists(os.path.join(base, "001.parquet")):
-        shutil.rmtree(base, ignore_errors=True)
-        os.makedirs(base, exist_ok=True)
-        # two deterministic halves by doc_id parity → two micro-batches
-        for i, half in enumerate(
-            (docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1))
-        ):
-            tmp = os.path.join(base, f"_tmp{i}")
-            half.coalesce(1).write.mode("overwrite").parquet(tmp)
-            src = next(
-                os.path.join(tmp, f)
-                for f in os.listdir(tmp)
-                if f.endswith(".parquet")
-            )
-            dst = os.path.join(base, f"{i:03d}.parquet")
-            shutil.move(src, dst)
-            shutil.rmtree(tmp, ignore_errors=True)
-            ts_file = time.time() + i
-            os.utime(dst, (ts_file, ts_file))
 
     stream = (
         spark.readStream.schema(docs.schema)
