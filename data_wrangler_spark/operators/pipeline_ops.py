@@ -1865,13 +1865,22 @@ def q_corpus_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         GOPHER_STOPWORDS,
     )
 
+    # the stopword SET is hashed, not length-proxied (ADVICE r10 #2):
+    # swapping one stopword for another keeps len() constant but
+    # changes which docs pass the gate — a content hash invalidates
+    # on any edit.
+    import hashlib as _hl
+
+    _sw_hash = _hl.md5(
+        ",".join(sorted(GOPHER_STOPWORDS)).encode()
+    ).hexdigest()[:12]
     counter_params = (
         f"exist={INC_EXIST_PCT},ngram={CONTAM_NGRAM},"
         f"eval={CONTAM_EVAL_SOURCE},schema=2,"
         f"gopher={GOPHER_MIN_WORDS}-{GOPHER_MAX_WORDS}-"
         f"{GOPHER_MIN_MEAN_WLEN}-{GOPHER_MAX_MEAN_WLEN}-"
         f"{GOPHER_MAX_SHORT_FRAC}-{GOPHER_MIN_STOPWORD_HITS}-"
-        f"{len(GOPHER_STOPWORDS)}"
+        f"{_sw_hash}"
     )
     path = f"{_PIPE_INC_SCRATCH}/{_stag(sf_dir, 'documents', counter_params)}"
     if not _os.path.exists(f"{path}/_SUCCESS"):

@@ -6,8 +6,10 @@ engine 18 of the 22 TPC-H shapes. The synthetic schema omits partsupp
 and the lineitem commit/receipt/shipmode/container columns, so queries
 that need them are *adapted*, keeping the plan shape that makes each
 query interesting while substituting available columns (noted per
-query). Q2/Q11/Q20/Q21 are partsupp-critical end to end and are
-intentionally out of scope (SURVEY.md §2.5).
+query). Q2/Q11/Q20/Q21 are partsupp-critical end to end; they live in
+tpch_partsupp.py, which derives a deterministic partsupp relation
+(md5-hash expressions, identical in both engines) and runs all four
+with exact oracles — see that module's docstring for the derivation.
 
 The reference gateway cannot express any of these (single-template
 routes, no aggregation — SURVEY.md §2.4); they are carried as named

@@ -439,6 +439,17 @@ class GatewayServer:
                         )
                         self.shutdown_request(request)
                         return
+                    except Exception:
+                        # any other handshake failure must still
+                        # close the accepted socket — without this
+                        # the fd leaks until GC (ADVICE r10 #3).
+                        logging.getLogger(__name__).error(
+                            "unexpected TLS handshake error from %s",
+                            client_address,
+                            exc_info=True,
+                        )
+                        self.shutdown_request(request)
+                        return
                 super().process_request_thread(request, client_address)
 
         self.httpd = _DrainingHTTPServer((host, port), Handler)

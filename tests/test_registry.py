@@ -95,3 +95,44 @@ def test_survey_inventory_is_generated():
         "SURVEY.md inventory block is stale — "
         "run `python tools/gen_inventory.py --write`"
     )
+
+
+def test_no_handkept_inventory_counts():
+    """No current-state doc may carry a numeric inventory claim
+    ("N queries (M exact-oracle ...)") outside SURVEY's generated
+    block (r10 judge #3 — BASELINE.md:22 said 229 while the registry
+    held 250). Historical round records (ROUND*.md) and judge
+    artifacts (VERDICT/ADVICE) are snapshots, not current-state
+    claims, and are exempt."""
+    import re
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    pat = re.compile(r"\b\d+ queries \(\d+ exact")
+    exempt = {"VERDICT.md", "ADVICE.md"}
+    offenders = []
+    for md in sorted(repo.glob("*.md")):
+        if md.name in exempt or md.name.startswith("ROUND"):
+            continue
+        text = md.read_text()
+        if md.name == "SURVEY.md":
+            # the generated block is the single allowed home
+            import sys
+
+            sys.path.insert(0, str(repo / "tools"))
+            import gen_inventory
+
+            text = re.sub(
+                re.escape(gen_inventory.BEGIN)
+                + ".*?"
+                + re.escape(gen_inventory.END),
+                "",
+                text,
+                flags=re.S,
+            )
+        for m_ in pat.finditer(text):
+            offenders.append(f"{md.name}: {m_.group(0)!r}")
+    assert not offenders, (
+        "hand-kept inventory counts found (point at SURVEY §2.5 "
+        f"instead): {offenders}"
+    )

@@ -148,7 +148,15 @@ def pq_recall(ids, emb, qi, exact, cos, m, ncent, shortlist, q=1 << 20):
     return len(got & exact) / 10.0, shortlist / len(ids)
 
 
-CLUSTERED_PATH = "/root/repo/.scratch/ann_clustered/embeddings.parquet"
+def _clustered_path(n, dim, k, std, seed) -> str:
+    # params-keyed fixture dir (ADVICE r10 #1): a bare existence guard
+    # on a fixed path silently reuses a stale parquet after any
+    # parameter change — the same trap scratch_tag(params=...) closes
+    # for the engine's persisted indexes. Folding the generation
+    # parameters into the directory name makes a changed config a
+    # cache MISS by construction.
+    tag = f"n{n}_d{dim}_k{k}_s{std}_seed{seed}"
+    return f"/root/repo/.scratch/ann_clustered_{tag}/embeddings.parquet"
 
 
 def gen_clustered(n=2000, dim=64, k=20, std=0.05, seed=42) -> str:
@@ -162,6 +170,7 @@ def gen_clustered(n=2000, dim=64, k=20, std=0.05, seed=42) -> str:
 
     import pyarrow as pa
 
+    CLUSTERED_PATH = _clustered_path(n, dim, k, std, seed)
     if os.path.exists(CLUSTERED_PATH):
         return CLUSTERED_PATH
     rng = np.random.default_rng(seed)
