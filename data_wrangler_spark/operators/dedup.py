@@ -145,6 +145,44 @@ def _minhash_signatures(d: DataFrame) -> DataFrame:
     return base.select("doc_id", sig.alias("sig"))
 
 
+def sig_expr(sh_col) -> F.Column:
+    """Stream-safe minhash signature: the SAME (h1,h2) / g_j = h1+j·h2
+    family as _minhash_signatures, folded into ONE expression —
+    transform computes each shingle's md5 pair once, then a single
+    aggregate() zip_with-folds the element-wise minimum of the 16
+    g_j arrays. No persist barrier needed (streaming plans cannot
+    persist), and CollapseProject cannot duplicate the md5 work
+    because the whole signature is one expression tree. The finish
+    lambda maps the untouched 2^62 sentinel back to NULL so an
+    empty shingle array yields the same all-NULL signature
+    array_min produces in the batch form (parity pinned by
+    tests/test_streaming.py::test_sig_expr_matches_batch)."""
+    hs = F.transform(
+        sh_col,
+        lambda s: F.struct(
+            F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(F.md5(s), 13, 11), 16, 10).cast("long").alias("h2"),
+        ),
+    )
+    # identity for min: g_j = h1 + j*h2 < 2^48 + 15*2^44 < 2^49 << 2^62
+    sentinel = F.lit(2**62).cast("long")
+    init = F.array(*[sentinel for _ in range(N_MINHASH)])
+    js = F.array(*[F.lit(j).cast("long") for j in range(N_MINHASH)])
+    return F.aggregate(
+        hs,
+        init,
+        lambda acc, p: F.zip_with(
+            acc,
+            js,
+            lambda a, j: F.least(a, p["h1"] + j * p["h2"]),
+        ),
+        lambda acc: F.transform(
+            acc,
+            lambda x: F.when(x < sentinel, x),
+        ),
+    )
+
+
 def _sig_select_sql() -> str:
     """The N_MINHASH signature expressions (DuckDB) — the ONE
     definition both the batch LSH oracle and the incremental-index
@@ -195,13 +233,16 @@ def _minhash_oracle() -> str:
     """
 
 
-def _band_table(sigs: DataFrame) -> DataFrame:
-    """signature frame → (doc_id, band, bucket): each doc's sig is
-    split into N_BANDS buckets of rows-per-band values (map-side
-    explode, fan-out ×N_BANDS — never the corpus)."""
+def _band_table(sigs: DataFrame, carry: tuple = ()) -> DataFrame:
+    """signature frame → (doc_id, [carry...], band, bucket): each
+    doc's sig is split into N_BANDS buckets of rows-per-band values
+    (map-side explode, fan-out ×N_BANDS — never the corpus). `carry`
+    names extra columns to pass through the explode (the streaming
+    ingest gate carries the doc's shingle set to the verify join)."""
     rows = N_MINHASH // N_BANDS
     return sigs.select(
         "doc_id",
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -217,7 +258,7 @@ def _band_table(sigs: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    ).select("doc_id", *carry, "bb.band", "bb.bucket")
 
 
 @register("q_dedup_minhash", oracle=_minhash_oracle(), tags=("llm", "dedup"))
@@ -896,6 +937,31 @@ INC_EXIST_PCT = 8       # doc_id % 10 < 8 → already-ingested corpus
 INC_JAC_MICRO = 500000  # exact-Jaccard acceptance for a true dup
 
 
+def ensure_inc_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-if-missing the persisted LSH band index of the existing
+    corpus (shared by q_dedup_incremental and the streaming ingest
+    gate q_stream_dedup_ingest — ONE index, two delivery modes).
+    Self-healing like ensure_contam_index: hot-bucket guard applied
+    at build time, partitioned by band so a probe prunes to its own
+    band's files. The cache key (_inc_index_path) carries every
+    constant the index bakes in."""
+    import os as _os
+
+    path = _inc_index_path(sf_dir)
+    if not _os.path.exists(f"{path}/_SUCCESS"):
+        d = load_table(spark, sf_dir, "documents")
+        bands_ex = _band_table(
+            _minhash_signatures(d.filter(F.col("doc_id") % 10 < INC_EXIST_PCT))
+        )
+        guarded = bands_ex.withColumn(
+            "bsize", F.count("*").over(Window.partitionBy("band", "bucket"))
+        ).filter(F.col("bsize") <= MAX_BUCKET)
+        guarded.select("band", "bucket", "doc_id").repartition(
+            "band"
+        ).write.mode("overwrite").partitionBy("band").parquet(path)
+    return spark.read.parquet(path)
+
+
 def _inc_oracle() -> str:
     sigs = _sig_select_sql()
     band_union = _band_union_sql
@@ -958,22 +1024,10 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-semi prefilter) — so a daily ingest costs O(new batch +
     candidates), the property that keeps corpus dedup affordable
     when 100 TB grows daily."""
-    import os as _os
-
     d = load_table(spark, sf_dir, "documents")
     exist = F.col("doc_id") % 10 < INC_EXIST_PCT
 
-    path = _inc_index_path(sf_dir)
-    if not _os.path.exists(f"{path}/_SUCCESS"):
-        bands_ex = _band_table(_minhash_signatures(d.filter(exist)))
-        guarded = bands_ex.withColumn(
-            "bsize", F.count("*").over(Window.partitionBy("band", "bucket"))
-        ).filter(F.col("bsize") <= MAX_BUCKET)
-        guarded.select("band", "bucket", "doc_id").repartition(
-            "band"
-        ).write.mode("overwrite").partitionBy("band").parquet(path)
-
-    index_g = spark.read.parquet(path)
+    index_g = ensure_inc_index(spark, sf_dir)
     bands_new = _band_table(_minhash_signatures(d.filter(~exist)))
     # pin the candidate table: it feeds the id-set derivation twice
     # and the verify join once — unpinned, the whole signature+probe

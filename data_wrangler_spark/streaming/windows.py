@@ -863,3 +863,123 @@ def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+
+def _stream_dedup_ingest_oracle() -> str:
+    # the batch incremental dedup oracle (dedup._inc_oracle) already
+    # replays index build + probe + exact-Jaccard verify from raw
+    # text; the stream emits the same pairs without the band count
+    # (a per-pair band aggregation is a streaming groupBy this gate
+    # deliberately avoids — state stays one key per FLAGGED pair)
+    from data_wrangler_spark.operators.dedup import _inc_oracle
+
+    return (
+        "SELECT doc_new, doc_old, jac_micro FROM (" + _inc_oracle() + ")"
+    )
+
+
+@register(
+    "q_stream_dedup_ingest",
+    oracle=_stream_dedup_ingest_oracle(),
+    tags=("stream", "llm", "dedup"),
+)
+def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup ingest gate — q_dedup_incremental's
+    persisted LSH band index probed AS the ingest stream it is
+    designed for (the q_stream_decontaminate pattern applied to the
+    dedup family, closing the matrix: every stage-2 gate now has a
+    proven streaming delivery). New documents arrive as a file
+    stream (two micro-batches, doc_id parity split); each doc is
+    minhash-signed PER ROW by dedup.sig_expr (one expression tree —
+    no persist barrier, batch-parity pinned by pytest), banded, and
+    a STREAM-STATIC equi-join probes the persisted (band, bucket)
+    index built once by dedup.ensure_inc_index. Candidates verify by
+    exact shingle Jaccard against the static history shingle sets,
+    and stateful dropDuplicates emits each verified pair once.
+    Output: (doc_new, doc_old, jac_micro) — the duplicates a
+    production ingest would QUARANTINE, emitted as they stream past
+    the gate. Runs a REAL stream (file source → availableNow →
+    memory sink); the oracle replays index build + probe + verify
+    from raw text, so the persisted hop AND the streaming emission
+    are both value-checked, and pytest pins the streamed pair set ≡
+    the batch q_dedup_incremental's.
+
+    Scale: the static index side is (band, bucket, doc_id) — bytes
+    per history doc, not text; band-partitioned so each probe prunes
+    to its band. The verify side joins only candidate doc_olds'
+    shingle sets (at 100 TB those live as a persisted column beside
+    the index — here recomputed once and cached per run). A pair can
+    match on up to N_BANDS buckets, so verify work is duplicated at
+    most ×4 before the stateful dedup — the deliberate trade that
+    keeps state bounded by VERIFIED duplicates (leakage volume), not
+    by candidates or corpus. ingest cost stays O(new batch +
+    candidates) per micro-batch, the q_dedup_incremental property,
+    now demonstrated under Structured Streaming delivery."""
+    from data_wrangler_spark.functions.distributed import pin
+    from data_wrangler_spark.functions.text import shingles_from_words, words
+    from data_wrangler_spark.operators.dedup import (
+        INC_EXIST_PCT,
+        INC_JAC_MICRO,
+        _band_table,
+        ensure_inc_index,
+        sig_expr,
+    )
+
+    index_g = ensure_inc_index(spark, sf_dir)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 10 >= INC_EXIST_PCT)
+    base = _stage_parts(
+        f"dedup_ingest_{os.path.basename(sf_dir.rstrip('/'))}",
+        [
+            new.filter(F.col("doc_id") % 2 == 0),
+            new.filter(F.col("doc_id") % 2 == 1),
+        ],
+    )
+
+    # static verify side: distinct shingle sets of HISTORY docs only
+    # (the stream side's set rides the stream row); pinned — consumed
+    # by every micro-batch
+    shd_old = pin(
+        docs.filter(F.col("doc_id") % 10 < INC_EXIST_PCT)
+        .select(
+            F.col("doc_id").alias("doc_old"),
+            F.array_distinct(
+                shingles_from_words(words("text"), 3)
+            ).alias("sb"),
+        )
+        .persist()
+    )
+
+    sigs = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+        .select(
+            "doc_id", shingles_from_words(words("text"), 3).alias("sh")
+        )
+        .select(
+            "doc_id",
+            sig_expr(F.col("sh")).alias("sig"),
+            F.array_distinct("sh").alias("sa"),
+        )
+    )
+    # size() is int32 — promote before the ×1e6 (ANSI overflow trap)
+    ni = F.size(F.array_intersect("sa", "sb")).cast("long")
+    stream = (
+        _band_table(sigs, carry=("sa",))
+        .join(index_g.withColumnRenamed("doc_id", "doc_old"), ["band", "bucket"])
+        .join(shd_old, "doc_old")
+        .withColumn("_ni", ni)
+        .select(
+            F.col("doc_id").alias("doc_new"),
+            "doc_old",
+            F.expr(
+                "div(_ni * 1000000, "
+                "cast(size(sa) as bigint) + size(sb) - _ni)"
+            ).alias("jac_micro"),
+        )
+        .filter(F.col("jac_micro") >= INC_JAC_MICRO)
+        .dropDuplicates(["doc_new", "doc_old"])
+    )
+    return _run_stream(stream, "q_stream_dedup_ingest")

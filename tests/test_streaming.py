@@ -356,3 +356,49 @@ def test_stream_decontaminate_matches_batch_gate(spark, sf_dir):
     }
     assert set(got) == batch
     assert batch, "fixture should contain eval-gram leakage"
+
+
+def test_stream_dedup_ingest_matches_batch_pairs(spark, sf_dir):
+    """The streamed dedup gate must flag exactly the pairs the batch
+    q_dedup_incremental derives (same persisted index, same exact-
+    Jaccard verify), each pair once — the stateful dedup never
+    duplicates or misses across micro-batches."""
+    from data_wrangler_spark.registry import REGISTRY
+
+    rows = REGISTRY["q_stream_dedup_ingest"].run(spark, sf_dir).collect()
+    got = [(r.doc_new, r.doc_old) for r in rows]
+    assert len(got) == len(set(got)), "a pair was emitted twice"
+    batch = {
+        (r.doc_new, r.doc_old, r.jac_micro)
+        for r in REGISTRY["q_dedup_incremental"].run(spark, sf_dir).collect()
+    }
+    assert {(r.doc_new, r.doc_old, r.jac_micro) for r in rows} == batch
+    assert batch, "fixture should contain near-duplicate pairs"
+
+
+def test_sig_expr_matches_batch(spark, sf_dir):
+    """dedup.sig_expr (the stream-safe one-expression signature) must
+    be value-identical to _minhash_signatures (the persist-barrier
+    batch form) on every doc — including the empty-shingle NULL
+    convention."""
+    from data_wrangler_spark.functions.text import shingles_from_words, words
+    from data_wrangler_spark.operators.dedup import (
+        _minhash_signatures,
+        sig_expr,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    expr_form = d.select(
+        "doc_id",
+        sig_expr(shingles_from_words(words("text"), 3)).alias("sig"),
+    )
+    batch_form = _minhash_signatures(d)
+    a = {r.doc_id: tuple(r.sig) for r in expr_form.collect()}
+    b = {r.doc_id: tuple(r.sig) for r in batch_form.collect()}
+    assert a == b
+    # the empty-shingle NULL convention itself (no fixture doc may
+    # exercise it — pin it on a synthetic row)
+    empty = spark.createDataFrame([("x",)], "text string").select(
+        sig_expr(shingles_from_words(words("text"), 3)).alias("sig")
+    )
+    assert all(v is None for v in empty.collect()[0].sig)
