@@ -1088,6 +1088,211 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ── two-day ingest: the index APPEND path ──────────────────────────
+# q_dedup_incremental proves one probe against a frozen history;
+# production ingests DAILY — each batch probes, then APPENDS its
+# bands so the next batch can catch duplicates of it. The split is
+# calibrated so the fixture contains a day-1↔day-2 duplicate at all
+# four scale factors (sf0.001/0.01/0.1/f5 — verified by DuckDB
+# probe), making the append-catch non-vacuous everywhere.
+INC2_DAY1 = 2  # doc_id % 10 == 2 → day-1 batch
+INC2_DAY2 = 8  # doc_id % 10 == 8 → day-2 batch; rest = history
+
+
+def _inc2day_path(sf_dir: str) -> str:
+    from data_wrangler_spark.catalog import scratch_tag
+
+    params = (
+        f"mh={N_MINHASH},bands={N_BANDS},cap={MAX_BUCKET},"
+        f"d1={INC2_DAY1},d2={INC2_DAY2}"
+    )
+    return f"{_INC_SCRATCH}2day/{scratch_tag(sf_dir, 'documents', params)}"
+
+
+def _guarded_bands(d: DataFrame) -> DataFrame:
+    """(band, bucket, doc_id) with the hot-bucket cap applied WITHIN
+    this batch — the per-ingest guard. A bucket can exceed MAX_BUCKET
+    across appends; production re-guards at compaction (the oracle
+    replays the same per-batch semantics, so the hop is lossless)."""
+    bands = _band_table(_minhash_signatures(d))
+    return (
+        bands.withColumn(
+            "bsize", F.count("*").over(Window.partitionBy("band", "bucket"))
+        )
+        .filter(F.col("bsize") <= MAX_BUCKET)
+        .select("band", "bucket", "doc_id")
+    )
+
+
+def _inc2day_oracle() -> str:
+    sigs = _sig_select_sql()
+    bu = _band_union_sql
+
+    def guard(src: str) -> str:
+        return (
+            f"SELECT band, bucket, doc_id FROM ("
+            f"SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bsize "
+            f"FROM {src}) WHERE bsize <= {MAX_BUCKET}"
+        )
+
+    def cand(bands: str, idx: str) -> str:
+        return (
+            f"SELECT n.doc_id AS doc_new, e.doc_id AS doc_old, "
+            f"CAST(COUNT(DISTINCT n.band) AS BIGINT) AS n_bands "
+            f"FROM {bands} n JOIN {idx} e "
+            f"ON e.band = n.band AND e.bucket = n.bucket GROUP BY 1, 2"
+        )
+
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {sql_shingles_of('w', 3)} AS sh
+      FROM (SELECT doc_id, {sql_words('text')} AS w FROM documents)),
+    sig AS (SELECT doc_id, {sigs} FROM sh),
+    sig_h AS (SELECT * FROM sig
+              WHERE doc_id % 10 NOT IN ({INC2_DAY1}, {INC2_DAY2})),
+    sig_d1 AS (SELECT * FROM sig WHERE doc_id % 10 = {INC2_DAY1}),
+    sig_d2 AS (SELECT * FROM sig WHERE doc_id % 10 = {INC2_DAY2}),
+    bands_h AS ({bu('sig_h')}),
+    bands_d1 AS ({bu('sig_d1')}),
+    bands_d2 AS ({bu('sig_d2')}),
+    idx0 AS ({guard('bands_h')}),
+    app1 AS ({guard('bands_d1')}),
+    idx1 AS (SELECT * FROM idx0 UNION ALL SELECT * FROM app1),
+    cand1 AS ({cand('bands_d1', 'idx0')}),
+    cand2 AS ({cand('bands_d2', 'idx1')}),
+    cand AS (
+      SELECT 1 AS ingest_day, * FROM cand1
+      UNION ALL
+      SELECT 2 AS ingest_day, * FROM cand2),
+    shd AS (SELECT doc_id, list_distinct(sh) AS s FROM sh)
+    SELECT ingest_day, doc_new, doc_old, n_bands, jac_micro FROM (
+      SELECT c.ingest_day, c.doc_new, c.doc_old, c.n_bands,
+             (len(list_intersect(a.s, b.s)) * 1000000)
+               // (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+               AS jac_micro
+      FROM cand c
+      JOIN shd a ON a.doc_id = c.doc_new
+      JOIN shd b ON b.doc_id = c.doc_old)
+    WHERE jac_micro >= {INC_JAC_MICRO}
+    """
+
+
+@register(
+    "q_dedup_incremental_2day",
+    oracle=_inc2day_oracle(),
+    tags=("llm", "dedup"),
+)
+def q_dedup_incremental_2day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-DAY incremental ingest — exercises the index APPEND path
+    that q_dedup_incremental documents but (being frozen-history by
+    harness design) never executes. Deterministic 3-way split:
+    doc_id%10==2 plays day-1, ==8 plays day-2, the rest is history.
+    Day-1 probes the history-only band index, THEN appends its own
+    guarded bands as a new subdirectory (`day1/` beside `day0/` —
+    append = new files, history bytes never rewritten, exactly how a
+    partitioned parquet index grows in production). Day-2 probes the
+    GROWN index (day0 ∪ day1), so a day-2 document duplicating a
+    day-1 document is caught through bands that did not exist before
+    day-1's ingest — the append-catch, pinned non-vacuous by pytest
+    at the test factor and present in the fixture at all four sweep
+    factors. Output: (ingest_day, doc_new, doc_old, n_bands,
+    jac_micro). The oracle replays both days from raw text (build,
+    append, probe, exact-Jaccard verify), proving every persisted
+    hop lossless; the per-ingest hot-bucket guard is replayed
+    identically (cross-append re-guarding is a compaction concern,
+    noted in _guarded_bands).
+
+    Scale: each ingest costs O(new batch + candidates) — sign the
+    batch, one equi-join per probe, verify only candidate docs
+    (left-semi prefilter shared across both days, one shingle pass).
+    The append writes only the batch's bands; the index never
+    rewrites. This is the daily-ingest loop at 100 TB: probe day N
+    against the accumulated index, append day N's bands, repeat —
+    demonstrated here across two real ingests with the catch that
+    only the append makes possible."""
+    import os as _os
+
+    d = load_table(spark, sf_dir, "documents")
+    m10 = F.col("doc_id") % 10
+    base = _inc2day_path(sf_dir)
+
+    # day0: history bands, written once (immutable thereafter)
+    if not _os.path.exists(f"{base}/day0/_SUCCESS"):
+        _guarded_bands(
+            d.filter(~m10.isin(INC2_DAY1, INC2_DAY2))
+        ).repartition("band").write.mode("overwrite").partitionBy(
+            "band"
+        ).parquet(f"{base}/day0")
+    # day1 ingest's APPEND: its guarded bands land as a sibling
+    # subdirectory — idempotent via its own _SUCCESS, so a rerun
+    # never double-appends (the determinism contract)
+    if not _os.path.exists(f"{base}/day1/_SUCCESS"):
+        _guarded_bands(d.filter(m10 == INC2_DAY1)).repartition(
+            "band"
+        ).write.mode("overwrite").partitionBy("band").parquet(
+            f"{base}/day1"
+        )
+
+    idx0 = spark.read.parquet(f"{base}/day0")
+    # the grown index = old roots ∪ the appended subdirectory (each
+    # root is its own band-partitioned table; union, not multi-path —
+    # Spark refuses mixed partition roots in one read)
+    idx01 = idx0.unionByName(spark.read.parquet(f"{base}/day1"))
+
+    def probe(batch: DataFrame, idx: DataFrame, day: int) -> DataFrame:
+        return (
+            _band_table(_minhash_signatures(batch))
+            .withColumnRenamed("doc_id", "doc_new")
+            .join(idx.withColumnRenamed("doc_id", "doc_old"), ["band", "bucket"])
+            .groupBy("doc_new", "doc_old")
+            .agg(F.countDistinct("band").alias("n_bands"))
+            .select(
+                F.lit(day).alias("ingest_day"), "doc_new", "doc_old", "n_bands"
+            )
+        )
+
+    cand = pin(
+        probe(d.filter(m10 == INC2_DAY1), idx0, 1)
+        .unionByName(probe(d.filter(m10 == INC2_DAY2), idx01, 2))
+        .persist()
+    )
+
+    from data_wrangler_spark.functions.text import words
+
+    cand_ids = (
+        cand.select(F.col("doc_new").alias("doc_id"))
+        .union(cand.select(F.col("doc_old").alias("doc_id")))
+        .distinct()
+    )
+    shd = pin(
+        d.join(cand_ids, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.array_distinct(shingles_from_words(words("text"), 3)).alias("s"),
+        )
+        .persist()
+    )
+    a = shd.select(F.col("doc_id").alias("doc_new"), F.col("s").alias("sa"))
+    b = shd.select(F.col("doc_id").alias("doc_old"), F.col("s").alias("sb"))
+    ni = F.size(F.array_intersect("sa", "sb")).cast("long")
+    return (
+        cand.join(a, "doc_new")
+        .join(b, "doc_old")
+        .withColumn("_ni", ni)
+        .select(
+            "ingest_day",
+            "doc_new",
+            "doc_old",
+            "n_bands",
+            F.expr(
+                "div(_ni * 1000000, "
+                "cast(size(sa) as bigint) + size(sb) - _ni)"
+            ).alias("jac_micro"),
+        )
+        .filter(F.col("jac_micro") >= INC_JAC_MICRO)
+    )
+
+
 SEM_TAU = 0.35  # SemDeDup cosine threshold (corpus-calibrated; see doc)
 
 

@@ -713,3 +713,38 @@ def test_dedup_embed_incremental_numpy_replay(spark, sf_dir):
         .collect()
     }
     assert rerun == got
+
+
+def test_dedup_2day_append_catch(spark, sf_dir):
+    """The two-day ingest must catch a day-2 duplicate of a DAY-1 doc
+    — a pair only the APPENDED bands can surface (the history-only
+    index contains no day-1 doc), proving the probe-then-append loop
+    works across ingests, not just against frozen history."""
+    from data_wrangler_spark.operators.dedup import (
+        INC2_DAY1,
+        INC2_DAY2,
+        INC_JAC_MICRO,
+        N_BANDS,
+    )
+    from data_wrangler_spark.registry import REGISTRY
+
+    rows = REGISTRY["q_dedup_incremental_2day"].run(spark, sf_dir).collect()
+    for r in rows:
+        assert r.jac_micro >= INC_JAC_MICRO
+        assert 1 <= r.n_bands <= N_BANDS
+        if r.ingest_day == 1:
+            assert r.doc_new % 10 == INC2_DAY1
+            # day-1 probes history ONLY — no day-1/day-2 doc_old
+            assert r.doc_old % 10 not in (INC2_DAY1, INC2_DAY2)
+        else:
+            assert r.ingest_day == 2
+            assert r.doc_new % 10 == INC2_DAY2
+            assert r.doc_old % 10 != INC2_DAY2
+    catches = [
+        r for r in rows
+        if r.ingest_day == 2 and r.doc_old % 10 == INC2_DAY1
+    ]
+    assert catches, (
+        "no day-2-vs-day-1 duplicate caught — the append path was "
+        "not exercised (fixture calibration: dedup.py INC2_* split)"
+    )
