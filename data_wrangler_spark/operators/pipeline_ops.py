@@ -640,7 +640,8 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the train docs that leak it). Same plan skeleton with the roles
     swapped: the distinct EVAL-gram set is the small side (eval
     slices are tiny by construction — at 100 TB it broadcasts, or
-    becomes a Bloom filter with the audit as exact reference), and
+    becomes q_contamination_bloom's measured Bloom filter with this
+    audit as exact reference), and
     the train stream left-semi probes it; one row per train doc comes
     back."""
     d = spread(
@@ -773,8 +774,9 @@ def q_contamination_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per ingest the work is O(new batch) — shingle today's
     docs, one left-semi hash join against the stored gram index (the
     index is eval-sized, i.e. tiny relative to the corpus: it
-    broadcasts; at 100 TB the exact set swaps for a Bloom filter
-    with this formulation as the auditable reference). History is
+    broadcasts; at 100 TB the exact set swaps for the measured
+    Bloom gate below, q_contamination_bloom, with this formulation
+    as the auditable reference). History is
     never rescanned and the eval set is never re-shingled.
     Cross-factor timings in SCALE.md pin the claim: wall time tracks
     batch size, not corpus size."""
@@ -802,6 +804,172 @@ def q_contamination_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_grams",
         n_matched.alias("n_eval_matched"),
         (n_matched >= 1).alias("drop_doc"),
+    )
+
+
+# ── Bloom-filter gate: the 100 TB representation, measured ────────
+# Three docstrings above claim "at 100 TB the exact gram set swaps
+# for a Bloom filter"; this operator converts the claim into code.
+# The filter is DETERMINISTIC (md5-derived double hashing, fixed m/k)
+# so DuckDB replays the exact bit arithmetic — the gate is
+# exact-oracle, not rows-only, and false positives are part of the
+# checked output rather than hand-waved.
+BLOOM_M_BITS = 1 << 18  # 262,144 bits = 32 KiB — vs the gram set's MBs
+BLOOM_K = 5             # hash functions; fp ≈ (1 - e^{-kn/m})^k
+
+
+def _bloom_bits_sql(g: str) -> tuple[str, str]:
+    """(h1, h2) DuckDB expressions for gram column `g` — the same
+    48/44-bit md5 split as the minhash family (dedup._sql_md5_long
+    convention); bit_j = (h1 + j*h2) % m, j ∈ [0, BLOOM_K)."""
+    h1 = f"(('0x' || substr(md5({g}), 1, 12))::BIGINT)"
+    h2 = f"(('0x' || substr(md5({g}), 13, 11))::BIGINT)"
+    return h1, h2
+
+
+def _contam_bloom_oracle() -> str:
+    from data_wrangler_spark.operators.dedup import INC_EXIST_PCT
+
+    h1, h2 = _bloom_bits_sql("g")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, source, {sql_words('text')} AS w FROM documents),
+    ev AS (
+        SELECT DISTINCT g FROM (
+          SELECT unnest({sql_shingles_of('w', CONTAM_NGRAM)}) AS g
+          FROM toks WHERE source = '{CONTAM_EVAL_SOURCE}')),
+    js AS (SELECT unnest(range({BLOOM_K})) AS j),
+    bits AS (
+        SELECT DISTINCT ({h1} + j * {h2}) % {BLOOM_M_BITS} AS bit
+        FROM ev CROSS JOIN js),
+    tr AS (
+        SELECT DISTINCT doc_id, g FROM (
+          SELECT doc_id, unnest({sql_shingles_of('w', CONTAM_NGRAM)}) AS g
+          FROM toks
+          WHERE source <> '{CONTAM_EVAL_SOURCE}'
+            AND doc_id % 10 >= {INC_EXIST_PCT})),
+    maybe AS (
+        SELECT doc_id, g
+        FROM (SELECT doc_id, g, ({h1} + j * {h2}) % {BLOOM_M_BITS} AS bit
+              FROM tr CROSS JOIN js) tb
+        JOIN bits USING (bit)
+        GROUP BY doc_id, g
+        HAVING COUNT(*) = {BLOOM_K}),
+    per_doc AS (
+        SELECT m.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_maybe_grams,
+               CAST(SUM(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_exact_grams
+        FROM maybe m LEFT JOIN ev e ON e.g = m.g
+        GROUP BY m.doc_id)
+    SELECT doc_id, n_maybe_grams, n_exact_grams,
+           n_exact_grams = 0 AS is_false_positive
+    FROM per_doc
+    """
+
+
+@register(
+    "q_contamination_bloom",
+    oracle=_contam_bloom_oracle(),
+    tags=("llm", "quality", "contamination", "pipeline", "sketch"),
+)
+def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination gate — the representation the
+    exact gate (q_contamination_incremental) swaps to at 100 TB,
+    here as a measured operator instead of a docstring claim. The
+    persisted eval-gram index feeds a deterministic Bloom filter:
+    each gram sets BLOOM_K bits via md5 double hashing
+    (bit_j = (h1 + j·h2) mod BLOOM_M_BITS — the minhash family's
+    hash construction, so both engines replay it bit-for-bit). New
+    train docs' distinct grams probe the filter; a gram is
+    maybe-contaminated iff ALL K of its bits are set, a doc is
+    flagged iff any gram is. Output per FLAGGED doc:
+    (doc_id, n_maybe_grams, n_exact_grams, is_false_positive) —
+    the exact gate runs beside the filter as the audit path, so the
+    false-positive count is part of the checked result (the sketch
+    family's contract: approximate answer + in-contract error
+    accounting), and the oracle replays filter build, probe, AND
+    audit from raw text.
+
+    Scale: the filter is 32 KiB REGARDLESS of corpus size (the
+    gram set it replaces grows with the eval suite and costs MBs
+    broadcast + a string hash join per probe) — the bit set rides
+    the task closure / one broadcast; probes are integer modular
+    arithmetic, no string shuffle. The bits relation here is a
+    broadcast join so the arithmetic is engine-checked; production
+    packs it into a bitmap and tests membership CPU-side. The
+    audit (exact) side stays what it was; run it on the filter's
+    survivors or a sample — at 100 TB the filter eliminates the
+    string join for the overwhelming majority of clean docs.
+    SCALE.md carries the size/fp measurements."""
+    from data_wrangler_spark.operators.dedup import INC_EXIST_PCT
+
+    evset = ensure_contam_index(spark, sf_dir)
+
+    def h1(c):
+        return F.conv(F.substring(F.md5(c), 1, 12), 16, 10).cast("long")
+
+    def h2(c):
+        return F.conv(F.substring(F.md5(c), 13, 11), 16, 10).cast("long")
+
+    js = F.array(*[F.lit(j).cast("long") for j in range(BLOOM_K)])
+
+    def bits_of(df):
+        # (…, j, bit) — one row per (gram, hash fn); bit collisions
+        # within a gram keep their rows (the membership test counts
+        # matched ROWS against BLOOM_K, collision-safe in both engines)
+        return (
+            df.withColumn("_h1", h1(F.col("g")))
+            .withColumn("_h2", h2(F.col("g")))
+            .withColumn("j", F.explode(js))
+            .withColumn(
+                "bit",
+                (F.col("_h1") + F.col("j") * F.col("_h2")) % BLOOM_M_BITS,
+            )
+            .drop("_h1", "_h2")
+        )
+
+    bits = bits_of(evset).select("bit").distinct()
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    tr = (
+        _doc_grams(
+            d.filter(
+                (F.col("source") != CONTAM_EVAL_SOURCE)
+                & (F.col("doc_id") % 10 >= INC_EXIST_PCT)
+            )
+        )
+        .distinct()
+    )
+    # filter side is 32 KiB — force the broadcast; the probe is then
+    # a map-side integer membership test, no shuffle of gram strings
+    maybe = pin(
+        bits_of(tr)
+        .join(F.broadcast(bits), "bit")
+        .groupBy("doc_id", "g")
+        .count()
+        .filter(F.col("count") == BLOOM_K)
+        .select("doc_id", "g")
+        .persist()
+    )
+    exact = (
+        maybe.join(F.broadcast(evset), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_exact_grams"))
+    )
+    n_exact = F.coalesce(F.col("n_exact_grams"), F.lit(0).cast("long"))
+    return (
+        maybe.groupBy("doc_id")
+        .agg(F.count("*").alias("n_maybe_grams"))
+        .join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_maybe_grams",
+            n_exact.alias("n_exact_grams"),
+            (n_exact == 0).alias("is_false_positive"),
+        )
     )
 
 

@@ -811,7 +811,8 @@ def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     emission are both value-checked.
 
     Scale: the static gram index is eval-sized (tiny — broadcasts; at
-    100 TB, a Bloom filter with this exact form as the audit path);
+    100 TB, q_contamination_bloom's measured Bloom filter with this
+    exact form as the audit path);
     the stream side never shuffles before the dedup, whose state is
     one key per FLAGGED doc — bounded by leakage volume, not corpus.
     This is the gate q_corpus_pipeline_incremental applies in batch

@@ -519,3 +519,29 @@ def test_contamination_incremental_matches_batch_decontaminate(spark, sf_dir):
         .collect()
     }
     assert rerun == inc
+
+
+def test_contamination_bloom_is_superset_with_audited_fps(spark, sf_dir):
+    """The Bloom gate can only ADD false positives, never miss: its
+    flag set must contain every exact-gate drop, each true flag must
+    carry its exact gram count, and each extra flag must be marked
+    is_false_positive."""
+    from data_wrangler_spark.registry import REGISTRY
+
+    bloom = {
+        r.doc_id: r
+        for r in REGISTRY["q_contamination_bloom"].run(spark, sf_dir).collect()
+    }
+    exact = {
+        r.doc_id: r.n_eval_matched
+        for r in REGISTRY["q_contamination_incremental"]
+        .run(spark, sf_dir)
+        .filter("drop_doc")
+        .collect()
+    }
+    assert set(exact) <= set(bloom), "Bloom gate missed an exact drop"
+    assert exact, "fixture should contain leakage in the new batch"
+    for doc_id, r in bloom.items():
+        assert r.n_maybe_grams >= r.n_exact_grams
+        assert r.is_false_positive == (r.n_exact_grams == 0)
+        assert (doc_id in exact) == (not r.is_false_positive)
