@@ -270,3 +270,116 @@ def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("first_key"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
     )
+
+
+# ── window skew mitigation ─────────────────────────────────────────
+# SCALE.md documents the windows-family scale-killer: AQE does NOT
+# split a skewed WINDOW partition (skew-join splitting only rewrites
+# joins), so one hot partition key serializes the whole stage. This
+# operator is the coded mitigation the prose promised. The hot key is
+# PLANTED deterministically so the oracle can replay it: every 4th
+# customer's orders collapse onto synthetic key -1 (~25% of the table
+# in ONE window partition — at 100 TB, the one-task straggler).
+SKEW_HOT_KEYS = (-1,)  # declared hot; production detects via key counts
+
+
+@register(
+    "q_window_skewed",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_custkey % 4 = 0 THEN -1 ELSE o_custkey END AS skew_key,
+           o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(22,6))) OVER (
+             PARTITION BY CASE WHEN o_custkey % 4 = 0 THEN -1 ELSE o_custkey END
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend
+    FROM orders
+    """,
+    tags=("ext", "window", "skew"),
+)
+def q_window_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum over a SKEWED partition key, hash-equal to the
+    plain window (the oracle IS the naive form) but without the
+    one-task straggler. Split plan: keys not in SKEW_HOT_KEYS take
+    the ordinary per-key window; the hot key's rows are CHUNKED by
+    calendar month (a bucket of the ordering column, so chunk
+    boundaries respect the order), a window per (key, chunk)
+    computes chunk-local running sums in parallel, and a second
+    window over the ~per-month chunk TOTALS (grid-sized, one tiny
+    partition) produces each chunk's starting offset, broadcast-
+    joined back and added. Two-phase running aggregation — the
+    functions/distributed.py global-position pattern applied inside
+    one key — so the hot key's work spreads over as many tasks as it
+    has chunks instead of serializing on one.
+
+    Exactness: integer-cents sums (the q_window_running_sum idiom —
+    exact to 2^53 cents); chunk-local cents + offset cents is the
+    same exact rational as the oracle's decimal running sum, so the
+    double conversion is bit-identical. Ordering ties are impossible
+    (o_orderkey is a pk tiebreak), so chunking cannot reorder.
+
+    Scale: the non-hot branch shuffles once on skew_key as before;
+    the hot branch shuffles the hot rows on chunk (parallelism =
+    #chunks — pick the bucket so chunks ≈ task-size), aggregates
+    #chunks scalars, and broadcasts them back. No driver data
+    collect. SCALE.md carries the measured naive-vs-mitigated
+    task-time split; production turns SKEW_HOT_KEYS into the keys a
+    count-by-key (or AQE shuffle stats) flags above the task-size
+    budget."""
+    hot_list = list(SKEW_HOT_KEYS)
+    skew_key = F.when(F.col("o_custkey") % 4 == 0, F.lit(-1)).otherwise(
+        F.col("o_custkey")
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    base = _orders(spark, sf_dir).select(
+        "o_orderkey",
+        skew_key.cast("long").alias("skew_key"),
+        "o_orderdate",
+        cents.alias("_c"),
+    )
+
+    out_cols = [
+        "o_orderkey",
+        "skew_key",
+        "o_orderdate",
+        (F.col("_rs").cast("double") / 100).alias("running_spend"),
+    ]
+
+    # cold keys: the ordinary one-shuffle window
+    w_plain = Window.partitionBy("skew_key").orderBy(
+        "o_orderdate", "o_orderkey"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cold = (
+        base.filter(~F.col("skew_key").isin(hot_list))
+        .withColumn("_rs", F.sum("_c").over(w_plain))
+        .select(*out_cols)
+    )
+
+    # hot keys: chunk by month of the ordering column
+    from data_wrangler_spark.functions.distributed import pin
+
+    hot = pin(
+        base.filter(F.col("skew_key").isin(hot_list))
+        .withColumn("_chunk", F.date_format("o_orderdate", "yyyy-MM"))
+        .persist()
+    )
+    w_local = Window.partitionBy("skew_key", "_chunk").orderBy(
+        "o_orderdate", "o_orderkey"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_off = Window.partitionBy("skew_key").orderBy("_chunk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = (
+        hot.groupBy("skew_key", "_chunk")
+        .agg(F.sum("_c").alias("_t"))
+        .withColumn("_off", F.coalesce(F.sum("_t").over(w_off), F.lit(0)))
+        .select("skew_key", "_chunk", "_off")
+    )
+    hot_rs = (
+        hot.withColumn("_rs_local", F.sum("_c").over(w_local))
+        .join(F.broadcast(offs), ["skew_key", "_chunk"])
+        .withColumn("_rs", F.col("_rs_local") + F.col("_off"))
+        .select(*out_cols)
+    )
+    return cold.unionByName(hot_rs)

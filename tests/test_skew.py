@@ -156,3 +156,36 @@ def test_null_skew_plan_bypasses_shuffle_for_null_keys(spark, sf_dir):
     expect = {(r.o_orderstatus, r.matched): r.n_orders for r in plain.collect()}
     got = {(r.o_orderstatus, r.matched): r.n_orders for r in df.collect()}
     assert got == expect
+
+
+def test_window_skewed_equals_naive_window(spark, sf_dir):
+    """The two-phase chunked form must be row-identical to the naive
+    single-partition window over the same planted skew key — the
+    mitigation may only change the plan, never the answer."""
+    from pyspark.sql import Window, functions as F
+
+    from data_wrangler_spark.catalog import load_table
+    from data_wrangler_spark.registry import REGISTRY
+
+    got = {
+        r.o_orderkey: (r.skew_key, r.running_spend)
+        for r in REGISTRY["q_window_skewed"].run(spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    sk = F.when(F.col("o_custkey") % 4 == 0, F.lit(-1)).otherwise(
+        F.col("o_custkey")
+    ).cast("long")
+    w = Window.partitionBy("skew_key").orderBy(
+        "o_orderdate", "o_orderkey"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    naive = o.select(
+        "o_orderkey", sk.alias("skew_key"), "o_orderdate", cents.alias("_c")
+    ).withColumn("_rs", F.sum("_c").over(w))
+    want = {
+        r.o_orderkey: (r.skew_key, r._rs / 100.0) for r in naive.collect()
+    }
+    assert got == want
+    # the planted skew is real: the hot key holds ~25% of the table
+    n_hot = sum(1 for v in got.values() if v[0] == -1)
+    assert 0.15 * len(got) < n_hot < 0.35 * len(got)
