@@ -199,9 +199,22 @@ def _run_stream(stream_df, query_name: str, output_mode: str = "append") -> Data
             .start()
         )
         q.awaitTermination()
+        # stash the executed micro-batch physical plan so
+        # tools/explain_audit.py can pin the stream-static join and
+        # state-store shapes in PLANS.md (a memory-sink table's own
+        # plan is just a scan — the evidence lives here)
+        global _LAST_STREAM_PLAN
+        try:
+            _LAST_STREAM_PLAN = q._jsq.explainInternal(False)
+        except Exception:
+            _LAST_STREAM_PLAN = None
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
+
+
+# last executed micro-batch plan, for the plan audit (see _run_stream)
+_LAST_STREAM_PLAN: str | None = None
 
 
 def _ts_bounds(spark: SparkSession, sf_dir: str, ev: DataFrame):
