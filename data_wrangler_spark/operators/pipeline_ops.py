@@ -820,8 +820,9 @@ BLOOM_K = 5             # hash functions; fp ≈ (1 - e^{-kn/m})^k
 
 def _bloom_bits_sql(g: str) -> tuple[str, str]:
     """(h1, h2) DuckDB expressions for gram column `g` — the same
-    48/44-bit md5 split as the minhash family (dedup._sql_md5_long
-    convention); bit_j = (h1 + j*h2) % m, j ∈ [0, BLOOM_K)."""
+    48/44-bit md5 split the minhash family uses (dedup's
+    _minhash_signatures / _sig_select_sql (h1,h2) convention);
+    bit_j = (h1 + j*h2) % m, j ∈ [0, BLOOM_K)."""
     h1 = f"(('0x' || substr(md5({g}), 1, 12))::BIGINT)"
     h2 = f"(('0x' || substr(md5({g}), 13, 11))::BIGINT)"
     return h1, h2
