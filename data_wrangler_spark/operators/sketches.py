@@ -337,3 +337,186 @@ def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hk_merged") == F.col("hk")).alias("merge_exact"),
         )
     )
+
+
+# ── cross-source corpus overlap (KMV Jaccard) ──────────────────────
+# The LLM-data question this answers: "how much does dump B repeat
+# dump A?" — asked before committing to a full cross-dump dedup pass.
+# Exact pairwise Jaccard over gram sets costs a gram join per source
+# pair; the KMV form answers from K retained hashes per source
+# (mergeable per-partition bottom-K partials — the q_sketch_kmv
+# machinery), with the exact join kept beside it as the audited
+# error column, sketch-family contract.
+OVERLAP_K = 128            # bottom-K hashes retained per source
+OVERLAP_BAND_MICRO = 60000 # |est-exact| ≤ 0.06 Jaccard (≈2.5σ at K=128)
+
+
+def _source_overlap_oracle() -> str:
+    from data_wrangler_spark.functions.text import sql_shingles_of, sql_words
+
+    h = _sql_kmv_h("g")
+    return f"""
+    WITH g AS (
+      SELECT DISTINCT source, unnest({sql_shingles_of('w', 3)}) AS g
+      FROM (SELECT source, {sql_words('text')} AS w FROM documents)),
+    hh AS (SELECT DISTINCT source, {h} AS h FROM g),
+    sk AS (
+      SELECT source, h FROM (
+        SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM hh) WHERE rn <= {OVERLAP_K}),
+    prs AS (
+      SELECT a.source AS sa, b.source AS sb
+      FROM (SELECT DISTINCT source FROM sk) a
+      JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source),
+    u AS (
+      SELECT sa, sb, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+        SELECT p.sa, p.sb, s.h, 1 AS in_a, 0 AS in_b
+        FROM prs p JOIN sk s ON s.source = p.sa
+        UNION ALL
+        SELECT p.sa, p.sb, s.h, 0, 1
+        FROM prs p JOIN sk s ON s.source = p.sb)
+      GROUP BY sa, sb, h),
+    bk AS (
+      SELECT sa, sb, h, in_a, in_b FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+        FROM u) WHERE rn <= {OVERLAP_K}),
+    est AS (
+      SELECT sa, sb,
+             CAST(SUM(in_a * in_b) AS BIGINT) * 1000000
+               // CAST(COUNT(*) AS BIGINT)            AS jac_est_micro
+      FROM bk GROUP BY sa, sb),
+    sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1),
+    ov AS (
+      SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS i
+      FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2),
+    exact AS (
+      SELECT p.sa, p.sb,
+             COALESCE(o.i, 0) * 1000000
+               // (x.n + y.n - COALESCE(o.i, 0))      AS jac_micro
+      FROM prs p
+      JOIN sz x ON x.source = p.sa
+      JOIN sz y ON y.source = p.sb
+      LEFT JOIN ov o ON o.sa = p.sa AND o.sb = p.sb)
+    SELECT e.sa, e.sb, e.jac_est_micro, x.jac_micro,
+           abs(e.jac_est_micro - x.jac_micro)         AS err_micro,
+           abs(e.jac_est_micro - x.jac_micro)
+             <= {OVERLAP_BAND_MICRO}                  AS within_band
+    FROM est e JOIN exact x ON x.sa = e.sa AND x.sb = e.sb
+    """
+
+
+@register(
+    "q_source_overlap",
+    oracle=_source_overlap_oracle(),
+    tags=("llm", "sketch", "dedup"),
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SOURCE-overlap estimation — KMV bottom-K Jaccard
+    (Bar-Yossef et al. / Beyer et al. mergeable-sketch form) over
+    each source's distinct word-3-gram shingle set, with the exact
+    pairwise Jaccard computed beside it as the audited error (the
+    sketch-family contract: estimate + in-band boolean in one row).
+    Estimator: keep the K smallest 48-bit md5 hashes per source;
+    for a pair, take the K smallest of the union of the two sketches
+    and count how many lie in both — that fraction estimates J.
+    All-integer arithmetic on the shared md5 family, so DuckDB
+    replays the sketch AND the audit bit-for-bit.
+
+    Scale: the sketch is K longs per source, built with one
+    rank-≤K window over per-source distinct hashes (per-partition
+    bottom-K partials merge, so at 100 TB each source's sketch
+    aggregates map-side and only K·|sources| longs ever move). The
+    pair stage touches |sources|²/2 × K sketch rows — grid-sized,
+    independent of corpus bytes. The EXACT audit side is the only
+    corpus-sized join and exists for the correctness gate; the
+    production question ("which dump pairs deserve a cross-dedup
+    pass?") is answered by the sketch columns alone, from sketches
+    that persist beside each ingested dump."""
+    from pyspark.sql import Window
+
+    from data_wrangler_spark.functions.distributed import pin, spread
+    from data_wrangler_spark.functions.text import shingles_from_words, words
+
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    g = pin(
+        spread(d, "source")
+        .select(
+            "source",
+            F.explode(shingles_from_words(words("text"), 3)).alias("g"),
+        )
+        .distinct()
+        .persist()
+    )
+
+    hh = g.select("source", _kmv_h(F.col("g")).alias("h")).distinct()
+    w_src = Window.partitionBy("source").orderBy("h")
+    sk = pin(
+        hh.withColumn("rn", F.row_number().over(w_src))
+        .filter(F.col("rn") <= OVERLAP_K)
+        .select("source", "h")
+        .persist()
+    )
+
+    srcs = sk.select("source").distinct()
+    prs = (
+        srcs.select(F.col("source").alias("sa"))
+        .join(srcs.select(F.col("source").alias("sb")), F.col("sa") < F.col("sb"))
+    )
+    e1 = prs.join(sk.withColumnRenamed("source", "sa"), "sa").select(
+        "sa", "sb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    e2 = prs.join(sk.withColumnRenamed("source", "sb"), "sb").select(
+        "sa", "sb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    u = (
+        e1.unionByName(e2)
+        .groupBy("sa", "sb", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w_pair = Window.partitionBy("sa", "sb").orderBy("h")
+    est = (
+        u.withColumn("rn", F.row_number().over(w_pair))
+        .filter(F.col("rn") <= OVERLAP_K)
+        .groupBy("sa", "sb")
+        .agg(
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("_i"),
+            F.count("*").cast("long").alias("_ku"),
+        )
+        .select(
+            "sa", "sb", F.expr("div(_i * 1000000, _ku)").alias("jac_est_micro")
+        )
+    )
+
+    sz = g.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    ga = g.select(F.col("source").alias("sa"), "g")
+    gb = g.select(F.col("source").alias("sb"), "g")
+    ov = (
+        ga.join(gb, ["g"])
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count("*").cast("long").alias("i"))
+    )
+    inter = F.coalesce(F.col("i"), F.lit(0).cast("long"))
+    exact = (
+        prs.join(sz.withColumnRenamed("source", "sa").withColumnRenamed("n", "na"), "sa")
+        .join(sz.withColumnRenamed("source", "sb").withColumnRenamed("n", "nb"), "sb")
+        .join(ov, ["sa", "sb"], "left")
+        .select(
+            "sa",
+            "sb",
+            F.expr(
+                "div(coalesce(i, 0L) * 1000000, na + nb - coalesce(i, 0L))"
+            ).alias("jac_micro"),
+        )
+    )
+    err = F.abs(F.col("jac_est_micro") - F.col("jac_micro"))
+    return est.join(exact, ["sa", "sb"]).select(
+        "sa",
+        "sb",
+        "jac_est_micro",
+        "jac_micro",
+        err.alias("err_micro"),
+        (err <= OVERLAP_BAND_MICRO).alias("within_band"),
+    )

@@ -48,3 +48,22 @@ def test_kmv_matches_independent_python_replay(spark, sf_dir):
     assert row.est_distinct == (KMV_K - 1) * KMV_SPACE // hk
     assert row.exact_distinct == len(vals)
     assert row.within_band and row.merge_exact
+
+
+def test_source_overlap_estimator_quality(spark, sf_dir):
+    """Every source pair is covered exactly once, the KMV estimate
+    stays a valid Jaccard micro-value, and on this fixture every
+    estimate lands within the contract band of the exact audit."""
+    from data_wrangler_spark.operators.sketches import OVERLAP_BAND_MICRO
+    from data_wrangler_spark.registry import REGISTRY
+
+    rows = REGISTRY["q_source_overlap"].run(spark, sf_dir).collect()
+    n_src = len({r.sa for r in rows} | {r.sb for r in rows})
+    assert len(rows) == n_src * (n_src - 1) // 2
+    for r in rows:
+        assert r.sa < r.sb
+        assert 0 <= r.jac_est_micro <= 1_000_000
+        assert r.err_micro == abs(r.jac_est_micro - r.jac_micro)
+        assert r.within_band == (r.err_micro <= OVERLAP_BAND_MICRO)
+        assert r.within_band
+    assert any(r.jac_micro > 0 for r in rows), "fixture has real overlap"
