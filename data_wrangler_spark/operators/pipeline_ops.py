@@ -2114,3 +2114,100 @@ def q_corpus_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .select("doc_id", "lang", "source", "n_chars", "cum_rank")
     )
+
+
+# sqrt-temperature mixture SELECTION (α = 0.5): q_mix_temperature
+# (llm_extras.py) computes the per-source weights and target counts;
+# this op executes the selection — per-LANGUAGE here, materializing
+# the sampled doc set by deterministic hash order. α=0.5 keeps the
+# power an IEEE sqrt (bit-replayable; see q_mix_temperature's doc).
+MIX_TEMP_BUDGET_DIV = 2  # sample budget = total docs DIV 2
+
+
+def _mix_temperature_sample_oracle() -> str:
+    return f"""
+    WITH avail AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+    wq AS (
+      SELECT lang, n,
+             CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+               AS w_micro
+      FROM avail),
+    tot AS (
+      SELECT CAST(SUM(w_micro) AS BIGINT) AS tw,
+             CAST(SUM(n) AS BIGINT) // {MIX_TEMP_BUDGET_DIV} AS b
+      FROM wq),
+    quota AS (
+      SELECT w.lang, (t.b * w.w_micro) // t.tw AS lang_quota
+      FROM wq w, tot t),
+    ranked AS (
+      SELECT d.doc_id, d.lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.lang
+               ORDER BY {_sql_md5_long("CAST(d.doc_id AS VARCHAR)")}, d.doc_id
+             ) AS rk
+      FROM documents d)
+    SELECT r.doc_id, r.lang, CAST(r.rk AS INT) AS rk, q.lang_quota
+    FROM ranked r JOIN quota q ON q.lang = r.lang
+    WHERE r.rk <= q.lang_quota
+    """
+
+
+@register(
+    "q_mix_temperature_sample",
+    oracle=_mix_temperature_sample_oracle(),
+    tags=("llm", "pipeline", "mixing"),
+)
+def q_mix_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling — the data-derived
+    sibling of q_mix_proportions: instead of fixed target weights,
+    each language's share of the sample budget is proportional to
+    n^α (α = 0.5), the standard temperature flattening that
+    up-samples low-resource languages relative to their raw share.
+    q_mix_temperature (llm_extras.py) publishes the per-SOURCE
+    weights/targets of this rule; this op EXECUTES the selection
+    per language, returning the sampled docs themselves. Budget = half the corpus; quotaₗ =
+    B·⌊√nₗ·10⁶⌋ ÷ Σ⌊√n·10⁶⌋ in pure BIGINT after the one
+    floor-quantization; docs are chosen per language by
+    deterministic md5-hash order (uniform, reproducible — never
+    "first N ids"). Output: the sampled mix (doc_id, lang, rk,
+    lang_quota).
+
+    Scale: per-language counts are one partial-agg pass; the quota
+    table is |langs| rows crossed with a 1-row total (broadcast);
+    selection is the one window shuffle on lang every hash-ordered
+    sampler here shares. At 100 TB the same plan stands — the only
+    data-sized stage is the rank window, and a per-partition top-K
+    pushdown applies since quotas are known before the window
+    runs."""
+    d = load_table(spark, sf_dir, "documents")
+    avail = d.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+    wq = avail.select(
+        "lang",
+        "n",
+        F.floor(F.sqrt(F.col("n").cast("double")) * 1000000)
+        .cast("long")
+        .alias("w_micro"),
+    )
+    tot = wq.agg(
+        F.sum("w_micro").cast("long").alias("tw"),
+        F.expr(f"div(cast(sum(n) as bigint), {MIX_TEMP_BUDGET_DIV})").alias(
+            "b"
+        ),
+    )
+    quota = (
+        F.broadcast(wq)
+        .crossJoin(F.broadcast(tot))
+        .select("lang", F.expr("div(b * w_micro, tw)").alias("lang_quota"))
+    )
+    rk_w = Window.partitionBy("lang").orderBy(
+        _md5_long(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.select(
+        "doc_id", "lang", F.row_number().over(rk_w).alias("rk")
+    )
+    return (
+        ranked.join(F.broadcast(quota), "lang")
+        .filter(F.col("rk") <= F.col("lang_quota"))
+        .select("doc_id", "lang", "rk", "lang_quota")
+    )

@@ -811,3 +811,52 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fertility_micro"
         ),
     )
+
+
+# ── blocklist quality gate (C4-style) ──────────────────────────────
+# C4's most famous filter drops any page containing a term from a
+# blocklist ("List of Dirty, Naughty …"); the same gate also serves
+# internal-leak / boilerplate-marker screens. The list is a tuple
+# constant so both engines inline identical literals. "dup" hits 5%
+# of the fixture (a real split); "leak" demonstrates the multi-term
+# plumbing at zero hits.
+BLOCKLIST = ("dup", "leak")
+
+
+@register(
+    "q_quality_blocklist",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_words,
+           CAST(len(list_filter(w, x -> x IN
+             ({", ".join(f"'{t}'" for t in BLOCKLIST)}))) AS BIGINT)
+             AS n_blocked,
+           len(list_filter(w, x -> x IN
+             ({", ".join(f"'{t}'" for t in BLOCKLIST)}))) >= 1
+             AS drop_doc
+    FROM (SELECT doc_id, {sql_words('text')} AS w FROM documents)
+    """,
+    tags=("llm", "quality", "pipeline"),
+)
+def q_quality_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist gate — the C4 badwords filter: any document
+    containing a blocklisted token is dropped (the any-hit rule, as
+    published; fraction-threshold variants are one constant away).
+    Output per doc: (doc_id, n_words, n_blocked, drop_doc). The
+    token definition is the shared `words()` so the gate sees
+    exactly what every other text operator sees.
+
+    Scale: pure scan-side array expressions — no shuffle, no join,
+    no UDF; the blocklist inlines into the codegen'd filter
+    (production lists of ~400 terms still inline; past that, swap
+    the IN for a broadcast join against a terms table, same
+    output). Composes with the pipeline gates as another stage-3
+    predicate."""
+    ws = words("text")
+    hit = F.filter(ws, lambda x: x.isin(*BLOCKLIST))
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_words"),
+        F.size(hit).cast("long").alias("n_blocked"),
+        (F.size(hit) >= 1).alias("drop_doc"),
+    )
