@@ -997,3 +997,136 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_new", "doc_old"])
     )
     return _run_stream(stream, "q_stream_dedup_ingest")
+
+
+def _stream_quarantine_oracle() -> str:
+    # union of the two gates' replay SQL: the dedup gate quarantines
+    # the NEW doc of each verified pair; the contamination gate each
+    # leaky train doc. DISTINCT per (doc, reason) mirrors the
+    # stream's per-key emission.
+    from data_wrangler_spark.operators.dedup import _inc_oracle
+
+    return f"""
+    SELECT DISTINCT doc_id, reason FROM (
+      SELECT doc_new AS doc_id, 'near_dup' AS reason
+      FROM ({_inc_oracle()})
+      UNION ALL
+      SELECT doc_id, 'contaminated' AS reason
+      FROM ({_stream_decontam_oracle()})
+    )
+    """
+
+
+@register(
+    "q_stream_quarantine",
+    oracle=_stream_quarantine_oracle(),
+    tags=("stream", "llm", "dedup", "contamination"),
+)
+def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unified QUARANTINE stream — both ingest gates in ONE
+    Structured Streaming job: each arriving document is probed
+    against the persisted LSH band index (near-dup gate,
+    q_stream_dedup_ingest's plan) AND the persisted eval-gram index
+    (contamination gate, q_stream_decontaminate's plan); a doc
+    failing either gate is emitted once per failed gate as
+    (doc_id, reason ∈ {{'near_dup', 'contaminated'}}). This is the
+    operational shape of a production ingest: one stream in, one
+    quarantine topic out, reasons attached for triage. Built as a
+    self-union of the same file-stream source — Spark runs the two
+    gate subplans over the shared micro-batch; state =
+    dropDuplicates keys per (doc, reason), bounded by quarantine
+    volume. Exact oracle: union of the two gates' raw-text replays.
+
+    Scale: inherits each gate's properties unchanged (band-index
+    equi-join with the micro-batch broadcast; eval-gram semi-join
+    with the eval-sized static side broadcast; verify only on
+    candidates). The union adds no shuffle of its own — the two
+    branches partition by their own state keys and append to one
+    sink. At 100 TB the reasons column is what routes docs to
+    re-review vs hard-drop."""
+    from data_wrangler_spark.functions.distributed import pin
+    from data_wrangler_spark.functions.text import shingles_from_words, words
+    from data_wrangler_spark.operators.dedup import (
+        INC_EXIST_PCT,
+        INC_JAC_MICRO,
+        _band_table,
+        ensure_inc_index,
+        sig_expr,
+    )
+    from data_wrangler_spark.operators.pipeline_ops import (
+        CONTAM_EVAL_SOURCE,
+        CONTAM_NGRAM,
+        ensure_contam_index,
+    )
+
+    index_g = ensure_inc_index(spark, sf_dir)
+    evset = ensure_contam_index(spark, sf_dir)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    new = docs.filter(F.col("doc_id") % 10 >= INC_EXIST_PCT)
+    base = _stage_parts(
+        f"quarantine_{os.path.basename(sf_dir.rstrip('/'))}",
+        [
+            new.filter(F.col("doc_id") % 2 == 0),
+            new.filter(F.col("doc_id") % 2 == 1),
+        ],
+    )
+
+    shd_old = pin(
+        docs.filter(F.col("doc_id") % 10 < INC_EXIST_PCT)
+        .select(
+            F.col("doc_id").alias("doc_old"),
+            F.array_distinct(
+                shingles_from_words(words("text"), 3)
+            ).alias("sb"),
+        )
+        .persist()
+    )
+
+    src = spark.readStream.schema(new.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(base)
+
+    # gate 1: near-dup (q_stream_dedup_ingest's plan, doc_id only)
+    sigs = src.select(
+        "doc_id", shingles_from_words(words("text"), 3).alias("sh")
+    ).select(
+        "doc_id",
+        sig_expr(F.col("sh")).alias("sig"),
+        F.array_distinct("sh").alias("sa"),
+    )
+    ni = F.size(F.array_intersect("sa", "sb")).cast("long")
+    dup_flags = (
+        _band_table(sigs, carry=("sa",))
+        .join(index_g.withColumnRenamed("doc_id", "doc_old"), ["band", "bucket"])
+        .join(shd_old, "doc_old")
+        .withColumn("_ni", ni)
+        .filter(
+            F.expr(
+                "div(_ni * 1000000, "
+                "cast(size(sa) as bigint) + size(sb) - _ni)"
+            )
+            >= INC_JAC_MICRO
+        )
+        .select("doc_id", F.lit("near_dup").alias("reason"))
+    )
+
+    # gate 2: contamination (q_stream_decontaminate's plan)
+    contam_flags = (
+        src.filter(F.col("source") != CONTAM_EVAL_SOURCE)
+        .select(
+            "doc_id",
+            F.explode(
+                shingles_from_words(words("text"), CONTAM_NGRAM)
+            ).alias("g"),
+        )
+        .join(evset, "g", "left_semi")
+        .select("doc_id", F.lit("contaminated").alias("reason"))
+    )
+
+    stream = dup_flags.unionByName(contam_flags).dropDuplicates(
+        ["doc_id", "reason"]
+    )
+    return _run_stream(stream, "q_stream_quarantine")

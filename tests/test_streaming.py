@@ -402,3 +402,23 @@ def test_sig_expr_matches_batch(spark, sf_dir):
         sig_expr(shingles_from_words(words("text"), 3)).alias("sig")
     )
     assert all(v is None for v in empty.collect()[0].sig)
+
+
+def test_stream_quarantine_equals_gate_union(spark, sf_dir):
+    """The unified quarantine stream must emit exactly the union of
+    the two standalone gates' flag sets, each (doc, reason) once."""
+    from data_wrangler_spark.registry import REGISTRY
+
+    rows = REGISTRY["q_stream_quarantine"].run(spark, sf_dir).collect()
+    got = [(r.doc_id, r.reason) for r in rows]
+    assert len(got) == len(set(got)), "a (doc, reason) emitted twice"
+    dup = {
+        (r.doc_new, "near_dup")
+        for r in REGISTRY["q_stream_dedup_ingest"].run(spark, sf_dir).collect()
+    }
+    contam = {
+        (r.doc_id, "contaminated")
+        for r in REGISTRY["q_stream_decontaminate"].run(spark, sf_dir).collect()
+    }
+    assert set(got) == dup | contam
+    assert dup and contam, "both gates should fire on the fixture"
