@@ -106,6 +106,9 @@ AUDIT = [
     ("q_dedup_incremental_2day", "append path: day-2 probes day0+day1 band union"),
     ("q_contamination_bloom", "32 KiB bit set broadcast; integer-modular membership probe"),
     ("q_window_skewed", "hot key chunked per month + broadcast offsets; cold keys plain"),
+    ("q_source_overlap", "K-row sketches per source; pair stage grid-sized"),
+    ("q_quality_blocklist", "scan-side array filter, no exchange"),
+    ("q_mix_temperature_sample", "count agg + broadcast quota + one lang window"),
 ]
 
 # Streaming operators: REGISTRY.run() returns the memory sink (its
@@ -114,6 +117,7 @@ AUDIT = [
 STREAM_AUDIT = [
     ("q_stream_decontaminate", "stream-static gram semi-join + per-doc dedup state"),
     ("q_stream_dedup_ingest", "stream-static band-index probe + verify + per-pair dedup state"),
+    ("q_stream_quarantine", "self-union of both gates; per-(doc,reason) dedup state"),
 ]
 
 
