@@ -31,6 +31,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))
 
 STREAM_QUERIES = ("q_stream_rollup", "q_stream_upsert_state", "q_stream_asof_enrich")
+# the ingest gates (r11): dropDuplicates state under RocksDB — the
+# "state bounded by quarantine volume, not corpus" claim, measured
+GATE_QUERIES = (
+    "q_stream_decontaminate",
+    "q_stream_dedup_ingest",
+    "q_stream_quarantine",
+)
 
 
 def _dir_bytes(path: str) -> int:
@@ -69,7 +76,7 @@ def main() -> None:
         assert spark.conf.get(
             "spark.sql.streaming.stateStore.providerClass"
         ).endswith("RocksDBStateStoreProvider")
-        for name in STREAM_QUERIES:
+        for name in STREAM_QUERIES + GATE_QUERIES:
             t0 = time.perf_counter()
             out_rows = REGISTRY[name].run(spark, sf_dir).count()
             wall = time.perf_counter() - t0
@@ -84,9 +91,9 @@ def main() -> None:
         from verify_local import sweep
 
         results, n_pass, n_fail, _ro = sweep(
-            spark, sf_dir, set(STREAM_QUERIES)
+            spark, sf_dir, set(STREAM_QUERIES) | set(GATE_QUERIES)
         )
-        for name in STREAM_QUERIES:
+        for name in STREAM_QUERIES + GATE_QUERIES:
             report["queries"][name]["oracle"] = results[name]["status"]
         report["oracle_pass"] = n_pass
         report["oracle_fail"] = n_fail
@@ -116,6 +123,17 @@ def main() -> None:
     report["queries"]["q_stream_asof_enrich"]["state"] = {
         "rocksdb_checkpoint_bytes": _dir_bytes(os.path.join(newest_asof, "state")),
     }
+    for gate in GATE_QUERIES:
+        gate_ckpts = [
+            e.path for e in os.scandir(ckpt_root) if e.name.startswith(gate)
+        ]
+        if gate_ckpts:
+            newest = max(gate_ckpts, key=os.path.getmtime)
+            report["queries"][gate]["state"] = {
+                "rocksdb_checkpoint_bytes": _dir_bytes(
+                    os.path.join(newest, "state")
+                ),
+            }
 
     # redelivery-idempotence re-check at scale: rebuild the final
     # rollup version from (previous version + final batch input) via
