@@ -82,7 +82,7 @@ def main() -> None:
         )
         probe_cells = [int(c) for c in order[:NPROBE]]
         q = spark.createDataFrame(
-            [(qvec.tolist(),)], f"qe array<double>"
+            [(qvec.tolist(),)], "qe array<double>"
         )
 
         t1 = time.time()
