@@ -431,6 +431,80 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_TOL_US = 3_600_000_000  # 1 hour, in microseconds
+
+
+@register(
+    "q_join_asof_tolerance",
+    oracle=f"""
+    WITH purchases AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+         errors    AS (SELECT user_id, ts FROM events WHERE event_type = 'error')
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           CASE WHEN e.ts IS NOT NULL
+                 AND epoch_us(p.ts) - epoch_us(e.ts) <= {ASOF_TOL_US}
+                THEN e.ts END AS last_error_ts,
+           CASE WHEN e.ts IS NOT NULL
+                 AND epoch_us(p.ts) - epoch_us(e.ts) <= {ASOF_TOL_US}
+                THEN CAST(epoch_us(p.ts) - epoch_us(e.ts) AS BIGINT)
+                END AS stale_us
+    FROM purchases p ASOF LEFT JOIN errors e
+      ON p.user_id = e.user_id AND p.ts >= e.ts
+    """,
+    tags=("ext", "join", "asof"),
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE (pandas merge_asof's tolerance=,
+    kdb's wj window bound): each purchase matches the most recent
+    same-user error only if it is at most 1 hour stale — older state
+    is treated as missing, the rule every feature-store point-in-time
+    lookup applies so models never train on expired features. Same
+    single-shuffle union+window plan as q_join_asof; the tolerance is
+    one integer-microsecond comparison applied AFTER the window pass
+    (the candidate is still the nearest one — a candidate beyond
+    tolerance must NOT fall back to an older match, which is why the
+    filter cannot be pushed into the window). Output adds stale_us,
+    the measured staleness of each accepted match.
+
+    Scale: identical to q_join_asof — one shuffle on user_id, O(1)
+    state per row in the window pass; the tolerance adds a scan-side
+    projection only."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value", F.lit(1).alias("is_p"),
+        F.lit(None).cast("timestamp_ntz").alias("err_ts"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("value"),
+        F.lit(0).alias("is_p"),
+        F.col("ts").alias("err_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cand = (
+        purchases.unionByName(errors)
+        .withColumn("_cand", F.last("err_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_p") == 1)
+    )
+    diff = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("_cand").cast("timestamp")
+    )
+    ok = F.col("_cand").isNotNull() & (diff <= ASOF_TOL_US)
+    return cand.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(ok, F.col("_cand")).alias("last_error_ts"),
+        F.when(ok, diff).cast("long").alias("stale_us"),
+    )
+
+
 @register(
     "q_scd2_intervals",
     oracle="""

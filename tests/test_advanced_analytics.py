@@ -141,3 +141,36 @@ def test_join_interval_overlap_semantics(spark, sf_dir):
         assert 0 <= r.overlap_secs <= r.n_incidents * min(
             INCIDENT_SECS, r.a_end - r.a_start or INCIDENT_SECS
         )
+
+
+def test_asof_tolerance_is_filtered_asof(spark, sf_dir):
+    """The tolerance as-of must agree with the plain as-of wherever
+    it matches, reject exactly the matches staler than the bound,
+    and never fall back to an older error once the nearest one is
+    out of tolerance."""
+    from data_wrangler_spark.operators.relational_extras import ASOF_TOL_US
+    from data_wrangler_spark.registry import REGISTRY
+
+    tol = {
+        r.event_id: r
+        for r in REGISTRY["q_join_asof_tolerance"].run(spark, sf_dir).collect()
+    }
+    plain = {
+        r.event_id: r.last_error_ts
+        for r in REGISTRY["q_join_asof"].run(spark, sf_dir).collect()
+    }
+    assert set(tol) == set(plain)
+    n_kept = n_rejected = 0
+    for eid, r in tol.items():
+        if r.last_error_ts is not None:
+            assert r.last_error_ts == plain[eid]
+            assert 0 <= r.stale_us <= ASOF_TOL_US
+            n_kept += 1
+        else:
+            assert r.stale_us is None
+            if plain[eid] is not None:
+                # the nearest match existed but was too stale
+                stale = (r.ts - plain[eid]).total_seconds() * 1_000_000
+                assert stale > ASOF_TOL_US
+                n_rejected += 1
+    assert n_kept and n_rejected, "fixture should split on the bound"
