@@ -793,3 +793,67 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("family")
+
+
+# threshold-calibration grid (micro-cosine); starts at q_sim_join's
+# own 0.35 floor so the curve reuses its exact scored-pair set
+CURVE_TAUS = tuple(range(350_000, 650_001, 50_000))
+
+
+def _threshold_curve_oracle() -> str:
+    from data_wrangler_spark.registry import REGISTRY
+
+    base = REGISTRY["q_sim_join"].oracle
+    taus = ", ".join(str(t) for t in CURVE_TAUS)
+    return f"""
+    WITH scored AS ({base}),
+    q AS (SELECT vec_a, vec_b,
+                 CAST(floor(cos_sim * 1000000 + 0.5) AS BIGINT) AS cm
+          FROM scored),
+    taus AS (SELECT unnest([{taus}]) AS tau_micro)
+    SELECT t.tau_micro,
+           CAST(COUNT(q.cm) AS BIGINT) AS n_pairs
+    FROM taus t LEFT JOIN q ON q.cm >= t.tau_micro
+    GROUP BY t.tau_micro
+    """
+
+
+@register(
+    "q_dedup_threshold_curve",
+    oracle=_threshold_curve_oracle(),
+    tags=("llm", "dedup", "similarity"),
+)
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-count vs cosine-threshold CURVE — the calibration
+    step that precedes every embedding-dedup deployment: before
+    committing a τ (q_dedup_semantic's SEM_TAU, q_dedup_embed's
+    gate), count how many pairs each candidate threshold would
+    declare duplicates. One exact scored-pair pass (q_sim_join's
+    block-pair GEMM — pairs ≥ the grid floor), quantized to integer
+    micro-cosine, then counted against the broadcast τ grid.
+    Output: (tau_micro, n_pairs), the knee of which is where τ
+    belongs. Choosing τ from this curve instead of folklore is the
+    difference between dropping near-dups and dropping the corpus.
+
+    Scale: the scoring pass is q_sim_join's distributed GEMM
+    (n²·d work spread over block-pair tasks — intrinsic to an exact
+    curve; the LSH/IVF candidates can feed the same counting tail
+    when approximate suffices). The curve itself is |grid| rows: the
+    join against the grid is a broadcast, the count a partial agg.
+    The scored pairs are computed ONCE for all grid points."""
+    from data_wrangler_spark.registry import REGISTRY
+
+    scored = REGISTRY["q_sim_join"].run(spark, sf_dir).select(
+        F.floor(F.col("cos_sim") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("cm")
+    )
+    taus = spark.createDataFrame(
+        [(t,) for t in CURVE_TAUS], "tau_micro bigint"
+    )
+    return (
+        F.broadcast(taus)
+        .join(scored, F.col("cm") >= F.col("tau_micro"), "left")
+        .groupBy("tau_micro")
+        .agg(F.count("cm").cast("long").alias("n_pairs"))
+    )
