@@ -748,3 +748,26 @@ def test_dedup_2day_append_catch(spark, sf_dir):
         "no day-2-vs-day-1 duplicate caught — the append path was "
         "not exercised (fixture calibration: dedup.py INC2_* split)"
     )
+
+
+def test_threshold_curve_monotone_and_consistent(spark, sf_dir):
+    """The threshold curve must be non-increasing in tau, cover the
+    whole grid, and agree with a direct count over q_sim_join's
+    scored pairs at every grid point."""
+    from data_wrangler_spark.operators.similarity import CURVE_TAUS
+    from data_wrangler_spark.registry import REGISTRY
+
+    rows = sorted(
+        (r.tau_micro, r.n_pairs)
+        for r in REGISTRY["q_dedup_threshold_curve"].run(spark, sf_dir).collect()
+    )
+    assert [t for t, _ in rows] == sorted(CURVE_TAUS)
+    counts = [n for _, n in rows]
+    assert counts == sorted(counts, reverse=True), "curve not monotone"
+    scored = [
+        round(r.cos_sim * 1_000_000)
+        for r in REGISTRY["q_sim_join"].run(spark, sf_dir).collect()
+    ]
+    for t, n in rows:
+        assert n == sum(1 for c in scored if c >= t)
+    assert counts[0] > 0, "grid floor should see q_sim_join's pairs"
