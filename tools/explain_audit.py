@@ -109,6 +109,8 @@ AUDIT = [
     ("q_source_overlap", "K-row sketches per source; pair stage grid-sized"),
     ("q_quality_blocklist", "scan-side array filter, no exchange"),
     ("q_mix_temperature_sample", "count agg + broadcast quota + one lang window"),
+    ("q_join_asof_tolerance", "union + one window shuffle; tolerance is scan-side"),
+    ("q_dedup_threshold_curve", "one GEMM pass + broadcast tau grid + partial agg"),
 ]
 
 # Streaming operators: REGISTRY.run() returns the memory sink (its
