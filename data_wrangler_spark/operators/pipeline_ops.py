@@ -2166,7 +2166,8 @@ def q_mix_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     up-samples low-resource languages relative to their raw share.
     q_mix_temperature (llm_extras.py) publishes the per-SOURCE
     weights/targets of this rule; this op EXECUTES the selection
-    per language, returning the sampled docs themselves. Budget = half the corpus; quotaₗ =
+    per language, returning the sampled docs themselves.
+    Budget = half the corpus; quotaₗ =
     B·⌊√nₗ·10⁶⌋ ÷ Σ⌊√n·10⁶⌋ in pure BIGINT after the one
     floor-quantization; docs are chosen per language by
     deterministic md5-hash order (uniform, reproducible — never
