@@ -1,0 +1,83 @@
+"""Daily-ingest walkthrough: the LLM-data gates end to end.
+
+    python examples/ingest_pipeline.py [sf_dir]
+
+Tells the ingest story a data-curation team runs every day, entirely
+through registered queries (each one exact-oracle checked by the
+correctness harness):
+
+1. corpus triage      — source overlap + threshold calibration
+2. batch gates        — near-dup (persisted LSH index), contamination
+                        (persisted eval-gram index, plus its Bloom
+                        form with audited false positives), quality
+                        (Gopher + C4 blocklist)
+3. ingest over time   — the two-day append path (day-2 catches a
+                        day-1 duplicate through appended bands)
+4. the same gates AS A STREAM — the unified quarantine topic
+5. mixture            — sqrt-temperature sampling of the survivors
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from data_wrangler_spark.registry import REGISTRY
+from data_wrangler_spark.session import get_spark
+
+
+def run(name: str, spark, sf_dir: str, show: int = 4):
+    df = REGISTRY[name].run(spark, sf_dir)
+    rows = df.collect()
+    print(f"\n── {name} ── {len(rows)} rows")
+    for r in rows[:show]:
+        print("  ", r)
+    return rows
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("ingest_pipeline_example")
+
+    print("=== 1. triage: is a cross-source dedup pass worth it? ===")
+    ov = run("q_source_overlap", spark, sf_dir)
+    worst = max(ov, key=lambda r: r.jac_est_micro)
+    print(
+        f"   hottest pair {worst.sa}~{worst.sb}: est J="
+        f"{worst.jac_est_micro / 1e6:.3f} (exact {worst.jac_micro / 1e6:.3f})"
+    )
+    run("q_dedup_threshold_curve", spark, sf_dir, show=7)
+
+    print("\n=== 2. batch gates over today's arrivals ===")
+    run("q_dedup_incremental", spark, sf_dir)
+    run("q_contamination_incremental", spark, sf_dir, show=2)
+    bloom = run("q_contamination_bloom", spark, sf_dir)
+    fps = sum(1 for r in bloom if r.is_false_positive)
+    print(f"   Bloom gate: {len(bloom)} flagged, {fps} audited false positives")
+    run("q_quality_blocklist", spark, sf_dir, show=2)
+
+    print("\n=== 3. the append path: day-2 catches day-1's duplicate ===")
+    rows = run("q_dedup_incremental_2day", spark, sf_dir)
+    caught = [r for r in rows if r.ingest_day == 2 and r.doc_old % 10 == 2]
+    print(f"   append-catches (day-2 vs day-1): {len(caught)}")
+
+    print("\n=== 4. the gates as one stream: the quarantine topic ===")
+    q = run("q_stream_quarantine", spark, sf_dir, show=6)
+    by_reason: dict = {}
+    for r in q:
+        by_reason[r.reason] = by_reason.get(r.reason, 0) + 1
+    print(f"   quarantined by reason: {by_reason}")
+
+    print("\n=== 5. mixture of the survivors ===")
+    mix = run("q_mix_temperature_sample", spark, sf_dir, show=2)
+    per_lang: dict = {}
+    for r in mix:
+        per_lang[r.lang] = per_lang.get(r.lang, 0) + 1
+    print(f"   sampled per lang: {dict(sorted(per_lang.items()))}")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
