@@ -162,3 +162,64 @@ def test_fdiv_identity_matches_python_floor_in_duckdb(a, b):
     expr = f"(({av}) - (((({av}) % ({bv})) + ({bv})) % ({bv}))) // ({bv})"
     got = duckdb.connect().execute(f"SELECT {expr}").fetchone()[0]
     assert got == a // b
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=1, max_size=40))
+@settings(max_examples=60, deadline=None)
+def test_bloom_bits_match_python_model_in_duckdb(g):
+    """The Bloom gate's bit arithmetic pinned against a pure-Python
+    md5 model — independent of Spark AND of the Spark-vs-DuckDB
+    oracle comparison, so a same-bug-in-both-engines formulation
+    error cannot hide."""
+    import hashlib
+
+    from data_wrangler_spark.operators.pipeline_ops import (
+        BLOOM_K,
+        BLOOM_M_BITS,
+        _bloom_bits_sql,
+    )
+
+    hx = hashlib.md5(g.encode()).hexdigest()
+    h1, h2 = int(hx[:12], 16), int(hx[12:23], 16)
+    want = sorted({(h1 + j * h2) % BLOOM_M_BITS for j in range(BLOOM_K)})
+
+    sh1, sh2 = _bloom_bits_sql("g")
+    got = sorted(
+        r[0]
+        for r in duckdb.connect()
+        .execute(
+            f"SELECT DISTINCT ({sh1} + j * {sh2}) % {BLOOM_M_BITS} AS bit "
+            f"FROM (SELECT ? AS g) CROSS JOIN "
+            f"(SELECT unnest(range({BLOOM_K})) AS j)",
+            [g],
+        )
+        .fetchall()
+    )
+    assert got == want
+
+
+@given(st.lists(st.text(alphabet="ab ", min_size=1, max_size=12), min_size=0, max_size=8))
+@settings(max_examples=40, deadline=None)
+def test_minhash_sig_sql_matches_python_model(shingles):
+    """_sig_select_sql (the DuckDB minhash the oracles AND the
+    persisted band indexes replay) pinned against a pure-Python
+    md5 double-hash model over arbitrary shingle lists — including
+    the empty-list → all-NULL convention sig_expr mirrors."""
+    import hashlib
+
+    from data_wrangler_spark.operators.dedup import N_MINHASH, _sig_select_sql
+
+    def g_j(s, j):
+        hx = hashlib.md5(s.encode()).hexdigest()
+        return int(hx[:12], 16) + j * int(hx[12:23], 16)
+
+    want = [
+        (min(g_j(s, j) for s in shingles) if shingles else None)
+        for j in range(N_MINHASH)
+    ]
+
+    con = duckdb.connect()
+    row = con.execute(
+        f"SELECT {_sig_select_sql()} FROM (SELECT ? AS sh)", [shingles]
+    ).fetchone()
+    assert list(row) == want
