@@ -422,3 +422,32 @@ def test_stream_quarantine_equals_gate_union(spark, sf_dir):
     }
     assert set(got) == dup | contam
     assert dup and contam, "both gates should fire on the fixture"
+
+
+def test_ingest_gates_under_rocksdb_provider(spark, sf_dir):
+    """The two ingest gates' dropDuplicates state must be provider-
+    agnostic: identical emissions under the RocksDB store — the
+    config the f10/f50 scale probes run them with."""
+    from data_wrangler_spark.session import rocksdb_state_store
+
+    base_pairs = {
+        (r.doc_new, r.doc_old, r.jac_micro)
+        for r in REGISTRY["q_stream_dedup_ingest"].run(spark, sf_dir).collect()
+    }
+    base_q = {
+        (r.doc_id, r.reason)
+        for r in REGISTRY["q_stream_quarantine"].run(spark, sf_dir).collect()
+    }
+    with rocksdb_state_store(spark):
+        rocks_pairs = {
+            (r.doc_new, r.doc_old, r.jac_micro)
+            for r in REGISTRY["q_stream_dedup_ingest"]
+            .run(spark, sf_dir)
+            .collect()
+        }
+        rocks_q = {
+            (r.doc_id, r.reason)
+            for r in REGISTRY["q_stream_quarantine"].run(spark, sf_dir).collect()
+        }
+    assert rocks_pairs == base_pairs and base_pairs
+    assert rocks_q == base_q and base_q
