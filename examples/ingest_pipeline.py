@@ -36,17 +36,27 @@ def run(name: str, spark, sf_dir: str, show: int = 4):
     return rows
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    spark = get_spark("ingest_pipeline_example")
+def main(spark=None, sf_dir: str | None = None) -> None:
+    """CLI entry and test entry: pass (spark, sf_dir) to run inside an
+    existing session (tests/test_examples.py); CLI creates and owns
+    one. The example only stops a session it created itself."""
+    if sf_dir is None:
+        sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    owns_spark = spark is None
+    if owns_spark:
+        spark = get_spark("ingest_pipeline_example")
 
     print("=== 1. triage: is a cross-source dedup pass worth it? ===")
     ov = run("q_source_overlap", spark, sf_dir)
-    worst = max(ov, key=lambda r: r.jac_est_micro)
-    print(
-        f"   hottest pair {worst.sa}~{worst.sb}: est J="
-        f"{worst.jac_est_micro / 1e6:.3f} (exact {worst.jac_micro / 1e6:.3f})"
-    )
+    # a single-source corpus yields zero pairs — report, don't crash
+    worst = max(ov, key=lambda r: r.jac_est_micro, default=None)
+    if worst is None:
+        print("   no source pairs (single-source corpus) — skipping triage stat")
+    else:
+        print(
+            f"   hottest pair {worst.sa}~{worst.sb}: est J="
+            f"{worst.jac_est_micro / 1e6:.3f} (exact {worst.jac_micro / 1e6:.3f})"
+        )
     run("q_dedup_threshold_curve", spark, sf_dir, show=7)
 
     print("\n=== 2. batch gates over today's arrivals ===")
@@ -76,7 +86,8 @@ def main() -> None:
         per_lang[r.lang] = per_lang.get(r.lang, 0) + 1
     print(f"   sampled per lang: {dict(sorted(per_lang.items()))}")
 
-    spark.stop()
+    if owns_spark:
+        spark.stop()
 
 
 if __name__ == "__main__":

@@ -22,9 +22,13 @@ from data_wrangler_spark.server import GatewayServer
 from data_wrangler_spark.session import get_spark
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    spark = get_spark("quickstart")
+def main(spark=None, sf_dir: str | None = None) -> None:
+    """CLI entry and test entry: pass (spark, sf_dir) to run inside an
+    existing session (tests/test_examples.py)."""
+    if sf_dir is None:
+        sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    if spark is None:
+        spark = get_spark("quickstart")
     eng = Engine(spark, sf_dir)
 
     print(f"{len(eng.names())} registered queries\n")
@@ -48,9 +52,11 @@ def main() -> None:
     srv = GatewayServer(spark, sf_dir).start()
     try:
         with urllib.request.urlopen(srv.base_url + "/q/billing/lineitems/1") as r:
-            rows = json.loads(r.read())
-        print(f"GET /q/billing/lineitems/1 -> {len(rows)} rows"
-              "  (the reference config.json URL, verbatim)")
+            envelope = json.loads(r.read())
+        # the reference envelope: {"ok": true, "results": [...]}
+        rows = envelope["results"]
+        print(f"GET /q/billing/lineitems/1 -> ok={envelope['ok']}, "
+              f"{len(rows)} rows  (the reference config.json URL, verbatim)")
         if rows:
             print(json.dumps(rows[0], default=str)[:120], "...")
     finally:
