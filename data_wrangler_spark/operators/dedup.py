@@ -238,8 +238,23 @@ def _band_table(sigs: DataFrame, carry: tuple = ()) -> DataFrame:
     doc's sig is split into N_BANDS buckets of rows-per-band values
     (map-side explode, fan-out ×N_BANDS — never the corpus). `carry`
     names extra columns to pass through the explode (the streaming
-    ingest gate carries the doc's shingle set to the verify join)."""
+    ingest gate carries the doc's shingle set to the verify join).
+
+    Docs with an EMPTY shingle set (< 3 words) are dropped here, on
+    every consumer — index build, probe, and stream alike. Their
+    signature is all-NULL (array_min/the sig_expr sentinel both map
+    an empty array to NULLs), and the two engines disagree on what
+    that means downstream: Spark's concat_ws SKIPS NULLs, collapsing
+    every all-NULL sig to bucket '' (so any two <3-word docs would
+    pair — then divide by zero in the Jaccard verify), while the
+    oracles' `m0::VARCHAR || '|' || …` yields a NULL bucket that
+    never equi-joins. The oracle semantics are the correct ones — a
+    doc with no shingles has no LSH evidence — so the Spark side
+    filters them out before banding (ADVICE r11 #1). Minhash values
+    are all-or-nothing NULL, so testing element 1 suffices; the
+    filter is a plain predicate, stream-safe."""
     rows = N_MINHASH // N_BANDS
+    sigs = sigs.filter(F.element_at("sig", 1).isNotNull())
     return sigs.select(
         "doc_id",
         *carry,
@@ -324,10 +339,16 @@ def simhash_signatures(d: DataFrame) -> DataFrame:
     """
     from data_wrangler_spark.functions.text import words
 
+    # zero-word docs carry no signal: the oracle's per-word unnest
+    # drops them before the bit sums, while an unfiltered Spark side
+    # would give them simhash 0 and spurious bucket-0 band matches —
+    # same empty-input divergence class as _band_table's NULL-sig
+    # drop (ADVICE r11 #1), fixed with the same "no tokens → no
+    # signature" semantics
     hashed = d.select(
         "doc_id",
         F.transform(words("text"), lambda w: _md5_long(w)).alias("wh"),
-    )
+    ).filter(F.size("wh") >= 1)
 
     # Factory function keeps the inner lambda 2-arg (PySpark
     # introspects Python arity; closure-default tricks break it).

@@ -771,3 +771,62 @@ def test_threshold_curve_monotone_and_consistent(spark, sf_dir):
     for t, n in rows:
         assert n == sum(1 for c in scored if c >= t)
     assert counts[0] > 0, "grid floor should see q_sim_join's pairs"
+
+
+def test_empty_shingle_docs_never_band_and_match_oracle(spark, tmp_path):
+    """Docs with < 3 words have an EMPTY shingle set and an all-NULL
+    minhash signature. Spark's concat_ws would collapse that to
+    bucket '' (pairing all such docs, then ANSI-dividing by zero in
+    the Jaccard verify) while the DuckDB oracles' `||` NULL-bucket
+    never joins — _band_table now drops them (ADVICE r11 #1). Pin
+    cross-engine equality of the full minhash and incremental
+    pipelines on a corpus that CONTAINS such docs, plus the band
+    table emitting nothing for them."""
+    import duckdb
+
+    from data_wrangler_spark.operators.dedup import (
+        _band_table,
+        _minhash_signatures,
+    )
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        # <3-word docs in HISTORY (doc_id%10<8) and the NEW batch
+        # (%10>=8) — two in each split so every pairing opportunity
+        # (index side, probe side, both) exists
+        (1, "hello", "en", "web", 5),
+        (11, "foo bar", "en", "web", 7),
+        (8, "x", "en", "web", 1),
+        (18, "tiny doc", "en", "web", 8),
+        # a genuine near-dup pair across the split: history 2, new 28
+        (2, dup, "en", "web", len(dup)),
+        (28, dup, "en", "web", len(dup)),
+        # filler history docs with distinct long texts
+        (3, "one two three four five six seven", "en", "web", 33),
+        (4, "red green blue cyan magenta yellow black", "en", "web", 40),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    sf = str(tmp_path)
+
+    # the band table emits NO rows for the empty-shingle docs
+    bands = _band_table(_minhash_signatures(df)).collect()
+    banded_ids = {r.doc_id for r in bands}
+    assert banded_ids & {1, 11, 8, 18} == set()
+    assert {2, 28, 3, 4} <= banded_ids
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    for qname in ("q_dedup_minhash", "q_dedup_incremental"):
+        spec = REGISTRY[qname]
+        got = sorted(tuple(r) for r in spec.run(spark, sf).collect())
+        want = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
+        assert got == want, f"{qname} diverged on empty-shingle corpus"
+    # and the dup pair actually flowed through the incremental gate
+    inc = REGISTRY["q_dedup_incremental"].run(spark, sf).collect()
+    assert {(r.doc_new, r.doc_old) for r in inc} == {(28, 2)}
