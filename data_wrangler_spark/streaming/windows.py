@@ -920,22 +920,23 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the static index side is (band, bucket, doc_id) — bytes
     per history doc, not text; band-partitioned so each probe prunes
-    to its band. The verify side joins only candidate doc_olds'
-    shingle sets (at 100 TB those live as a persisted column beside
-    the index — here recomputed once and cached per run). A pair can
+    to its band. The verify side joins the candidate doc_olds'
+    shingle sets read from the PERSISTED shingle table written
+    beside the band index at build time (inc_index_shingles) —
+    a probe run never re-shingles history text. A pair can
     match on up to N_BANDS buckets, so verify work is duplicated at
     most ×4 before the stateful dedup — the deliberate trade that
     keeps state bounded by VERIFIED duplicates (leakage volume), not
     by candidates or corpus. ingest cost stays O(new batch +
     candidates) per micro-batch, the q_dedup_incremental property,
     now demonstrated under Structured Streaming delivery."""
-    from data_wrangler_spark.functions.distributed import pin
     from data_wrangler_spark.functions.text import shingles_from_words, words
     from data_wrangler_spark.operators.dedup import (
         INC_EXIST_PCT,
         INC_JAC_MICRO,
         _band_table,
         ensure_inc_index,
+        inc_index_shingles,
         sig_expr,
     )
 
@@ -951,18 +952,13 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
 
-    # static verify side: distinct shingle sets of HISTORY docs only
-    # (the stream side's set rides the stream row); pinned — consumed
-    # by every micro-batch
-    shd_old = pin(
-        docs.filter(F.col("doc_id") % 10 < INC_EXIST_PCT)
-        .select(
-            F.col("doc_id").alias("doc_old"),
-            F.array_distinct(
-                shingles_from_words(words("text"), 3)
-            ).alias("sb"),
-        )
-        .persist()
+    # static verify side: the history shingle sets PERSISTED beside
+    # the band index (the stream side's set rides the stream row).
+    # Deliberately NOT cached: the point of the persisted table is
+    # that each micro-batch's verify is a columnar scan of stored
+    # shingle bytes, the plan a 100 TB gate would run
+    shd_old = inc_index_shingles(spark, sf_dir).select(
+        F.col("doc_id").alias("doc_old"), "sb"
     )
 
     sigs = (
@@ -1044,13 +1040,13 @@ def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     branches partition by their own state keys and append to one
     sink. At 100 TB the reasons column is what routes docs to
     re-review vs hard-drop."""
-    from data_wrangler_spark.functions.distributed import pin
     from data_wrangler_spark.functions.text import shingles_from_words, words
     from data_wrangler_spark.operators.dedup import (
         INC_EXIST_PCT,
         INC_JAC_MICRO,
         _band_table,
         ensure_inc_index,
+        inc_index_shingles,
         sig_expr,
     )
     from data_wrangler_spark.operators.pipeline_ops import (
@@ -1074,15 +1070,10 @@ def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
 
-    shd_old = pin(
-        docs.filter(F.col("doc_id") % 10 < INC_EXIST_PCT)
-        .select(
-            F.col("doc_id").alias("doc_old"),
-            F.array_distinct(
-                shingles_from_words(words("text"), 3)
-            ).alias("sb"),
-        )
-        .persist()
+    # history shingle sets from the PERSISTED table beside the band
+    # index — no per-run history re-shingle (see q_stream_dedup_ingest)
+    shd_old = inc_index_shingles(spark, sf_dir).select(
+        F.col("doc_id").alias("doc_old"), "sb"
     )
 
     src = spark.readStream.schema(new.schema).option(

@@ -399,8 +399,16 @@ def test_dedup_incremental_probe_only_crosses_split(spark, sf_dir):
         assert r.jac_micro >= INC_JAC_MICRO
         assert 1 <= r.n_bands <= N_BANDS
     path = _inc_index_path(sf_dir)
-    bands = {e.name for e in os.scandir(path) if e.name.startswith("band=")}
+    bands = {
+        e.name for e in os.scandir(f"{path}/bands") if e.name.startswith("band=")
+    }
     assert len(bands) == N_BANDS
+    # the verify-side shingle table is persisted BESIDE the bands,
+    # hash-partitioned by pb (VERDICT r11 #1)
+    pbs = {
+        e.name for e in os.scandir(f"{path}/shingles") if e.name.startswith("pb=")
+    }
+    assert pbs, "persisted shingle table missing its pb partitions"
 
 
 def test_dedup_semantic_pairs_verified_by_numpy(spark, sf_dir):
@@ -830,3 +838,32 @@ def test_empty_shingle_docs_never_band_and_match_oracle(spark, tmp_path):
     # and the dup pair actually flowed through the incremental gate
     inc = REGISTRY["q_dedup_incremental"].run(spark, sf).collect()
     assert {(r.doc_new, r.doc_old) for r in inc} == {(28, 2)}
+
+def test_persisted_shingles_equal_fresh_recompute(spark, sf_dir):
+    """The persisted verify-side shingle table (written once at index
+    build) must hold exactly the sets a fresh shingling of history
+    text produces — the losslessness of the new persisted hop, pinned
+    directly (the oracles prove it end-to-end; this isolates the
+    table itself)."""
+    from data_wrangler_spark.catalog import load_table
+    from data_wrangler_spark.functions.text import shingles_from_words, words
+    from data_wrangler_spark.operators.dedup import (
+        INC_EXIST_PCT,
+        inc_index_shingles,
+    )
+
+    stored = {
+        r.doc_id: sorted(r.sb)
+        for r in inc_index_shingles(spark, sf_dir).collect()
+    }
+    fresh = {
+        r.doc_id: sorted(r.sb)
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 < INC_EXIST_PCT)
+        .select(
+            "doc_id",
+            F.array_distinct(shingles_from_words(words("text"), 3)).alias("sb"),
+        )
+        .collect()
+    }
+    assert stored == fresh
