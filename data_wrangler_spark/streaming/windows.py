@@ -1040,9 +1040,39 @@ def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     branches partition by their own state keys and append to one
     sink. At 100 TB the reasons column is what routes docs to
     re-review vs hard-drop."""
+    from data_wrangler_spark.operators.dedup import INC_EXIST_PCT
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    new = docs.filter(F.col("doc_id") % 10 >= INC_EXIST_PCT)
+    base = _stage_parts(
+        f"quarantine_{os.path.basename(sf_dir.rstrip('/'))}",
+        [
+            new.filter(F.col("doc_id") % 2 == 0),
+            new.filter(F.col("doc_id") % 2 == 1),
+        ],
+    )
+    src = spark.readStream.schema(new.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(base)
+    return _run_stream(
+        quarantine_gate_plan(spark, sf_dir, src), "q_stream_quarantine"
+    )
+
+
+def quarantine_gate_plan(
+    spark: SparkSession, sf_dir: str, src: DataFrame
+) -> DataFrame:
+    """Both ingest gates applied to an arriving-docs stream `src`
+    (doc_id, source, text) → the quarantine flags stream
+    (doc_id, reason). Factored out of q_stream_quarantine so the
+    restart/resume test (tests/test_streaming.py) can drive the SAME
+    plan across two invocations of a DURABLE checkpoint — production
+    ingest restarts daily; the gate logic must not care which run of
+    the query a document arrives in (VERDICT r11 #2)."""
     from data_wrangler_spark.functions.text import shingles_from_words, words
     from data_wrangler_spark.operators.dedup import (
-        INC_EXIST_PCT,
         INC_JAC_MICRO,
         _band_table,
         ensure_inc_index,
@@ -1058,27 +1088,11 @@ def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_g = ensure_inc_index(spark, sf_dir)
     evset = ensure_contam_index(spark, sf_dir)
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "text"
-    )
-    new = docs.filter(F.col("doc_id") % 10 >= INC_EXIST_PCT)
-    base = _stage_parts(
-        f"quarantine_{os.path.basename(sf_dir.rstrip('/'))}",
-        [
-            new.filter(F.col("doc_id") % 2 == 0),
-            new.filter(F.col("doc_id") % 2 == 1),
-        ],
-    )
-
     # history shingle sets from the PERSISTED table beside the band
     # index — no per-run history re-shingle (see q_stream_dedup_ingest)
     shd_old = inc_index_shingles(spark, sf_dir).select(
         F.col("doc_id").alias("doc_old"), "sb"
     )
-
-    src = spark.readStream.schema(new.schema).option(
-        "maxFilesPerTrigger", 1
-    ).parquet(base)
 
     # gate 1: near-dup (q_stream_dedup_ingest's plan, doc_id only)
     sigs = src.select(
@@ -1117,7 +1131,6 @@ def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.lit("contaminated").alias("reason"))
     )
 
-    stream = dup_flags.unionByName(contam_flags).dropDuplicates(
+    return dup_flags.unionByName(contam_flags).dropDuplicates(
         ["doc_id", "reason"]
     )
-    return _run_stream(stream, "q_stream_quarantine")
