@@ -280,7 +280,78 @@ def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # PLANTED deterministically so the oracle can replay it: every 4th
 # customer's orders collapse onto synthetic key -1 (~25% of the table
 # in ONE window partition — at 100 TB, the one-task straggler).
-SKEW_HOT_KEYS = (-1,)  # declared hot; production detects via key counts
+# Detection is DATA-DRIVEN (VERDICT r11 #3): a key is hot iff it
+# holds more than 1/SKEW_HOT_DEN of the table — an integer-exact
+# predicate (cnt · SKEW_HOT_DEN > total) both engines replay, derived
+# in-plan from a count-by-key, no planted constant, no driver collect.
+SKEW_HOT_DEN = 20  # hot ⇔ one key holds > 1/20 (5%) of the rows
+
+
+def _skew_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    skew_key = F.when(F.col("o_custkey") % 4 == 0, F.lit(-1)).otherwise(
+        F.col("o_custkey")
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    return _orders(spark, sf_dir).select(
+        "o_orderkey",
+        skew_key.cast("long").alias("skew_key"),
+        "o_orderdate",
+        cents.alias("_c"),
+    )
+
+
+def hot_keys(base: DataFrame) -> DataFrame:
+    """(skew_key, n_rows, share_micro) of the keys holding more than
+    1/SKEW_HOT_DEN of `base`'s rows — the in-plan hot-key detector.
+    One partial-aggregating count-by-key (map-side combine collapses
+    each task to its distinct keys before the shuffle), a scalar
+    total cross-joined in (broadcast, one row), and an integer-exact
+    threshold. A uniform corpus yields an EMPTY frame — the consumer
+    then takes the all-cold path untouched (pinned in test_skew.py).
+    This is what SCALE.md's prose called "the keys a count-by-key
+    flags above the task-size budget", now executed instead of
+    planted."""
+    counts = base.groupBy("skew_key").agg(F.count("*").alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n_rows") * SKEW_HOT_DEN > F.col("_total"))
+        .select(
+            "skew_key",
+            "n_rows",
+            F.expr("div(n_rows * 1000000, _total)").alias("share_micro"),
+        )
+    )
+
+
+@register(
+    "q_window_skew_keys",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT CASE WHEN o_custkey % 4 = 0 THEN -1 ELSE o_custkey END
+               AS skew_key
+      FROM orders),
+    counts AS (
+      SELECT skew_key, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM keyed GROUP BY 1),
+    total AS (SELECT SUM(n_rows) AS t FROM counts)
+    SELECT skew_key, n_rows, (n_rows * 1000000) // t AS share_micro
+    FROM counts, total
+    WHERE n_rows * {SKEW_HOT_DEN} > t
+    """,
+    tags=("ext", "window", "skew"),
+)
+def q_window_skew_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key DETECTION q_window_skewed mitigates from, as its
+    own exact-oracle query: keys holding > 1/SKEW_HOT_DEN of the
+    orders table, with row count and integer micro-share. On this
+    fixture exactly the planted key -1 qualifies (~25% of rows) at
+    every factor; the threshold arithmetic (cnt·den > total, integer
+    throughout) is replayed by DuckDB so even the detection boundary
+    is hash-checked. Scale: a count-by-key partial agg + a broadcast
+    scalar — the diagnostic a 100 TB job runs BEFORE choosing its
+    window strategy, for the price of one column scan."""
+    return hot_keys(_skew_base(spark, sf_dir))
 
 
 @register(
@@ -301,17 +372,23 @@ SKEW_HOT_KEYS = (-1,)  # declared hot; production detects via key counts
 def q_window_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running sum over a SKEWED partition key, hash-equal to the
     plain window (the oracle IS the naive form) but without the
-    one-task straggler. Split plan: keys not in SKEW_HOT_KEYS take
-    the ordinary per-key window; the hot key's rows are CHUNKED by
-    calendar month (a bucket of the ordering column, so chunk
-    boundaries respect the order), a window per (key, chunk)
+    one-task straggler. The hot keys are DETECTED in-plan (hot_keys:
+    count-by-key, integer threshold cnt·SKEW_HOT_DEN > total — no
+    planted constant); detection cannot change the ANSWER, only the
+    plan, so the oracle stays the naive window. Split plan: keys the
+    detector leaves cold take the ordinary per-key window (an
+    anti-join against the broadcast hot set); the hot keys' rows are
+    CHUNKED by calendar month (a bucket of the ordering column, so
+    chunk boundaries respect the order), a window per (key, chunk)
     computes chunk-local running sums in parallel, and a second
     window over the ~per-month chunk TOTALS (grid-sized, one tiny
     partition) produces each chunk's starting offset, broadcast-
     joined back and added. Two-phase running aggregation — the
     functions/distributed.py global-position pattern applied inside
     one key — so the hot key's work spreads over as many tasks as it
-    has chunks instead of serializing on one.
+    has chunks instead of serializing on one. A uniform corpus
+    detects NO hot keys and the whole table takes the cold path
+    (pinned in test_skew.py).
 
     Exactness: integer-cents sums (the q_window_running_sum idiom —
     exact to 2^53 cents); chunk-local cents + offset cents is the
@@ -319,25 +396,15 @@ def q_window_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     double conversion is bit-identical. Ordering ties are impossible
     (o_orderkey is a pk tiebreak), so chunking cannot reorder.
 
-    Scale: the non-hot branch shuffles once on skew_key as before;
-    the hot branch shuffles the hot rows on chunk (parallelism =
-    #chunks — pick the bucket so chunks ≈ task-size), aggregates
-    #chunks scalars, and broadcasts them back. No driver data
-    collect. SCALE.md carries the measured naive-vs-mitigated
-    task-time split; production turns SKEW_HOT_KEYS into the keys a
-    count-by-key (or AQE shuffle stats) flags above the task-size
-    budget."""
-    hot_list = list(SKEW_HOT_KEYS)
-    skew_key = F.when(F.col("o_custkey") % 4 == 0, F.lit(-1)).otherwise(
-        F.col("o_custkey")
-    )
-    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
-    base = _orders(spark, sf_dir).select(
-        "o_orderkey",
-        skew_key.cast("long").alias("skew_key"),
-        "o_orderdate",
-        cents.alias("_c"),
-    )
+    Scale: detection is one count-by-key partial agg (map-side
+    combine — each task emits its distinct keys, not rows); the
+    non-hot branch shuffles once on skew_key as before; the hot
+    branch shuffles the hot rows on chunk (parallelism = #chunks —
+    pick the bucket so chunks ≈ task-size), aggregates #chunks
+    scalars, and broadcasts them back. No driver data collect
+    anywhere — the hot set stays a broadcast relation."""
+    base = _skew_base(spark, sf_dir)
+    hot_set = hot_keys(base).select("skew_key")
 
     out_cols = [
         "o_orderkey",
@@ -351,7 +418,7 @@ def q_window_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate", "o_orderkey"
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cold = (
-        base.filter(~F.col("skew_key").isin(hot_list))
+        base.join(F.broadcast(hot_set), "skew_key", "left_anti")
         .withColumn("_rs", F.sum("_c").over(w_plain))
         .select(*out_cols)
     )
@@ -360,7 +427,7 @@ def q_window_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_wrangler_spark.functions.distributed import pin
 
     hot = pin(
-        base.filter(F.col("skew_key").isin(hot_list))
+        base.join(F.broadcast(hot_set), "skew_key", "left_semi")
         .withColumn("_chunk", F.date_format("o_orderdate", "yyyy-MM"))
         .persist()
     )

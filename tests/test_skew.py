@@ -189,3 +189,27 @@ def test_window_skewed_equals_naive_window(spark, sf_dir):
     # the planted skew is real: the hot key holds ~25% of the table
     n_hot = sum(1 for v in got.values() if v[0] == -1)
     assert 0.15 * len(got) < n_hot < 0.35 * len(got)
+
+
+def test_window_skew_detection_is_data_driven(spark, sf_dir):
+    """The hot set is derived from key counts, not planted: the
+    synthetic -1 key (~25% of orders) is detected — and ONLY it —
+    while a uniform corpus yields an empty hot set, sending
+    q_window_skewed down the all-cold path untouched."""
+    from data_wrangler_spark.operators.windows import (
+        SKEW_HOT_DEN,
+        _skew_base,
+        hot_keys,
+    )
+
+    hot = hot_keys(_skew_base(spark, sf_dir)).collect()
+    assert [r.skew_key for r in hot] == [-1]
+    assert hot[0].share_micro * SKEW_HOT_DEN > 1_000_000
+
+    uniform = spark.range(0, 2000).select(
+        F.col("id").alias("o_orderkey"),
+        (F.col("id") % 100).alias("skew_key"),
+        F.lit("2024-01-01").cast("date").alias("o_orderdate"),
+        F.lit(1).cast("long").alias("_c"),
+    )
+    assert hot_keys(uniform).count() == 0
