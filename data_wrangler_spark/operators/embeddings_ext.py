@@ -300,8 +300,8 @@ def q_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the broadcast centroid matrix (kmeans_assign_np).
     Empty clusters drop identically in both engines (none occur on
     this data). Cited shape: IVF coarse quantizer (q_sim_search_ivf)
-    — this replaces its rows-only ml KMeans with an exactly-
-    verifiable trainer."""
+    — since r12 that query trains with THIS trainer, giving the
+    whole IVF pipeline an exact oracle."""
     v_arr, cl_ids, cmat = kmeans_fit_mat(spark, sf_dir)
     return kmeans_assign_mat(v_arr, cl_ids, cmat).select(
         "vec_id", F.col("cl").cast("int").alias("cluster"), "dist"
@@ -523,7 +523,7 @@ def kmeans_fit(spark: SparkSession, sf_dir: str, k: int = KM_K):
     """Exploded-contract wrapper over kmeans_fit_arr: returns
     (quantized components `v` [vec_id, dim, x], final centroids
     [cl, dim, c]) for consumers that join per-dimension
-    (q_sim_search_ivf_exact's query-cell probe)."""
+    (q_sim_search_ivf's query-cell probe)."""
     v_arr, cen = kmeans_fit_arr(spark, sf_dir, k=k)
     v = v_arr.select("vec_id", F.posexplode("xs").alias("dim", "x"))
     return v, cen

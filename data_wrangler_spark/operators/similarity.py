@@ -219,53 +219,104 @@ def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-IVF_ML_NPROBE = 8  # ann_tune-measured: 4 -> recall 0.3-0.5, 8 -> 0.9-1.0
+IVFX_NLIST = 16  # IVF quantizer cells (own k; the clustering family's KM_K=8 untouched)
+IVFX_NPROBE = 8  # cells probed (ann_tune-measured: 4/16 cells -> 0.5; 8/16 -> 0.9-1.0)
+IVFX_TOPK = 10
 
 
-@register("q_sim_search_ivf", tags=("llm", "similarity", "approx"))  # rows-only: recall<1
+def _ivf_exact_oracle() -> str:
+    from data_wrangler_spark.operators.embeddings_ext import kmeans_cte_sql
+
+    return f"""
+    WITH RECURSIVE
+    {kmeans_cte_sql(k=IVFX_NLIST)},
+    qv AS (
+      SELECT dim, x FROM v
+      WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+    cell_d AS (
+      SELECT f.cl, SUM((qv.x - f.c) * (qv.x - f.c)) AS dist
+      FROM fin f JOIN qv ON qv.dim = f.dim
+      GROUP BY f.cl),
+    probe AS (
+      SELECT cl FROM (SELECT cl, ROW_NUMBER() OVER (ORDER BY dist, cl) AS rn
+                      FROM cell_d)
+      WHERE rn <= {IVFX_NPROBE}),
+    n AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+    q AS (SELECT e AS qe FROM n
+          WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+    cand AS (
+      SELECT n.vec_id, n.label, CAST(a.cl AS INT) AS cell, n.e
+      FROM n
+      JOIN km_asg a ON a.vec_id = n.vec_id
+      JOIN probe p ON p.cl = a.cl
+      WHERE n.vec_id <> (SELECT min(vec_id) FROM embeddings))
+    SELECT vec_id, label, cell, {sql_cosine('e', 'qe')} AS cos_sim
+    FROM cand, q
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT {IVFX_TOPK}
+    """
+
+
+@register("q_sim_search_ivf", oracle=_ivf_exact_oracle(), tags=("llm", "similarity"))
 def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) approximate search: k-means coarse
-    quantizer (pyspark.ml, fixed seed) partitions vectors into
-    nlist=16 cells; a query probes its nprobe=IVF_ML_NPROBE nearest
-    centroids and exact-ranks only those cells. nprobe=8 is the
-    tools/ann_tune.py-measured setting for ≥0.9 recall@10 on these
-    near-uniform fixtures (nprobe=4 measured 0.3-0.5 — distance
-    concentration spreads true neighbors across cells). At 100 TB:
-    train the quantizer on a sample, store the cell id as a partition
-    column — a probe then reads only nprobe partitions (partition
-    pruning does the "index" lookup). Rows-only check; pytest pins
-    recall against the exact top-k."""
-    import numpy as np
+    """IVF (inverted-file) approximate search with a FULLY exact
+    oracle: the coarse quantizer is the integer-arithmetic k-means
+    (q_kmeans_exact's trainer), so cell assignments, the query's
+    nprobe-nearest cells (BIGINT distances, (dist, cl) tiebreak),
+    the candidate set, and the final cosine ranking are all
+    bit-reproducible — DuckDB replays the entire index build AND the
+    probe. Through r11 this query trained with pyspark.ml KMeans and
+    could only be rows-only checked (ml's float trajectory is
+    seed-stable only within one Spark version — the very
+    reproducibility gap q_kmeans_exact exists to close); VERDICT
+    r11 #5 asked for the conversion, and the MLlib-quantizer
+    experiment harness lives on in tools/ann_engine_clustered.py.
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    Scale: broadcast centroid table, candidate cells ~nprobe/nlist
+    of the corpus, exact cosine only on candidates,
+    TakeOrderedAndProject top-k; with cell as a partition column the
+    probe becomes partition pruning (q_sim_search_ivf_indexed is
+    that persisted layout)."""
+    from data_wrangler_spark.operators.embeddings_ext import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    v, cen = kmeans_fit(spark, sf_dir, k=IVFX_NLIST)
+    asg = kmeans_assign(v, cen).select("vec_id", "cl")
 
     raw = load_table(spark, sf_dir, "embeddings")
     dim = embedding_dim(raw)
-    e = raw.select(
-        "vec_id", "label", to_double_array("embedding").alias("e")
-    ).withColumn("v", array_to_vector("e"))
-
-    km = KMeans(k=16, seed=42, featuresCol="v", predictionCol="cell")
-    model = km.fit(e)
-    assigned = model.transform(e).select("vec_id", "label", "e", "cell")
-
     qid, q = _query_vec(spark, sf_dir)
-    qvec = np.array(q.collect()[0]["qe"])
-    centers = model.clusterCenters()
-    # nprobe=4 nearest cells to the query (euclidean, like the quantizer)
-    order = np.argsort([float(np.linalg.norm(qvec - c)) for c in centers])
-    probe_cells = [int(c) for c in order[:IVF_ML_NPROBE]]
 
-    cand = assigned.filter(
-        F.col("cell").isin(probe_cells) & (F.col("vec_id") != qid)
+    qv = v.filter(F.col("vec_id") == qid).select("dim", "x")
+    cell_d = (
+        cen.join(F.broadcast(qv), "dim")
+        .groupBy("cl")
+        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("dist"))
+    )
+    probe = (
+        cell_d.withColumn(
+            "rn", F.row_number().over(Window.orderBy("dist", "cl"))
+        )
+        .filter(F.col("rn") <= IVFX_NPROBE)
+        .select("cl")
+    )
+
+    e = raw.select("vec_id", "label", to_double_array("embedding").alias("e"))
+    cand = (
+        e.join(asg, "vec_id")
+        .join(F.broadcast(probe), "cl")
+        .filter(F.col("vec_id") != qid)
     )
     return (
         cand.crossJoin(F.broadcast(q))
         .withColumn("cos_sim", cosine(F.col("e"), F.col("qe"), dim))
-        .select("vec_id", "label", "cell", "cos_sim")
+        .select("vec_id", "label", F.col("cl").cast("int").alias("cell"), "cos_sim")
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        .limit(10)
+        .limit(IVFX_TOPK)
     )
 
 
@@ -376,163 +427,96 @@ def q_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_SCRATCH = "/root/repo/.scratch/ivf"
 
 
-@register("q_sim_search_ivf_indexed", tags=("llm", "similarity", "approx"))  # rows-only
+@register(
+    "q_sim_search_ivf_indexed",
+    oracle=_ivf_exact_oracle(),
+    tags=("llm", "similarity"),
+)
 def q_sim_search_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with a PERSISTED index — the build/serve split the
-    in-memory variant (q_sim_search_ivf) only gestures at. Build
-    (once per sf): train the k-means coarse quantizer, write vectors
-    partitioned BY CELL plus a 16-row centroid table. Serve: read
-    the centroid table (tiny), pick nprobe=IVF_ML_NPROBE cells, and scan only
-    those — the `cell` filter is a PARTITION filter, so the "index
-    probe" is literally directory pruning (the plan's PartitionFilters
-    proves the non-probed cells are never read). This is exactly how an
-    IVF index deploys on a data lake at 100 TB: the quantizer trains
-    on a sample, assignments are the partition layout, and every
-    query's IO is nprobe/nlist of the corpus. Same fixed seed as the
-    in-memory variant → identical results (pinned in tests)."""
+    in-memory variant (q_sim_search_ivf) only gestures at, now with
+    the SAME exact oracle: the answer must equal the in-memory form's
+    (DuckDB replays fit → assign → probe → rerank from raw
+    embeddings), which proves every persisted hop lossless. Build
+    (once per sf): fit the integer-exact k-means quantizer, write
+    vectors partitioned BY CELL plus the exploded (cl, dim, c)
+    centroid table. Serve: read the centroid table (tiny), rank
+    cells with the same BIGINT (dist, cl) arithmetic as the
+    in-memory probe, collect the nprobe winning cell ids (a bounded
+    ≤nlist scalar fetch — partition pruning needs literal filters),
+    and scan ONLY those cells: the `cell` filter is a PARTITION
+    filter, so the "index probe" is literally directory pruning (the
+    plan's PartitionFilters proves non-probed cells are never read —
+    pinned in tests). This is exactly how an IVF index deploys on a
+    data lake at 100 TB: the quantizer trains once (on a sample),
+    assignments are the partition layout, and every query's IO is
+    nprobe/nlist of the corpus. Through r11 this used pyspark.ml
+    KMeans and was rows-only; the quantizer swap (VERDICT r11 #5)
+    makes the whole persisted pipeline hash-checked."""
     import os as _os
 
-    import numpy as np
-
     from data_wrangler_spark.catalog import scratch_tag as _stag
+    from data_wrangler_spark.operators.embeddings_ext import (
+        kmeans_assign_np,
+        kmeans_fit_arr,
+        quantize_xs,
+    )
 
-    sf_tag = _stag(sf_dir, "embeddings")
-    base = f"{_IVF_SCRATCH}/{sf_tag}"
+    base = (
+        f"{_IVF_SCRATCH}/"
+        f"{_stag(sf_dir, 'embeddings', f'q=intkm,k={IVFX_NLIST}')}"
+    )
     vec_path, cen_path = f"{base}/vectors", f"{base}/centroids"
     if not _os.path.exists(f"{base}/_DONE"):
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
         raw = load_table(spark, sf_dir, "embeddings")
+        v_arr, cen = kmeans_fit_arr(spark, sf_dir, k=IVFX_NLIST)
+        asg = kmeans_assign_np(v_arr, cen).select(
+            "vec_id", F.col("cl").cast("int").alias("cell")
+        )
         e = raw.select(
             "vec_id", "label", to_double_array("embedding").alias("e")
-        ).withColumn("v", array_to_vector("e"))
-        model = KMeans(k=16, seed=42, featuresCol="v", predictionCol="cell").fit(e)
+        )
         (
-            model.transform(e)
-            .select("vec_id", "label", "e", "cell")
+            e.join(asg, "vec_id")
             .repartition("cell")
             .write.mode("overwrite")
             .partitionBy("cell")
             .parquet(vec_path)
         )
-        centers = model.clusterCenters()
-        spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
-            "cell int, center array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(cen_path)
+        cen.coalesce(1).write.mode("overwrite").parquet(cen_path)
         open(f"{base}/_DONE", "w").close()
 
-    qid, q = _query_vec(spark, sf_dir)
-    qvec = np.array(q.collect()[0]["qe"])
-    centers = {r.cell: np.array(r.center) for r in spark.read.parquet(cen_path).collect()}
-    order = sorted(centers, key=lambda c: float(np.linalg.norm(qvec - centers[c])))
-    probe_cells = [int(c) for c in order[:IVF_ML_NPROBE]]
-
-    vecs = spark.read.parquet(vec_path)
-    dim = len(qvec)
-    cand = vecs.filter(F.col("cell").isin(probe_cells) & (F.col("vec_id") != qid))
-    return (
-        cand.crossJoin(F.broadcast(q))
-        .withColumn("cos_sim", cosine(F.col("e"), F.col("qe"), dim))
-        .select("vec_id", "label", "cell", "cos_sim")
-        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        .limit(10)
-    )
-
-
-IVFX_NLIST = 16  # exact-IVF quantizer cells (own k; KM_K=8 untouched)
-IVFX_NPROBE = 8  # cells probed (ann_tune-measured: 4/8 cells -> 0.5; 8/16 -> 0.9-1.0)
-IVFX_TOPK = 10
-
-
-def _ivf_exact_oracle() -> str:
-    from data_wrangler_spark.operators.embeddings_ext import kmeans_cte_sql
-
-    return f"""
-    WITH RECURSIVE
-    {kmeans_cte_sql(k=IVFX_NLIST)},
-    qv AS (
-      SELECT dim, x FROM v
-      WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
-    cell_d AS (
-      SELECT f.cl, SUM((qv.x - f.c) * (qv.x - f.c)) AS dist
-      FROM fin f JOIN qv ON qv.dim = f.dim
-      GROUP BY f.cl),
-    probe AS (
-      SELECT cl FROM (SELECT cl, ROW_NUMBER() OVER (ORDER BY dist, cl) AS rn
-                      FROM cell_d)
-      WHERE rn <= {IVFX_NPROBE}),
-    n AS (SELECT vec_id, label,
-                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-          FROM embeddings),
-    q AS (SELECT e AS qe FROM n
-          WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
-    cand AS (
-      SELECT n.vec_id, n.label, CAST(a.cl AS INT) AS cell, n.e
-      FROM n
-      JOIN km_asg a ON a.vec_id = n.vec_id
-      JOIN probe p ON p.cl = a.cl
-      WHERE n.vec_id <> (SELECT min(vec_id) FROM embeddings))
-    SELECT vec_id, label, cell, {sql_cosine('e', 'qe')} AS cos_sim
-    FROM cand, q
-    ORDER BY cos_sim DESC, vec_id
-    LIMIT {IVFX_TOPK}
-    """
-
-
-@register("q_sim_search_ivf_exact", oracle=_ivf_exact_oracle(), tags=("llm", "similarity"))
-def q_sim_search_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate search with a FULLY exact oracle: the coarse
-    quantizer is the integer-arithmetic k-means (q_kmeans_exact), so
-    cell assignments, the query's nprobe-nearest cells (BIGINT
-    distances, (dist, cl) tiebreak), the candidate set, and the final
-    cosine ranking are all bit-reproducible — DuckDB replays the
-    entire index build AND the probe. This upgrades the IVF family
-    from rows-only recall pins (q_sim_search_ivf, ml KMeans) to
-    hash-checked end-to-end determinism.
-
-    Scale: identical plan to q_sim_search_ivf — broadcast centroid
-    table, candidate cells ~nprobe/nlist of the corpus, exact cosine
-    only on candidates, TakeOrderedAndProject top-k; with cell as a
-    partition column the probe becomes partition pruning
-    (q_sim_search_ivf_indexed shows that layout)."""
-    from data_wrangler_spark.operators.embeddings_ext import (
-        kmeans_assign,
-        kmeans_fit,
-    )
-
-    v, cen = kmeans_fit(spark, sf_dir, k=IVFX_NLIST)
-    asg = kmeans_assign(v, cen).select("vec_id", "cl")
-
     raw = load_table(spark, sf_dir, "embeddings")
-    dim = embedding_dim(raw)
     qid, q = _query_vec(spark, sf_dir)
+    dim = embedding_dim(raw)
 
-    qv = v.filter(F.col("vec_id") == qid).select("dim", "x")
-    cell_d = (
+    # rank cells against the PERSISTED centroids with the exact
+    # integer arithmetic of the in-memory probe, then fetch the
+    # nprobe winners (≤ nlist rows) as partition-filter literals
+    qv = (
+        quantize_xs(raw.filter(F.col("vec_id") == qid))
+        .select(F.posexplode("xs").alias("dim", "x"))
+    )
+    cen = spark.read.parquet(cen_path)
+    probe_rows = (
         cen.join(F.broadcast(qv), "dim")
         .groupBy("cl")
         .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("dist"))
-    )
-    probe = (
-        cell_d.withColumn(
-            "rn", F.row_number().over(Window.orderBy("dist", "cl"))
-        )
+        .withColumn("rn", F.row_number().over(Window.orderBy("dist", "cl")))
         .filter(F.col("rn") <= IVFX_NPROBE)
         .select("cl")
+        .collect()
     )
+    probe_cells = [int(r.cl) for r in probe_rows]
 
-    e = raw.select("vec_id", "label", to_double_array("embedding").alias("e"))
-    cand = (
-        e.join(asg, "vec_id")
-        .join(F.broadcast(probe), "cl")
-        .filter(F.col("vec_id") != qid)
+    vecs = spark.read.parquet(vec_path)
+    cand = vecs.filter(
+        F.col("cell").isin(probe_cells) & (F.col("vec_id") != qid)
     )
     return (
         cand.crossJoin(F.broadcast(q))
         .withColumn("cos_sim", cosine(F.col("e"), F.col("qe"), dim))
-        .select("vec_id", "label", F.col("cl").cast("int").alias("cell"), "cos_sim")
+        .select("vec_id", "label", F.col("cell").cast("int").alias("cell"), "cos_sim")
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(IVFX_TOPK)
     )
@@ -721,7 +705,7 @@ def q_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ANN_FAMILIES = (
     # (family, source query, config string)
-    ("ivf", "q_sim_search_ivf_exact",
+    ("ivf", "q_sim_search_ivf",
      f"nlist={IVFX_NLIST},nprobe={IVFX_NPROBE},quantizer=int-kmeans"),
     ("lsh", "q_sim_search_lsh",
      f"planes={N_PLANES},bands=4x4,probe_r={LSH_PROBE_R}"),

@@ -104,7 +104,7 @@ def test_ivf_exact_recall_against_brute_force(spark, sf_dir):
     }
     ivf = {
         r.vec_id: r.cos_sim
-        for r in REGISTRY["q_sim_search_ivf_exact"].run(spark, sf_dir).collect()
+        for r in REGISTRY["q_sim_search_ivf"].run(spark, sf_dir).collect()
     }
     assert len(ivf) == 10
     hits = set(ivf) & set(brute)

@@ -463,7 +463,7 @@ def test_ann_recall_grades_all_families(spark):
     """q_ann_recall emits one measured row per ANN family with
     consistent confusion arithmetic (hits ∈ [0,10], recall_micro =
     hits·1e5), and IVF's recall here must equal a direct
-    intersection of q_sim_search_ivf_exact with the exact top-10."""
+    intersection of q_sim_search_ivf with the exact top-10."""
     from data_wrangler_spark.registry import REGISTRY
 
     sf = "/root/testdata/sf0.001"
@@ -473,7 +473,7 @@ def test_ann_recall_grades_all_families(spark):
         assert 0 <= r.hits <= 10 and r.top_k == 10
         assert r.recall_micro == r.hits * 100000
     exact = {r.vec_id for r in REGISTRY["q_sim_search"].run(spark, sf).collect()}
-    ivf = {r.vec_id for r in REGISTRY["q_sim_search_ivf_exact"].run(spark, sf).collect()}
+    ivf = {r.vec_id for r in REGISTRY["q_sim_search_ivf"].run(spark, sf).collect()}
     assert rows["ivf"].hits == len(exact & ivf)
 
 

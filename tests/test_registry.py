@@ -16,8 +16,6 @@ def test_oracle_coverage():
         name for name, spec in dws.REGISTRY.items() if spec.oracle is None
     }
     assert no_oracle == {
-        "q_sim_search_ivf",
-        "q_sim_search_ivf_indexed",  # persisted index — pinned vs in-memory IVF
         "q_pagerank",  # iterative — numpy-pinned in tests/test_graph.py
     } | {n for n in no_oracle if "stream" in n}
 
