@@ -867,3 +867,106 @@ def test_persisted_shingles_equal_fresh_recompute(spark, sf_dir):
         .collect()
     }
     assert stored == fresh
+
+def test_index_compaction_preserves_probes_and_reguards(spark, sf_dir, tmp_path):
+    """q_dedup_index_compact (VERDICT r11 #6). On the driver fixture
+    no bucket crosses MAX_BUCKET across the day0/day1 appends, so the
+    compacted index must yield BIT-IDENTICAL day-2 probe candidates
+    while merging files. On a synthetic corpus where a bucket is
+    under the cap in each append but over it in the union, the
+    re-guard must drop it — per-band stats report it and a probe of
+    the compacted index no longer sees it, exactly as the oracle
+    replays."""
+    import glob
+    import os
+
+    import duckdb
+
+    from data_wrangler_spark.operators.dedup import (
+        INC2_DAY2,
+        MAX_BUCKET,
+        _band_table,
+        _ensure_inc2day_built,
+        _minhash_signatures,
+        _inc2day_path,
+    )
+    from data_wrangler_spark.catalog import load_table
+
+    # ── real fixture: stats + probe equivalence + file merge ──
+    stats = REGISTRY["q_dedup_index_compact"].run(spark, sf_dir).collect()
+    assert {r.band for r in stats} == {0, 1, 2, 3}
+    assert all(r.n_buckets_reguarded == 0 for r in stats)
+    assert all(r.n_rows_before == r.n_rows_after for r in stats)
+
+    base = _inc2day_path(sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    d2_bands = _band_table(
+        _minhash_signatures(d.filter(F.col("doc_id") % 10 == INC2_DAY2))
+    )
+
+    def probe(idx):
+        return {
+            (r.doc_id, r.doc_old)
+            for r in d2_bands.join(
+                idx.withColumnRenamed("doc_id", "doc_old"), ["band", "bucket"]
+            ).collect()
+        }
+
+    pre = probe(
+        spark.read.parquet(f"{base}/day0").unionByName(
+            spark.read.parquet(f"{base}/day1")
+        )
+    )
+    post = probe(spark.read.parquet(f"{base}/compacted"))
+    assert post == pre and pre
+
+    def n_files(sub):
+        return len(glob.glob(f"{base}/{sub}/band=*/*.parquet"))
+
+    assert n_files("compacted") < n_files("day0") + n_files("day1")
+
+    # ── synthetic crossing bucket: each append under the cap, the
+    # union over it → re-guarded everywhere, probe goes dark ──
+    k = MAX_BUCKET // 2 + 100  # 600 per side, 1200 union > 1000
+    txt = "omega phi chi psi rho sigma tau upsilon"
+    rows = (
+        [(10 * i, txt, "en", "web", len(txt)) for i in range(k)]  # history
+        + [(10 * i + 2, txt, "en", "web", len(txt)) for i in range(k)]  # day1
+        + [(42 * 10 + 8, txt, "en", "web", len(txt))]  # the day-2 probe doc
+    )
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    sf = str(tmp_path)
+
+    got = sorted(
+        tuple(r) for r in REGISTRY["q_dedup_index_compact"].run(spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            REGISTRY["q_dedup_index_compact"].oracle
+        ).fetchall()
+    )
+    assert got == want
+    # identical docs share every band's bucket: all 4 bands re-guard
+    by_band = {r[0]: r for r in got}
+    assert all(by_band[b][3] >= 1 for b in range(4))
+    assert all(by_band[b][2] < by_band[b][1] for b in range(4))
+    # and the day-2 duplicate finds NO candidates through the
+    # compacted index — the hot bucket is gone
+    syn_base = _ensure_inc2day_built(spark, sf)
+    syn_d = load_table(spark, sf, "documents")
+    syn_bands = _band_table(
+        _minhash_signatures(syn_d.filter(F.col("doc_id") % 10 == INC2_DAY2))
+    )
+    comp = spark.read.schema("doc_id bigint, bucket string, band int").parquet(
+        f"{syn_base}/compacted"
+    )
+    hits = syn_bands.join(comp, ["band", "bucket"]).count()
+    assert hits == 0
