@@ -335,7 +335,8 @@ def hot_keys(base: DataFrame) -> DataFrame:
       SELECT skew_key, CAST(COUNT(*) AS BIGINT) AS n_rows
       FROM keyed GROUP BY 1),
     total AS (SELECT SUM(n_rows) AS t FROM counts)
-    SELECT skew_key, n_rows, (n_rows * 1000000) // t AS share_micro
+    SELECT skew_key, n_rows,
+           CAST((n_rows * 1000000) // t AS BIGINT) AS share_micro
     FROM counts, total
     WHERE n_rows * {SKEW_HOT_DEN} > t
     """,

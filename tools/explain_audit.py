@@ -104,8 +104,12 @@ AUDIT = [
     ("q_mm_phash_incremental", "new-batch signatures probe the persisted band index"),
     ("q_dedup_embed_incremental", "closure-shipped centroid assign; cell join vs persisted members"),
     ("q_dedup_incremental_2day", "append path: day-2 probes day0+day1 band union"),
-    ("q_contamination_bloom", "32 KiB bit set broadcast; integer-modular membership probe"),
-    ("q_window_skewed", "hot key chunked per month + broadcast offsets; cold keys plain"),
+    ("q_contamination_bloom", "packed long[4096] bitmap literal; getbit probe in codegen, no join"),
+    ("q_window_skewed", "data-driven hot set (broadcast) -> chunked hot + plain cold"),
+    ("q_window_skew_keys", "hot-key detection: count-by-key partial agg + 1-row total"),
+    ("q_dedup_index_compact", "union of appends -> cross-append re-guard -> band stats"),
+    ("q_sim_search_ivf", "integer-kmeans quantizer; broadcast probe cells; top-k heap"),
+    ("q_sim_search_ivf_indexed", "persisted cells: PartitionFilters prune to nprobe dirs"),
     ("q_source_overlap", "K-row sketches per source; pair stage grid-sized"),
     ("q_quality_blocklist", "scan-side array filter, no exchange"),
     ("q_mix_temperature_sample", "count agg + broadcast quota + one lang window"),
