@@ -72,6 +72,13 @@ def main(spark=None, sf_dir: str | None = None) -> None:
     caught = [r for r in rows if r.ingest_day == 2 and r.doc_old % 10 == 2]
     print(f"   append-catches (day-2 vs day-1): {len(caught)}")
 
+    print("\n=== 3b. nightly maintenance: compact the appended index ===")
+    comp = run("q_dedup_index_compact", spark, sf_dir)
+    dropped = sum(r.n_buckets_reguarded for r in comp)
+    print(f"   cross-append re-guard dropped {dropped} hot buckets "
+          f"({sum(r.n_rows_before for r in comp)} -> "
+          f"{sum(r.n_rows_after for r in comp)} band rows)")
+
     print("\n=== 4. the gates as one stream: the quarantine topic ===")
     q = run("q_stream_quarantine", spark, sf_dir, show=6)
     by_reason: dict = {}

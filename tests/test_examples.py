@@ -23,6 +23,7 @@ def test_ingest_pipeline_example(spark, sf_dir, capsys):
         "q_dedup_incremental",
         "q_contamination_bloom",
         "q_dedup_incremental_2day",
+        "q_dedup_index_compact",
         "q_stream_quarantine",
         "q_mix_temperature_sample",
         "quarantined by reason",
