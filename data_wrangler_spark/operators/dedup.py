@@ -1022,7 +1022,12 @@ def ensure_inc_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The guarded (band, bucket, doc_id) LSH index of the existing
     corpus, built if missing (shared by q_dedup_incremental and the
     streaming ingest gates — ONE index, two delivery modes)."""
-    return spark.read.parquet(f"{_ensure_inc_built(spark, sf_dir)}/bands")
+    # explicit schema: an empty history (legal on a degenerate
+    # fixture) writes a partition-less root that schema inference
+    # cannot read — same hardening as q_dedup_index_compact's read
+    return spark.read.schema("bucket string, doc_id bigint, band int").parquet(
+        f"{_ensure_inc_built(spark, sf_dir)}/bands"
+    )
 
 
 def inc_index_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1033,7 +1038,9 @@ def inc_index_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     history text; at 100 TB that swap is the difference between a
     per-run full-corpus text pass and a columnar scan pruned to the
     candidates' pb buckets."""
-    return spark.read.parquet(
+    return spark.read.schema(
+        "doc_id bigint, sb array<string>, pb int"
+    ).parquet(
         f"{_ensure_inc_built(spark, sf_dir)}/shingles"
     ).select("doc_id", "sb")
 
@@ -1325,11 +1332,13 @@ def q_dedup_incremental_2day(spark: SparkSession, sf_dir: str) -> DataFrame:
     m10 = F.col("doc_id") % 10
     base = _ensure_inc2day_built(spark, sf_dir)
 
-    idx0 = spark.read.parquet(f"{base}/day0")
+    idx0 = spark.read.schema("bucket string, doc_id bigint, band int").parquet(f"{base}/day0")
     # the grown index = old roots ∪ the appended subdirectory (each
     # root is its own band-partitioned table; union, not multi-path —
     # Spark refuses mixed partition roots in one read)
-    idx01 = idx0.unionByName(spark.read.parquet(f"{base}/day1"))
+    idx01 = idx0.unionByName(
+        spark.read.schema("bucket string, doc_id bigint, band int").parquet(f"{base}/day1")
+    )
 
     def probe(batch: DataFrame, idx: DataFrame, day: int) -> DataFrame:
         return (
@@ -1457,8 +1466,8 @@ def q_dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     base = _ensure_inc2day_built(spark, sf_dir)
-    u = spark.read.parquet(f"{base}/day0").unionByName(
-        spark.read.parquet(f"{base}/day1")
+    u = spark.read.schema("bucket string, doc_id bigint, band int").parquet(f"{base}/day0").unionByName(
+        spark.read.schema("bucket string, doc_id bigint, band int").parquet(f"{base}/day1")
     )
     if not _os.path.exists(f"{base}/compacted/_SUCCESS"):
         (
