@@ -1145,3 +1145,119 @@ def quarantine_gate_plan(
     return dup_flags.unionByName(contam_flags).dropDuplicates(
         ["doc_id", "reason"]
     )
+
+
+def _run_stream_to_dir(stream_df, out: str, ckpt: str) -> None:
+    """Drive a bounded stream to completion into a DURABLE parquet
+    sink + checkpoint (the restart-capable counterpart of
+    _run_stream's fresh memory sink). Same UTC guard and state-shard
+    clamp discipline; exactly-once delivery comes from the file
+    sink's own commit log, resumability from the checkpoint."""
+    spark = stream_df.sparkSession
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise RuntimeError(
+            f"streaming operators require spark.sql.session.timeZone=UTC "
+            f"(got {tz!r})"
+        )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(int(prev), 8)))
+    try:
+        q = (
+            stream_df.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        global _LAST_STREAM_PLAN
+        try:
+            _LAST_STREAM_PLAN = q._jsq.explainInternal(False)
+        except Exception:
+            _LAST_STREAM_PLAN = None
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@register(
+    "q_stream_quarantine_resume",
+    oracle=_stream_quarantine_oracle(),
+    tags=("stream", "llm", "dedup", "contamination"),
+)
+def q_stream_quarantine_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quarantine gate delivered across a RESTART — the daily
+    production shape, driver-checked: run 1 of the stream processes
+    only day-1's file against a DURABLE checkpoint and an
+    exactly-once parquet sink, then day-2's file lands and a SECOND
+    invocation of the same query resumes from that checkpoint — the
+    source log skips day-1's already-committed file, dropDuplicates
+    state is restored, and the sink's commit log forbids
+    re-emission. The returned rows are the SINK's accumulated
+    contents, and the oracle is q_stream_quarantine's single-run
+    replay — i.e. the checked claim is precisely exactly-once:
+    restart boundaries must be invisible in the emitted data. (The
+    same property is pinned procedurally, with per-run input-row
+    counts and under RocksDB, by tests/test_streaming.py's
+    restart/resume test; this entry puts it under the driver's
+    value-hash gate.)
+
+    Scale: nothing new over q_stream_quarantine's per-gate plans —
+    the only addition is durability (checkpoint + file-sink log),
+    which is how a 100 TB ingest actually runs: one long-lived
+    checkpoint, restarted daily, each restart paying only the new
+    files. Scratch is keyed on fixture + split constants and
+    self-heals (a missing _DONE rebuilds from scratch)."""
+    import shutil as _sh
+    import time as _time
+
+    from data_wrangler_spark.catalog import scratch_tag
+    from data_wrangler_spark.operators.dedup import INC_EXIST_PCT
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    new = docs.filter(F.col("doc_id") % 10 >= INC_EXIST_PCT)
+
+    root = os.path.join(
+        SCRATCH,
+        "stream_resume",
+        scratch_tag(sf_dir, "documents", f"exist={INC_EXIST_PCT},split=2,v1"),
+    )
+    src_dir = os.path.join(root, "src")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+
+    def stage(df, name: str, bump: int) -> None:
+        tmp = os.path.join(root, f"_tmp_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in os.listdir(tmp) if f.endswith(".parquet")
+        )
+        dst = os.path.join(src_dir, name)
+        _sh.move(os.path.join(tmp, part), dst)
+        _sh.rmtree(tmp, ignore_errors=True)
+        ts = _time.time() + bump
+        os.utime(dst, (ts, ts))
+
+    def run_once() -> None:
+        src = (
+            spark.readStream.schema(new.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        _run_stream_to_dir(quarantine_gate_plan(spark, sf_dir, src), out, ckpt)
+
+    if not os.path.exists(os.path.join(root, "_DONE")):
+        _sh.rmtree(root, ignore_errors=True)
+        os.makedirs(src_dir, exist_ok=True)
+        # day 1: even doc_ids arrive; first invocation drains them
+        stage(new.filter(F.col("doc_id") % 2 == 0), "000.parquet", 0)
+        run_once()
+        # day 2 lands; the SECOND invocation resumes the checkpoint
+        stage(new.filter(F.col("doc_id") % 2 == 1), "001.parquet", 1)
+        run_once()
+        open(os.path.join(root, "_DONE"), "w").close()
+
+    return spark.read.schema("doc_id bigint, reason string").parquet(out)

@@ -537,3 +537,24 @@ def test_quarantine_stream_resumes_from_durable_checkpoint(spark, sf_dir, tmp_pa
         for r in REGISTRY["q_stream_quarantine"].run(spark, sf_dir).collect()
     }
     assert set(final) == single and single
+
+
+def test_quarantine_resume_op_idempotent_and_equals_single_run(spark, sf_dir):
+    """q_stream_quarantine_resume (the registry form of the
+    restart/resume demonstration) must return the same rows on a
+    WARM second call (durable scratch, nothing re-streamed) and its
+    accumulated sink must equal the single-run gate — the
+    exactly-once-across-restarts claim the oracle also checks."""
+    a = {
+        (r.doc_id, r.reason)
+        for r in REGISTRY["q_stream_quarantine_resume"].run(spark, sf_dir).collect()
+    }
+    b = {
+        (r.doc_id, r.reason)
+        for r in REGISTRY["q_stream_quarantine_resume"].run(spark, sf_dir).collect()
+    }
+    single = {
+        (r.doc_id, r.reason)
+        for r in REGISTRY["q_stream_quarantine"].run(spark, sf_dir).collect()
+    }
+    assert a == b == single and single
