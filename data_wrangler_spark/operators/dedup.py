@@ -1666,44 +1666,30 @@ def _embed_inc_oracle() -> str:
     """
 
 
-@register(
-    "q_dedup_embed_incremental",
-    oracle=_embed_inc_oracle(),
-    tags=("llm", "dedup", "embedding"),
-)
-def q_dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INCREMENTAL semantic dedup — the SemDeDup shape
-    (q_dedup_semantic) in the production ingest form that completes
-    the incremental matrix across all four dedup families (text LSH:
-    q_dedup_incremental; grams: q_contamination_incremental; phash:
-    q_mm_phash_incremental; embeddings: this). Vectors with
-    vec_id % 10 < INC_EXIST_PCT play the already-ingested corpus:
-    the integer k-means centroids are FIT on history alone and
-    persisted together with history's cell-assigned vectors — the
-    two artifacts a production vector-dedup index actually stores.
-    Today's batch assigns itself to the stored centroids (one Arrow
-    pass, closure-shipped K×dim matrix — no shuffle), joins history
-    members in its cell only, and reports exact cosine ≥ SEM_TAU as
-    (vec_new, vec_old, cell, cos_sim). The DuckDB oracle replays the
-    history-only fit (recursive CTE), both assignments, and the
-    cosines — both persisted artifacts proven lossless.
+def _read_embed_centroids(spark: SparkSession, path: str):
+    """Read a persisted (cl, c[]) centroid table back into the
+    (cl_ids, cmat) numpy form kmeans_assign_mat consumes — the KB-
+    sized driver fetch every probe of a stored embedding index pays
+    (cl-sorted, so argmin's first-minimum tiebreak stays = lowest cl)."""
+    import numpy as np
 
-    Scale: per ingest the work is O(new batch + collided pairs) —
-    history vectors are never re-read outside their own cells' joins,
-    never refit, never self-paired; the centroid matrix is KB-sized
-    and ships in the task closure. The cell index grows by appending
-    the new batch's assignments after the probe in production; the
-    harness operator leaves it immutable so reruns are deterministic.
-    At 100 TB, k scales with n to hold E|cell| constant (the
-    q_dedup_semantic knob), and the fit stays a bounded-iteration
-    integer loop over history partials."""
+    cen_rows = sorted(spark.read.parquet(path).collect(), key=lambda r: r.cl)
+    cl_ids = np.array([r.cl for r in cen_rows], dtype=np.int64)
+    cmat = np.vstack([np.asarray(r.c, dtype=np.int64) for r in cen_rows])
+    return cl_ids, cmat
+
+
+def ensure_embed_inc_index(spark: SparkSession, sf_dir: str):
+    """Build-if-missing and READ the persisted embedding-dedup index:
+    (cl_ids, cmat, members) — the integer k-means centroids FIT ON
+    HISTORY ALONE (vec_id % 10 < INC_EXIST_PCT) plus history's
+    cell-assigned vectors (vec_id, e, cell). These are the two
+    artifacts a production vector-dedup index stores; shared by the
+    batch probe (q_dedup_embed_incremental) and its streaming
+    delivery (q_stream_embed_gate) — ONE index, two delivery modes,
+    the ensure_inc_index pattern applied to the embedding family."""
     import os as _os
 
-    from data_wrangler_spark.functions.vectors import (
-        make_dot_udf,
-        norm,
-        round6,
-    )
     from data_wrangler_spark.operators.embeddings_ext import (
         kmeans_assign_mat,
         kmeans_fit_mat,
@@ -1736,17 +1722,55 @@ def q_dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .parquet(f"{path}/members")
         )
-    import numpy as np
+    cl_ids, cmat = _read_embed_centroids(spark, f"{path}/centroids")
+    members = spark.read.schema("vec_id bigint, e array<double>, cell int").parquet(
+        f"{path}/members"
+    )
+    return cl_ids, cmat, members
 
-    cen_rows = sorted(
-        spark.read.parquet(f"{path}/centroids").collect(),
-        key=lambda r: r.cl,
+
+@register(
+    "q_dedup_embed_incremental",
+    oracle=_embed_inc_oracle(),
+    tags=("llm", "dedup", "embedding"),
+)
+def q_dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL semantic dedup — the SemDeDup shape
+    (q_dedup_semantic) in the production ingest form that completes
+    the incremental matrix across all four dedup families (text LSH:
+    q_dedup_incremental; grams: q_contamination_incremental; phash:
+    q_mm_phash_incremental; embeddings: this). Vectors with
+    vec_id % 10 < INC_EXIST_PCT play the already-ingested corpus:
+    the integer k-means centroids are FIT on history alone and
+    persisted together with history's cell-assigned vectors — the
+    two artifacts a production vector-dedup index actually stores.
+    Today's batch assigns itself to the stored centroids (one Arrow
+    pass, closure-shipped K×dim matrix — no shuffle), joins history
+    members in its cell only, and reports exact cosine ≥ SEM_TAU as
+    (vec_new, vec_old, cell, cos_sim). The DuckDB oracle replays the
+    history-only fit (recursive CTE), both assignments, and the
+    cosines — both persisted artifacts proven lossless.
+
+    Scale: per ingest the work is O(new batch + collided pairs) —
+    history vectors are never re-read outside their own cells' joins,
+    never refit, never self-paired; the centroid matrix is KB-sized
+    and ships in the task closure. The cell index grows by appending
+    the new batch's assignments after the probe in production; the
+    harness operator leaves it immutable so reruns are deterministic.
+    At 100 TB, k scales with n to hold E|cell| constant (the
+    q_dedup_semantic knob), and the fit stays a bounded-iteration
+    integer loop over history partials."""
+    from data_wrangler_spark.functions.vectors import (
+        make_dot_udf,
+        norm,
+        round6,
     )
-    cl_ids = np.array([r.cl for r in cen_rows], dtype=np.int64)
-    cmat = np.vstack(
-        [np.asarray(r.c, dtype=np.int64) for r in cen_rows]
+    from data_wrangler_spark.operators.embeddings_ext import (
+        kmeans_assign_mat,
     )
-    members = spark.read.parquet(f"{path}/members")
+
+    exist = F.col("vec_id") % 10 < INC_EXIST_PCT
+    cl_ids, cmat, members = ensure_embed_inc_index(spark, sf_dir)
 
     raw_new = load_table(spark, sf_dir, "embeddings").filter(~exist)
     from data_wrangler_spark.operators.embeddings_ext import quantize_xs
@@ -1785,6 +1809,221 @@ def q_dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= SEM_TAU)
         .select("vec_new", "vec_old", "cell", "cos_sim")
+    )
+
+
+# ── embedding index APPEND path: the two-day ingest ────────────────
+_EMB_2DAY_SCRATCH = "/root/repo/.scratch/embed_2day"
+
+
+def _embed_2day_path(sf_dir: str) -> str:
+    from data_wrangler_spark.catalog import scratch_tag
+    from data_wrangler_spark.operators.embeddings_ext import (
+        KM_ITER,
+        KM_K,
+        KM_Q,
+    )
+
+    params = (
+        f"k={KM_K},q={KM_Q},it={KM_ITER},tau={SEM_TAU},"
+        f"d1={INC2_DAY1},d2={INC2_DAY2}"
+    )
+    return f"{_EMB_2DAY_SCRATCH}/{scratch_tag(sf_dir, 'embeddings', params)}"
+
+
+def _ensure_embed_2day_built(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-missing the two-day embedding index: `centroids/`
+    (the quantizer, FIT ON HISTORY ALONE and frozen thereafter),
+    `day0/` (history vectors CELL-PARTITIONED — the IVF-style layout
+    q_sim_search_ivf_indexed serves from), and `day1/` (day-1's
+    appended members as a sibling cell-partitioned root). Append =
+    new files under a new root; history bytes are never rewritten,
+    and day1's own _SUCCESS makes the append idempotent — the same
+    growth discipline as the LSH index's _ensure_inc2day_built."""
+    import os as _os
+
+    from data_wrangler_spark.operators.embeddings_ext import (
+        kmeans_assign_mat,
+        kmeans_fit_mat,
+        quantize_xs,
+    )
+
+    base = _embed_2day_path(sf_dir)
+    m10 = F.col("vec_id") % 10
+    hist_pred = ~m10.isin(INC2_DAY1, INC2_DAY2)
+    e_all = load_table(spark, sf_dir, "embeddings")
+
+    def write_members(raw: DataFrame, asg: DataFrame, sub: str) -> None:
+        (
+            raw.select("vec_id", to_double_array("embedding").alias("e"))
+            .join(asg, "vec_id")
+            .repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{base}/{sub}")
+        )
+
+    if not _os.path.exists(f"{base}/day0/_SUCCESS"):
+        v_arr, cl_ids, cmat = kmeans_fit_mat(
+            spark, sf_dir, fit_filter=hist_pred
+        )
+        (
+            spark.createDataFrame(
+                [
+                    (int(cl), [int(x) for x in cmat[i]])
+                    for i, cl in enumerate(cl_ids)
+                ],
+                "cl long, c array<long>",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{base}/centroids")
+        )
+        hist_asg = kmeans_assign_mat(v_arr.filter(hist_pred), cl_ids, cmat).select(
+            "vec_id", F.col("cl").cast("int").alias("cell")
+        )
+        write_members(e_all.filter(hist_pred), hist_asg, "day0")
+    # day-1 ingest's APPEND: assign against the FROZEN centroids and
+    # land as a sibling root — idempotent via its own _SUCCESS
+    if not _os.path.exists(f"{base}/day1/_SUCCESS"):
+        cl_ids, cmat = _read_embed_centroids(spark, f"{base}/centroids")
+        d1_raw = e_all.filter(m10 == INC2_DAY1)
+        d1_asg = kmeans_assign_mat(quantize_xs(d1_raw), cl_ids, cmat).select(
+            "vec_id", F.col("cl").cast("int").alias("cell")
+        )
+        write_members(d1_raw, d1_asg, "day1")
+    return base
+
+
+def _embed_2day_oracle() -> str:
+    from data_wrangler_spark.operators.embeddings_ext import kmeans_cte_sql
+
+    cos = sql_round6(
+        f"{sql_dot('nw.e', 'h.e')} / ({sql_norm('nw.e')} * {sql_norm('h.e')})"
+    )
+    return f"""
+    WITH RECURSIVE
+    {kmeans_cte_sql(fit_where=f"vec_id % 10 NOT IN ({INC2_DAY1}, {INC2_DAY2})")},
+    n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+    asg AS (
+      SELECT n.vec_id, n.e, CAST(a.cl AS INT) AS cell
+      FROM n JOIN km_asg a ON a.vec_id = n.vec_id),
+    hist AS (SELECT * FROM asg
+             WHERE vec_id % 10 NOT IN ({INC2_DAY1}, {INC2_DAY2})),
+    d1 AS (SELECT * FROM asg WHERE vec_id % 10 = {INC2_DAY1}),
+    d2 AS (SELECT * FROM asg WHERE vec_id % 10 = {INC2_DAY2}),
+    idx1 AS (SELECT * FROM hist UNION ALL SELECT * FROM d1)
+    SELECT ingest_day, vec_new, vec_old, cell, cos_sim FROM (
+      SELECT 1 AS ingest_day, nw.vec_id AS vec_new, h.vec_id AS vec_old,
+             nw.cell, {cos} AS cos_sim
+      FROM d1 nw JOIN hist h ON h.cell = nw.cell
+      UNION ALL
+      SELECT 2, nw.vec_id, h.vec_id, nw.cell, {cos}
+      FROM d2 nw JOIN idx1 h ON h.cell = nw.cell)
+    WHERE cos_sim >= {SEM_TAU}
+    """
+
+
+@register(
+    "q_dedup_embed_2day",
+    oracle=_embed_2day_oracle(),
+    tags=("llm", "dedup", "embedding"),
+)
+def q_dedup_embed_2day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-DAY incremental semantic dedup — the embedding index's
+    APPEND path executed, closing the hop q_dedup_embed_incremental's
+    docstring defers to production ("the cell index grows by
+    appending the new batch's assignments after the probe"): what
+    q_dedup_incremental_2day did for the LSH band index, done for the
+    vector index. Deterministic 3-way split (vec_id%10==2 day-1,
+    ==8 day-2, rest history). The quantizer is FIT ON HISTORY ALONE
+    and frozen — appends assign against it, never refit, so stored
+    cell assignments stay valid as the index grows. Day-1 probes the
+    history-only cell index (cosine ≥ SEM_TAU within its cell), THEN
+    appends its assigned vectors as a sibling cell-partitioned root
+    (`day1/` beside `day0/` — append = new files, history bytes never
+    rewritten). Day-2 probes the GROWN index (day0 ∪ day1): a day-2
+    vector near-duplicating a day-1 vector is caught through members
+    that did not exist before day-1's ingest — the append-catch,
+    pinned non-vacuous by pytest and present at all sweep factors.
+    Output: (ingest_day, vec_new, vec_old, cell, cos_sim). The DuckDB
+    oracle replays the history-only fit (recursive CTE), all three
+    assignments, both probes, and the cosines from raw embeddings —
+    every persisted hop proven lossless.
+
+    Scale: each ingest costs O(new batch + same-cell pairs) — the
+    KB-sized frozen centroid matrix ships in the task closure (one
+    Arrow pass, no shuffle, to assign the batch), the probe joins the
+    batch's cells only, and the append writes only the batch's
+    vectors into the cell layout a 100 TB vector index already uses
+    for serving (q_sim_search_ivf_indexed's PartitionFilters). Refit
+    is the separate maintenance decision (drift-triggered), exactly
+    as LSH re-guarding is q_dedup_index_compact's job, not the
+    ingest's."""
+    from data_wrangler_spark.functions.vectors import (
+        make_dot_udf,
+        norm,
+        round6,
+    )
+    from data_wrangler_spark.operators.embeddings_ext import (
+        kmeans_assign_mat,
+        quantize_xs,
+    )
+
+    base = _ensure_embed_2day_built(spark, sf_dir)
+    cl_ids, cmat = _read_embed_centroids(spark, f"{base}/centroids")
+    mem_schema = "vec_id bigint, e array<double>, cell int"
+    day0 = spark.read.schema(mem_schema).parquet(f"{base}/day0")
+    # the grown index = old root ∪ the appended sibling (each root is
+    # its own cell-partitioned table; union, not multi-path read)
+    day1 = spark.read.schema(mem_schema).parquet(f"{base}/day1")
+
+    e_all = load_table(spark, sf_dir, "embeddings")
+    m10 = F.col("vec_id") % 10
+    dot_udf = make_dot_udf()
+
+    def probe(batch_raw: DataFrame, members: DataFrame, day: int) -> DataFrame:
+        asg = kmeans_assign_mat(quantize_xs(batch_raw), cl_ids, cmat).select(
+            "vec_id", F.col("cl").cast("int").alias("cell")
+        )
+        a = (
+            batch_raw.select("vec_id", to_double_array("embedding").alias("ea"))
+            .join(asg, "vec_id")
+            .select(
+                F.col("vec_id").alias("vec_new"),
+                "cell",
+                "ea",
+                norm(F.col("ea")).alias("na"),
+            )
+        )
+        b = members.select(
+            F.col("vec_id").alias("vec_old"),
+            "cell",
+            F.col("e").alias("eb"),
+            norm(F.col("e")).alias("nb"),
+        )
+        return (
+            a.join(b, "cell")
+            .withColumn(
+                "cos_sim",
+                round6(
+                    dot_udf(F.col("ea"), F.col("eb"))
+                    / (F.col("na") * F.col("nb"))
+                ),
+            )
+            .filter(F.col("cos_sim") >= SEM_TAU)
+            .select(
+                F.lit(day).alias("ingest_day"),
+                "vec_new",
+                "vec_old",
+                "cell",
+                "cos_sim",
+            )
+        )
+
+    return probe(e_all.filter(m10 == INC2_DAY1), day0, 1).unionByName(
+        probe(e_all.filter(m10 == INC2_DAY2), day0.unionByName(day1), 2)
     )
 
 

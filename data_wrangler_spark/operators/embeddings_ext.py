@@ -383,18 +383,47 @@ def kmeans_assign_mat(
     return v_arr.mapInPandas(assign, "vec_id long, cl long, dist long")
 
 
+def quantize_expr(col) -> "F.Column":
+    """Column form of THE quantizer: embedding components → integer
+    micro-units (floor(x · KM_Q), int64). quantize_xs and the
+    streaming gate's per-row assignment both build on this single
+    definition — a drifted copy would assign new vectors with a
+    different quantizer than the stored centroids were fit with
+    (r10 review)."""
+    return F.transform(col, lambda xf: F.floor(xf.cast("double") * KM_Q).cast("long"))
+
+
 def quantize_xs(e: DataFrame) -> DataFrame:
-    """(vec_id, xs): embedding components as integer micro-units
-    (floor(x · KM_Q), int64) — THE quantizer. Fit (kmeans_fit_mat)
-    and every probe against persisted centroids
-    (q_dedup_embed_incremental) must share this single definition:
-    a drifted copy would assign new vectors with a different
-    quantizer than the stored centroids were fit with (r10 review)."""
-    return e.select(
-        "vec_id",
-        F.transform(
-            "embedding", lambda xf: F.floor(xf.cast("double") * KM_Q).cast("long")
-        ).alias("xs"),
+    """(vec_id, xs): embedding components as integer micro-units —
+    quantize_expr as a DataFrame projection (see its docstring for
+    the no-drift rule)."""
+    return e.select("vec_id", quantize_expr(F.col("embedding")).alias("xs"))
+
+
+def assign_cell_expr(cl_ids, cmat, xs_col: str = "xs"):
+    """Nearest-centroid assignment as ONE codegen expression over a
+    quantized-components column — the streaming mirror of
+    kmeans_assign_mat (pinned equal by pytest), for plans where an
+    Arrow barrier is unwanted (a per-row gate in a Structured
+    Stream). The K×dim centroid matrix is rendered into the
+    expression as a SQL-PARSED literal (one parse, ~KB — per-element
+    F.lit construction would pay thousands of py4j calls, the
+    q_contamination_bloom lesson); distance is BIGINT
+    zip_with/aggregate, and the (dist, cl) tiebreak is array_min's
+    lexicographic struct order — identical to the oracle's rank and
+    to np.argmin's first-minimum over the cl-ascending matrix."""
+    cens = ", ".join(
+        "named_struct('cl', {cl}L, 'cs', array({cs}))".format(
+            cl=int(cl),
+            cs=", ".join(f"{int(c)}L" for c in cmat[i]),
+        )
+        for i, cl in enumerate(cl_ids)
+    )
+    return F.expr(
+        f"array_min(transform(array({cens}), c -> named_struct("
+        f"'dist', aggregate(zip_with({xs_col}, c.cs, "
+        f"(x, cc) -> (x - cc) * (x - cc)), 0L, (a, v) -> a + v), "
+        f"'cl', c.cl))).cl"
     )
 
 

@@ -860,3 +860,82 @@ def q_quality_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(hit).cast("long").alias("n_blocked"),
         (F.size(hit) >= 1).alias("drop_doc"),
     )
+
+
+# ── model-based quality filtering ──────────────────────────────────
+CLS_BUCKETS = 4096  # hashed feature space (2^12)
+
+
+def _cls_weight(b: int) -> int:
+    """Weight of hash bucket `b` in integer micro-units ∈ [-1000,
+    1000] — derived from md5 so the oracle can re-derive every weight
+    from first principles. Stands in for an offline-trained linear
+    model's coefficients (the engine's job is inference; training
+    happens elsewhere — fastText in the published pipelines)."""
+    import hashlib
+
+    return int(hashlib.md5(f"w|{b}".encode()).hexdigest()[:15], 16) % 2001 - 1000
+
+
+def _cls_oracle() -> str:
+    # the oracle derives each token's weight from first principles
+    # (md5 of its hash bucket) — proving the Spark side's packed
+    # weight vector is exactly that derivation, tabulated
+    wgt = (
+        f"(('0x'||substr(md5('w|' || CAST((('0x'||substr(md5(t),1,15))::BIGINT "
+        f"% {CLS_BUCKETS}) AS VARCHAR)),1,15))::BIGINT % 2001) - 1000"
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, {sql_words('lower(text)')} AS w FROM documents),
+    s AS (
+      SELECT doc_id, CAST(len(w) AS INT) AS n_tokens,
+             CAST(COALESCE(list_aggregate(
+               list_transform(w, t -> {wgt}), 'sum'), 0) AS BIGINT)
+               AS score_micro
+      FROM w)
+    SELECT doc_id, n_tokens, score_micro, score_micro >= 0 AS keep
+    FROM s
+    """
+
+
+@register("q_quality_classifier", oracle=_cls_oracle(), tags=("llm", "text", "quality"))
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier INFERENCE at scan speed — the
+    model-based corpus filter (CCNet / DCLM-style fastText gate) that
+    complements the rule-based gates (q_quality_gopher,
+    q_quality_blocklist): tokens hash into CLS_BUCKETS features, the
+    document's score is the sum of its tokens' weights (BIGINT
+    micro-units), keep = score ≥ 0. The weight VECTOR is packed into
+    one SQL-parsed array literal (32 KiB — the q_contamination_bloom
+    packing: per-element F.lit would pay thousands of py4j calls) and
+    indexed by element_at inside whole-stage codegen, so the whole
+    gate is a single scan-side expression: no shuffle, no join, no
+    UDF, no model server. The oracle re-derives every weight from the
+    md5 definition instead of reading the packed table — the packing
+    is proven lossless, not assumed.
+
+    Scale: this is THE shape for model-scoring 100 TB with a linear
+    head — weights ride the plan (a real model's coefficient table
+    ships the same way, or as a broadcast join past ~1 MB), inference
+    is embarrassingly row-local, and the keep predicate pushes into
+    the same scan as every other stage-3 gate. Hash collisions are
+    the standard hashing-trick trade (fastText uses the same bucket
+    trick); 2^12 here, 2^21 in production — the constant, not the
+    plan, changes."""
+    weights = ", ".join(str(_cls_weight(b)) for b in range(CLS_BUCKETS))
+    wcol = words(F.lower(F.col("text")))
+    score = F.expr(
+        f"aggregate(transform(_w, t -> element_at(array({weights}), "
+        f"cast(pmod(cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint), "
+        f"{CLS_BUCKETS}) as int) + 1)), 0L, (a, v) -> a + v)"
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", wcol.alias("_w"))
+        .select(
+            "doc_id",
+            F.size("_w").alias("n_tokens"),
+            score.alias("score_micro"),
+        )
+        .withColumn("keep", F.col("score_micro") >= 0)
+    )

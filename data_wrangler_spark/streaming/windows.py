@@ -1147,6 +1147,127 @@ def quarantine_gate_plan(
     )
 
 
+def _stream_embed_gate_oracle() -> str:
+    # the batch incremental embedding-dedup oracle replays the
+    # history-only fit, both assignments, and the cosines from raw
+    # embeddings; the stream emits exactly those pairs
+    from data_wrangler_spark.operators.dedup import _embed_inc_oracle
+
+    return _embed_inc_oracle()
+
+
+@register(
+    "q_stream_embed_gate",
+    oracle=_stream_embed_gate_oracle(),
+    tags=("stream", "llm", "dedup", "embedding"),
+)
+def q_stream_embed_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SEMANTIC near-dup gate — q_dedup_embed_incremental's
+    persisted vector index probed AS the ingest stream it is designed
+    for, completing the streaming-delivery matrix across all the
+    incremental dedup families (text LSH: q_stream_dedup_ingest;
+    grams: q_stream_decontaminate; embeddings: this). New vectors
+    arrive as a file stream (two micro-batches, vec_id parity split);
+    each row is quantized and assigned to its nearest FROZEN
+    history-fit centroid by ONE codegen expression
+    (embeddings_ext.assign_cell_expr — the K×dim matrix rides the
+    plan as a SQL-parsed literal; no Arrow barrier, no shuffle,
+    batch-parity with kmeans_assign_mat pinned by pytest), then a
+    STREAM-STATIC equi-join on cell against the persisted history
+    members verifies exact cosine ≥ SEM_TAU, and stateful
+    dropDuplicates emits each verified pair once as (vec_new,
+    vec_old, cell, cos_sim). The oracle replays fit + assignments +
+    cosines from raw embeddings (the batch q_dedup_embed_incremental
+    oracle), so the persisted index AND the streaming emission are
+    both value-checked; pytest pins the streamed pair set ≡ the batch
+    op's. The cosine here is the unrolled left-assoc expression dot
+    (functions/vectors.dot) — bit-equal to the oracle's list_reduce,
+    where the batch op's numpy dot needs round6 to agree.
+
+    Scale: per micro-batch the work is O(batch + same-cell pairs) —
+    assignment is embarrassingly row-local (the KB-sized centroid
+    literal is part of the plan), and the static side joins only the
+    batch's cells. Here the members table rides unpartitioned (it is
+    |history| rows of vectors); at 100 TB it lives CELL-PARTITIONED
+    (the layout q_dedup_embed_2day writes and q_sim_search_ivf_indexed
+    serves from), so each micro-batch's join prunes to its cells'
+    files. State is one key per EMITTED pair (~bytes each), bounded
+    by leakage volume, never corpus size — the q_stream_dedup_ingest
+    property, inherited."""
+    from data_wrangler_spark.functions.distributed import pin
+    from data_wrangler_spark.functions.vectors import (
+        dot,
+        embedding_dim,
+        norm,
+        round6,
+        to_double_array,
+    )
+    from data_wrangler_spark.operators.dedup import (
+        INC_EXIST_PCT,
+        SEM_TAU,
+        ensure_embed_inc_index,
+    )
+    from data_wrangler_spark.operators.embeddings_ext import (
+        assign_cell_expr,
+        quantize_expr,
+    )
+
+    cl_ids, cmat, members = ensure_embed_inc_index(spark, sf_dir)
+    raw = load_table(spark, sf_dir, "embeddings")
+    dim = embedding_dim(raw)
+
+    new = raw.filter(F.col("vec_id") % 10 >= INC_EXIST_PCT).select(
+        "vec_id", "embedding"
+    )
+    base = _stage_parts(
+        f"embed_gate_{os.path.basename(sf_dir.rstrip('/'))}",
+        [
+            new.filter(F.col("vec_id") % 2 == 0),
+            new.filter(F.col("vec_id") % 2 == 1),
+        ],
+    )
+
+    # static side: history members with precomputed norms; pinned so
+    # later micro-batches reuse the decoded arrays (see
+    # q_stream_dedup_ingest)
+    b = pin(
+        members.select(
+            F.col("vec_id").alias("vec_old"),
+            "cell",
+            F.col("e").alias("eb"),
+            norm(F.col("e"), dim).alias("nb"),
+        ).persist()
+    )
+
+    a = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+        .select(
+            F.col("vec_id").alias("vec_new"),
+            to_double_array("embedding").alias("ea"),
+            quantize_expr(F.col("embedding")).alias("xs"),
+        )
+        .withColumn("cell", assign_cell_expr(cl_ids, cmat).cast("int"))
+        .withColumn("na", norm(F.col("ea"), dim))
+        .drop("xs")
+    )
+    stream = (
+        a.join(b, "cell")
+        .withColumn(
+            "cos_sim",
+            round6(
+                dot(F.col("ea"), F.col("eb"), dim)
+                / (F.col("na") * F.col("nb"))
+            ),
+        )
+        .filter(F.col("cos_sim") >= SEM_TAU)
+        .select("vec_new", "vec_old", "cell", "cos_sim")
+        .dropDuplicates(["vec_new", "vec_old"])
+    )
+    return _run_stream(stream, "q_stream_embed_gate")
+
+
 def _run_stream_to_dir(stream_df, out: str, ckpt: str) -> None:
     """Drive a bounded stream to completion into a DURABLE parquet
     sink + checkpoint (the restart-capable counterpart of

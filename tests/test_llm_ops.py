@@ -970,3 +970,37 @@ def test_index_compaction_preserves_probes_and_reguards(spark, sf_dir, tmp_path)
     )
     hits = syn_bands.join(comp, ["band", "bucket"]).count()
     assert hits == 0
+
+
+def test_dedup_embed_2day_append_catch(spark, sf_dir):
+    """The two-day embedding ingest must catch a day-2 vector near-
+    duplicating a DAY-1 vector — a pair only the APPENDED cell members
+    can surface (the history-only index contains no day-1 vector),
+    proving the probe-then-append loop works for the vector index the
+    way test_dedup_2day_append_catch proves it for the LSH index."""
+    from data_wrangler_spark.operators.dedup import (
+        INC2_DAY1,
+        INC2_DAY2,
+        SEM_TAU,
+    )
+    from data_wrangler_spark.registry import REGISTRY
+
+    rows = REGISTRY["q_dedup_embed_2day"].run(spark, sf_dir).collect()
+    for r in rows:
+        assert r.cos_sim >= SEM_TAU
+        if r.ingest_day == 1:
+            assert r.vec_new % 10 == INC2_DAY1
+            # day-1 probes history ONLY — no day-1/day-2 vec_old
+            assert r.vec_old % 10 not in (INC2_DAY1, INC2_DAY2)
+        else:
+            assert r.ingest_day == 2
+            assert r.vec_new % 10 == INC2_DAY2
+            assert r.vec_old % 10 != INC2_DAY2
+    catches = [
+        r for r in rows
+        if r.ingest_day == 2 and r.vec_old % 10 == INC2_DAY1
+    ]
+    assert catches, (
+        "no day-2-vs-day-1 near-dup caught — the append path was not "
+        "exercised (fixture calibration: dedup.py INC2_* split)"
+    )

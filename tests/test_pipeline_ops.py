@@ -545,3 +545,41 @@ def test_contamination_bloom_is_superset_with_audited_fps(spark, sf_dir):
         assert r.n_maybe_grams >= r.n_exact_grams
         assert r.is_false_positive == (r.n_exact_grams == 0)
         assert (doc_id in exact) == (not r.is_false_positive)
+
+
+def test_quality_classifier_matches_pure_python_model(spark, sf_dir):
+    """The packed-weights classifier must equal an INDEPENDENT pure-
+    Python scorer (hashlib md5, no Spark expressions) on every doc —
+    the same shared-formulation-bug closure the Bloom property pin
+    gives q_contamination_bloom — and both keep classes must appear."""
+    import hashlib
+
+    from data_wrangler_spark.catalog import load_table
+
+    from data_wrangler_spark.operators.text_analysis import (
+        CLS_BUCKETS,
+        _cls_weight,
+    )
+    from data_wrangler_spark.registry import REGISTRY
+
+    def py_score(text: str) -> tuple[int, int]:
+        toks = text.strip().lower().split()
+        s = 0
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % CLS_BUCKETS
+            s += _cls_weight(h)
+        return len(toks), s
+
+    rows = REGISTRY["q_quality_classifier"].run(spark, sf_dir).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    assert len(rows) == len(docs)
+    kept = 0
+    for r in rows:
+        n, s = py_score(docs[r.doc_id])
+        assert (r.n_tokens, r.score_micro) == (n, s), f"doc {r.doc_id}"
+        assert r.keep == (s >= 0)
+        kept += int(r.keep)
+    assert 0 < kept < len(rows), "degenerate keep split"

@@ -558,3 +558,49 @@ def test_quarantine_resume_op_idempotent_and_equals_single_run(spark, sf_dir):
         for r in REGISTRY["q_stream_quarantine"].run(spark, sf_dir).collect()
     }
     assert a == b == single and single
+
+
+def test_stream_embed_gate_matches_batch_pairs(spark, sf_dir):
+    """The streamed semantic gate must flag exactly the pairs the
+    batch q_dedup_embed_incremental derives (same persisted index,
+    same SEM_TAU cosine verify), each pair once across micro-batches."""
+    from data_wrangler_spark.registry import REGISTRY
+
+    rows = REGISTRY["q_stream_embed_gate"].run(spark, sf_dir).collect()
+    got = [(r.vec_new, r.vec_old) for r in rows]
+    assert len(got) == len(set(got)), "a pair was emitted twice"
+    batch = {
+        (r.vec_new, r.vec_old, r.cell, r.cos_sim)
+        for r in REGISTRY["q_dedup_embed_incremental"].run(spark, sf_dir).collect()
+    }
+    assert {(r.vec_new, r.vec_old, r.cell, r.cos_sim) for r in rows} == batch
+    assert batch, "fixture should contain semantic near-dup pairs"
+
+
+def test_assign_cell_expr_matches_mat(spark, sf_dir):
+    """assign_cell_expr (the stream-safe one-expression nearest-
+    centroid assignment) must agree with kmeans_assign_mat (the Arrow
+    batch form) on EVERY vector — quantizer, BIGINT distance, and
+    (dist, cl) tiebreak all shared."""
+    from data_wrangler_spark.operators.dedup import ensure_embed_inc_index
+    from data_wrangler_spark.operators.embeddings_ext import (
+        assign_cell_expr,
+        kmeans_assign_mat,
+        quantize_xs,
+    )
+
+    cl_ids, cmat, _ = ensure_embed_inc_index(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    v_arr = quantize_xs(e)
+    mat = {
+        r.vec_id: r.cl
+        for r in kmeans_assign_mat(v_arr, cl_ids, cmat).collect()
+    }
+    expr = {
+        r.vec_id: r.cell
+        for r in v_arr.select(
+            "vec_id", assign_cell_expr(cl_ids, cmat).alias("cell")
+        ).collect()
+    }
+    assert expr == mat
+    assert len(mat) > 0
