@@ -2027,6 +2027,107 @@ def q_dedup_embed_2day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embed_refresh_oracle() -> str:
+    from data_wrangler_spark.operators.embeddings_ext import kmeans_cte_sql
+
+    return f"""
+    WITH RECURSIVE
+    {kmeans_cte_sql(fit_where=f"vec_id % 10 NOT IN ({INC2_DAY1}, {INC2_DAY2})")},
+    {kmeans_cte_sql(fit_where=f"vec_id % 10 <> {INC2_DAY2}", suffix="_r")},
+    members AS (SELECT vec_id FROM embeddings WHERE vec_id % 10 <> {INC2_DAY2}),
+    oldasg AS (SELECT m.vec_id, CAST(a.cl AS INT) AS old_cell
+               FROM members m JOIN km_asg a ON a.vec_id = m.vec_id),
+    newasg AS (SELECT m.vec_id, CAST(a.cl AS INT) AS new_cell
+               FROM members m JOIN km_asg_r a ON a.vec_id = m.vec_id),
+    j AS (SELECT old_cell, new_cell, CAST(COUNT(*) AS BIGINT) AS n
+          FROM oldasg o JOIN newasg nw ON nw.vec_id = o.vec_id
+          GROUP BY 1, 2),
+    tot AS (SELECT old_cell, CAST(SUM(n) AS BIGINT) AS n_members
+            FROM j GROUP BY 1),
+    md AS (SELECT old_cell, new_cell AS majority_new_cell, n AS n_major
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY old_cell
+                                              ORDER BY n DESC, new_cell) AS rn
+                 FROM j)
+           WHERE rn = 1)
+    SELECT t.old_cell, t.n_members,
+           CAST(t.n_members - m.n_major AS BIGINT) AS n_moved,
+           m.majority_new_cell
+    FROM tot t JOIN md m ON m.old_cell = t.old_cell
+    """
+
+
+@register(
+    "q_embed_index_refresh",
+    oracle=_embed_refresh_oracle(),
+    tags=("llm", "dedup", "embedding"),
+)
+def q_embed_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer-refresh DRIFT REPORT — the maintenance decision the
+    append path defers (q_dedup_embed_2day: "refit is the separate
+    maintenance decision, drift-triggered"): as appends accumulate,
+    the frozen history-fit centroids drift away from the corpus the
+    index now holds, degrading cell balance (and, for the serving
+    layout, nprobe recall). This op EXECUTES the measurement a
+    production index runs before deciding to re-train: refit the
+    integer k-means on the index's CURRENT membership (history ∪
+    day-1 — everything except tomorrow's batch), reassign every
+    stored member, and report per stored cell (old_cell, n_members,
+    n_moved, majority_new_cell), where n_moved counts members leaving
+    their cell's majority image. The stored side reads the PERSISTED
+    day0/day1 cell assignments (the hop proven by q_dedup_embed_2day);
+    the refreshed side is a fresh integer-exact fit, so the whole
+    report is bit-reproducible and the DuckDB oracle replays BOTH
+    trajectories side by side (kmeans_cte_sql's suffix form — two
+    recursive fits in one WITH RECURSIVE clause).
+
+    Scale: the refit is the bounded-iteration integer loop over
+    member partials (one Arrow pass per iteration, no shuffle —
+    kmeans_fit_mat); reassignment is one more Arrow pass; the drift
+    aggregation moves ≤ K² grid rows. Nothing here touches the
+    serving index — the report is what decides whether the expensive
+    rebuild (re-partitioning every member by new cell) is worth
+    scheduling, which is exactly why it must be cheap and exact."""
+    from data_wrangler_spark.operators.embeddings_ext import (
+        kmeans_assign_mat,
+        kmeans_fit_mat,
+    )
+
+    base = _ensure_embed_2day_built(spark, sf_dir)
+    mem_schema = "vec_id bigint, e array<double>, cell int"
+    stored = (
+        spark.read.schema(mem_schema)
+        .parquet(f"{base}/day0")
+        .unionByName(spark.read.schema(mem_schema).parquet(f"{base}/day1"))
+        .select("vec_id", F.col("cell").alias("old_cell"))
+    )
+
+    member_pred = F.col("vec_id") % 10 != INC2_DAY2
+    v_arr, cl_ids, cmat = kmeans_fit_mat(spark, sf_dir, fit_filter=member_pred)
+    new_asg = kmeans_assign_mat(v_arr.filter(member_pred), cl_ids, cmat).select(
+        "vec_id", F.col("cl").cast("int").alias("new_cell")
+    )
+
+    j = (
+        stored.join(new_asg, "vec_id")
+        .groupBy("old_cell", "new_cell")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("old_cell").orderBy(F.desc("n"), F.asc("new_cell"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members", F.sum("n").over(Window.partitionBy("old_cell"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "old_cell",
+            "n_members",
+            (F.col("n_members") - F.col("n")).alias("n_moved"),
+            F.col("new_cell").alias("majority_new_cell"),
+        )
+    )
+
+
 EVAL_JAC_MICRO = 500000  # ground-truth near-dup threshold for the eval
 
 

@@ -198,7 +198,7 @@ KM_ITER = 4     # update rounds
 KM_Q = 1 << 20  # quantization: float component ×2^20, floored
 
 
-def kmeans_cte_sql(k: int = KM_K, fit_where: str = "") -> str:
+def kmeans_cte_sql(k: int = KM_K, fit_where: str = "", suffix: str = "") -> str:
     """Shared DuckDB CTE body for the integer k-means (no leading
     WITH): quantized components `v`, the recursive centroid table
     `cen`, final centroids `fin`, and the final assignment `km_asg`.
@@ -217,29 +217,36 @@ def kmeans_cte_sql(k: int = KM_K, fit_where: str = "") -> str:
     every recursion step assign only that subset — while `km_asg`
     still assigns ALL vectors against the final centroids. Empty
     (the default) fits on everything, the pre-r10 behavior;
-    q_dedup_embed_incremental fits on the history split only."""
+    q_dedup_embed_incremental fits on the history split only.
+
+    ``suffix`` renames every CTE (v0{s}, cen{s}, fin{s}, km_asg{s},
+    …) so one WITH RECURSIVE clause can hold TWO independent fits —
+    q_embed_index_refresh replays the frozen fit and the refreshed
+    fit side by side. Empty (the default) keeps the historical
+    names."""
     from data_wrangler_spark.operators.dedup import _sql_md5_long
 
     key = _sql_md5_long("CAST(vec_id AS VARCHAR)")
     fit_pred = f"WHERE {fit_where}" if fit_where else ""
+    s = suffix
     return f"""
-    v0 AS (
+    v0{s} AS (
       SELECT vec_id, embedding,
              unnest(generate_series(1, len(embedding))) AS dim
       FROM embeddings),
-    v AS (
+    v{s} AS (
       SELECT vec_id, CAST(dim AS INT) AS dim,
              CAST(floor(CAST(embedding[dim] AS DOUBLE) * {KM_Q}) AS BIGINT)
                AS x
-      FROM v0),
-    vfit AS (SELECT * FROM v {fit_pred}),
-    seed AS (
+      FROM v0{s}),
+    vfit{s} AS (SELECT * FROM v{s} {fit_pred}),
+    seed{s} AS (
       SELECT vec_id,
              CAST(row_number() OVER (ORDER BY {key}, vec_id) AS INT) AS cl
       FROM embeddings {fit_pred}),
-    cen(it, cl, dim, c) AS (
+    cen{s}(it, cl, dim, c) AS (
       SELECT 0, s.cl, v.dim, v.x
-      FROM seed s JOIN vfit v ON v.vec_id = s.vec_id
+      FROM seed{s} s JOIN vfit{s} v ON v.vec_id = s.vec_id
       WHERE s.cl <= {k}
       UNION ALL
       SELECT MAX(asg.it) + 1, asg.cl, v2.dim,
@@ -251,23 +258,23 @@ def kmeans_cte_sql(k: int = KM_K, fit_where: str = "") -> str:
         FROM (
           SELECT va.vec_id, cn.it, cn.cl,
                  SUM((va.x - cn.c) * (va.x - cn.c)) AS dist
-          FROM cen cn JOIN vfit va ON va.dim = cn.dim
+          FROM cen{s} cn JOIN vfit{s} va ON va.dim = cn.dim
           WHERE cn.it < {KM_ITER}
           GROUP BY va.vec_id, cn.it, cn.cl) d) asg
-      JOIN vfit v2 ON v2.vec_id = asg.vec_id
+      JOIN vfit{s} v2 ON v2.vec_id = asg.vec_id
       WHERE asg.rn = 1
       GROUP BY asg.cl, v2.dim),
-    fin AS (SELECT cl, dim, c FROM cen WHERE it = {KM_ITER}),
-    km_dist AS (
+    fin{s} AS (SELECT cl, dim, c FROM cen{s} WHERE it = {KM_ITER}),
+    km_dist{s} AS (
       SELECT va.vec_id, f.cl,
              CAST(SUM((va.x - f.c) * (va.x - f.c)) AS BIGINT) AS dist
-      FROM v va JOIN fin f ON f.dim = va.dim
+      FROM v{s} va JOIN fin{s} f ON f.dim = va.dim
       GROUP BY va.vec_id, f.cl),
-    km_asg AS (
+    km_asg{s} AS (
       SELECT vec_id, cl, dist
       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                          ORDER BY dist, cl) AS rn
-            FROM km_dist)
+            FROM km_dist{s})
       WHERE rn = 1)
     """
 

@@ -1004,3 +1004,48 @@ def test_dedup_embed_2day_append_catch(spark, sf_dir):
         "no day-2-vs-day-1 near-dup caught — the append path was not "
         "exercised (fixture calibration: dedup.py INC2_* split)"
     )
+
+
+def test_embed_index_refresh_drift_and_identity(spark, sf_dir):
+    """The refresh report must cover every stored member exactly once
+    with sane per-cell arithmetic and NONZERO total drift on the
+    fixture (a no-drift report would make the maintenance op vacuous).
+    And the determinism identity behind it: refitting on the SAME
+    split the frozen quantizer was fit on must reproduce the stored
+    day0 assignments bit-for-bit — a restarted build lands on the
+    identical index."""
+    from data_wrangler_spark.catalog import load_table
+    from data_wrangler_spark.operators.dedup import (
+        INC2_DAY1,
+        INC2_DAY2,
+        _ensure_embed_2day_built,
+    )
+    from data_wrangler_spark.operators.embeddings_ext import (
+        kmeans_assign_mat,
+        kmeans_fit_mat,
+    )
+    from data_wrangler_spark.registry import REGISTRY
+
+    rows = REGISTRY["q_embed_index_refresh"].run(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "embeddings")
+    n_members = e.filter(F.col("vec_id") % 10 != INC2_DAY2).count()
+    assert sum(r.n_members for r in rows) == n_members
+    for r in rows:
+        assert 0 <= r.n_moved < r.n_members
+    assert sum(r.n_moved for r in rows) > 0, "fixture should drift"
+
+    base = _ensure_embed_2day_built(spark, sf_dir)
+    hist_pred = ~(F.col("vec_id") % 10).isin(INC2_DAY1, INC2_DAY2)
+    v_arr, cl_ids, cmat = kmeans_fit_mat(spark, sf_dir, fit_filter=hist_pred)
+    refit = {
+        r.vec_id: r.cl
+        for r in kmeans_assign_mat(v_arr.filter(hist_pred), cl_ids, cmat).collect()
+    }
+    stored = {
+        r.vec_id: r.cell
+        for r in spark.read.schema("vec_id bigint, e array<double>, cell int")
+        .parquet(f"{base}/day0")
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert refit == stored
