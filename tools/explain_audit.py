@@ -115,6 +115,9 @@ AUDIT = [
     ("q_mix_temperature_sample", "count agg + broadcast quota + one lang window"),
     ("q_join_asof_tolerance", "union + one window shuffle; tolerance is scan-side"),
     ("q_dedup_threshold_curve", "one GEMM pass + broadcast tau grid + partial agg"),
+    ("q_dedup_embed_2day", "frozen-centroid assign; day-2 probes the day0+day1 cell union"),
+    ("q_embed_index_refresh", "two integer fits; drift aggregation moves <=K^2 grid rows"),
+    ("q_quality_classifier", "packed weight-vector literal; scan-side score, no exchange"),
 ]
 
 # Streaming operators: REGISTRY.run() returns the memory sink (its
@@ -124,6 +127,7 @@ STREAM_AUDIT = [
     ("q_stream_decontaminate", "stream-static gram semi-join + per-doc dedup state"),
     ("q_stream_dedup_ingest", "stream-static band-index probe + verify + per-pair dedup state"),
     ("q_stream_quarantine", "self-union of both gates; per-(doc,reason) dedup state"),
+    ("q_stream_embed_gate", "expression centroid assign + stream-static cell join + per-pair state"),
 ]
 
 
