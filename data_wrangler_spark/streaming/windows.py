@@ -1180,9 +1180,12 @@ def q_stream_embed_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosines from raw embeddings (the batch q_dedup_embed_incremental
     oracle), so the persisted index AND the streaming emission are
     both value-checked; pytest pins the streamed pair set ≡ the batch
-    op's. The cosine here is the unrolled left-assoc expression dot
-    (functions/vectors.dot) — bit-equal to the oracle's list_reduce,
-    where the batch op's numpy dot needs round6 to agree.
+    op's. The pair cosine is the batch op's Arrow dot
+    (make_dot_udf + round6) — NOT the unrolled 64-dim expression,
+    which exceeds HotSpot's JIT bytecode limit and runs interpreted
+    on the per-pair hot path (make_dot_udf's docstring; re-measured
+    here: 29.4 s → 3.6 s warm per run at f5 when the expression dot
+    was swapped out).
 
     Scale: per micro-batch the work is O(batch + same-cell pairs) —
     assignment is embarrassingly row-local (the KB-sized centroid
@@ -1196,8 +1199,7 @@ def q_stream_embed_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     property, inherited."""
     from data_wrangler_spark.functions.distributed import pin
     from data_wrangler_spark.functions.vectors import (
-        dot,
-        embedding_dim,
+        make_dot_udf,
         norm,
         round6,
         to_double_array,
@@ -1214,7 +1216,6 @@ def q_stream_embed_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cl_ids, cmat, members = ensure_embed_inc_index(spark, sf_dir)
     raw = load_table(spark, sf_dir, "embeddings")
-    dim = embedding_dim(raw)
 
     new = raw.filter(F.col("vec_id") % 10 >= INC_EXIST_PCT).select(
         "vec_id", "embedding"
@@ -1235,7 +1236,7 @@ def q_stream_embed_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("vec_old"),
             "cell",
             F.col("e").alias("eb"),
-            norm(F.col("e"), dim).alias("nb"),
+            norm(F.col("e")).alias("nb"),
         ).persist()
     )
 
@@ -1249,15 +1250,16 @@ def q_stream_embed_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             quantize_expr(F.col("embedding")).alias("xs"),
         )
         .withColumn("cell", assign_cell_expr(cl_ids, cmat).cast("int"))
-        .withColumn("na", norm(F.col("ea"), dim))
+        .withColumn("na", norm(F.col("ea")))
         .drop("xs")
     )
+    dot_udf = make_dot_udf()
     stream = (
         a.join(b, "cell")
         .withColumn(
             "cos_sim",
             round6(
-                dot(F.col("ea"), F.col("eb"), dim)
+                dot_udf(F.col("ea"), F.col("eb"))
                 / (F.col("na") * F.col("nb"))
             ),
         )

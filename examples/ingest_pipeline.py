@@ -10,10 +10,15 @@ correctness harness):
 2. batch gates        — near-dup (persisted LSH index), contamination
                         (persisted eval-gram index, plus its Bloom
                         form with audited false positives), quality
-                        (Gopher + C4 blocklist)
-3. ingest over time   — the two-day append path (day-2 catches a
-                        day-1 duplicate through appended bands)
-4. the same gates AS A STREAM — the unified quarantine topic
+                        (Gopher + C4 blocklist + the linear
+                        classifier gate)
+3. ingest over time   — the two-day append paths: text bands AND the
+                        embedding cell index (each day-2 catches a
+                        day-1 duplicate only the append can surface),
+                        then the maintenance pair (compaction,
+                        quantizer-drift report)
+4. the same gates AS A STREAM — the unified quarantine topic plus the
+                        semantic gate on the vector index
 5. mixture            — sqrt-temperature sampling of the survivors
 """
 
@@ -66,18 +71,29 @@ def main(spark=None, sf_dir: str | None = None) -> None:
     fps = sum(1 for r in bloom if r.is_false_positive)
     print(f"   Bloom gate: {len(bloom)} flagged, {fps} audited false positives")
     run("q_quality_blocklist", spark, sf_dir, show=2)
+    cls = run("q_quality_classifier", spark, sf_dir, show=2)
+    print(f"   classifier gate keeps {sum(1 for r in cls if r.keep)}"
+          f"/{len(cls)} docs")
 
-    print("\n=== 3. the append path: day-2 catches day-1's duplicate ===")
+    print("\n=== 3. the append paths: day-2 catches day-1's duplicate ===")
     rows = run("q_dedup_incremental_2day", spark, sf_dir)
     caught = [r for r in rows if r.ingest_day == 2 and r.doc_old % 10 == 2]
-    print(f"   append-catches (day-2 vs day-1): {len(caught)}")
+    print(f"   text-band append-catches (day-2 vs day-1): {len(caught)}")
+    erows = run("q_dedup_embed_2day", spark, sf_dir)
+    ecaught = [r for r in erows if r.ingest_day == 2 and r.vec_old % 10 == 2]
+    print(f"   embedding-cell append-catches (day-2 vs day-1): {len(ecaught)}")
 
-    print("\n=== 3b. nightly maintenance: compact the appended index ===")
+    print("\n=== 3b. nightly maintenance: compact + measure drift ===")
     comp = run("q_dedup_index_compact", spark, sf_dir)
     dropped = sum(r.n_buckets_reguarded for r in comp)
     print(f"   cross-append re-guard dropped {dropped} hot buckets "
           f"({sum(r.n_rows_before for r in comp)} -> "
           f"{sum(r.n_rows_after for r in comp)} band rows)")
+    drift = run("q_embed_index_refresh", spark, sf_dir, show=3)
+    moved = sum(r.n_moved for r in drift)
+    total = sum(r.n_members for r in drift)
+    print(f"   quantizer drift: {moved}/{total} members would move on "
+          f"refresh — the re-train trigger a production index watches")
 
     print("\n=== 4. the gates as one stream: the quarantine topic ===")
     q = run("q_stream_quarantine", spark, sf_dir, show=6)
@@ -85,6 +101,8 @@ def main(spark=None, sf_dir: str | None = None) -> None:
     for r in q:
         by_reason[r.reason] = by_reason.get(r.reason, 0) + 1
     print(f"   quarantined by reason: {by_reason}")
+    eg = run("q_stream_embed_gate", spark, sf_dir, show=3)
+    print(f"   semantic gate flagged {len(eg)} vector pairs in-stream")
 
     print("\n=== 5. mixture of the survivors ===")
     mix = run("q_mix_temperature_sample", spark, sf_dir, show=2)

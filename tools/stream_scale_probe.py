@@ -37,6 +37,7 @@ GATE_QUERIES = (
     "q_stream_decontaminate",
     "q_stream_dedup_ingest",
     "q_stream_quarantine",
+    "q_stream_embed_gate",
 )
 
 
