@@ -841,3 +841,130 @@ def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tau_micro")
         .agg(F.count("cm").cast("long").alias("n_pairs"))
     )
+
+
+# ── index freshness: serving through an append ─────────────────────
+FRESH_NQ = 5    # day-2 query batch size (lowest vec_ids — deterministic)
+FRESH_K = 10    # top-k served per query
+
+
+def _ann_fresh_oracle() -> str:
+    from data_wrangler_spark.operators.dedup import INC2_DAY1, INC2_DAY2
+    from data_wrangler_spark.operators.embeddings_ext import kmeans_cte_sql
+
+    cos = sql_round6(
+        f"{sql_dot('q.e', 'h.e')} / ({sql_norm('q.e')} * {sql_norm('h.e')})"
+    )
+    return f"""
+    WITH RECURSIVE
+    {kmeans_cte_sql(fit_where=f"vec_id % 10 NOT IN ({INC2_DAY1}, {INC2_DAY2})")},
+    n AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+    asg AS (SELECT n.vec_id, n.label, n.e, CAST(a.cl AS INT) AS cell
+            FROM n JOIN km_asg a ON a.vec_id = n.vec_id),
+    hist AS (SELECT * FROM asg
+             WHERE vec_id % 10 NOT IN ({INC2_DAY1}, {INC2_DAY2})),
+    d1 AS (SELECT * FROM asg WHERE vec_id % 10 = {INC2_DAY1}),
+    d2 AS (SELECT * FROM asg WHERE vec_id % 10 = {INC2_DAY2}),
+    q AS (SELECT vec_id AS qid, e FROM d2 ORDER BY vec_id LIMIT {FRESH_NQ}),
+    idx1 AS (SELECT * FROM hist UNION ALL SELECT * FROM d1),
+    ranked AS (
+      SELECT 'pre' AS phase, q.qid, h.vec_id, h.label, {cos} AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+                                ORDER BY {cos} DESC, h.vec_id) AS rn
+      FROM hist h, q
+      UNION ALL
+      SELECT 'post', q.qid, h.vec_id, h.label, {cos},
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+                                ORDER BY {cos} DESC, h.vec_id)
+      FROM idx1 h, q)
+    SELECT phase, qid, CAST(rn AS INT) AS rnk, vec_id, label, cos_sim
+    FROM ranked WHERE rn <= {FRESH_K}
+    """
+
+
+@register(
+    "q_ann_index_fresh",
+    oracle=_ann_fresh_oracle(),
+    tags=("llm", "similarity", "embedding"),
+)
+def q_ann_index_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index FRESHNESS through an append — the serving-side story of
+    the two-day vector index (q_dedup_embed_2day proves the append
+    catches duplicates; this proves queries SEE the appended vectors):
+    a batch of day-2 query vectors (today's traffic, the FRESH_NQ
+    lowest ids — deterministic) is served top-FRESH_K twice against
+    the SAME persisted index root, once as of before day-1's append
+    (day0 only) and once after (day0 ∪ day1). Day-1 vectors entering
+    the post-append top-k are results a stale index CANNOT return —
+    pinned non-vacuous by pytest and present at every sweep factor
+    (4-5 of the 50 post rows at sf0.001/0.01/0.1). Output:
+    (phase ∈ {{pre, post}}, qid, rnk, vec_id, label, cos_sim). The
+    oracle replays the frozen fit, both serves, and the (cos_sim
+    DESC, vec_id) rank from raw embeddings.
+
+    Scale: the query batch is a bounded broadcast (FRESH_NQ rows);
+    each serve is one pass over the index roots' files with the Arrow
+    pair dot (make_dot_udf — the JIT-ceiling rule) and a per-query
+    TakeOrdered-style window over qid partitions. Appends being new
+    FILES under the same root is exactly why freshness is free here:
+    the next query lists the directory and sees day-1 — no index
+    rebuild, no invalidation protocol, the same property the parquet
+    data lake gives every other operator."""
+    from data_wrangler_spark.operators.dedup import (
+        INC2_DAY2,
+        _ensure_embed_2day_built,
+    )
+
+    base = _ensure_embed_2day_built(spark, sf_dir)
+    mem_schema = "vec_id bigint, e array<double>, cell int"
+    day0 = spark.read.schema(mem_schema).parquet(f"{base}/day0")
+    day1 = spark.read.schema(mem_schema).parquet(f"{base}/day1")
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    labels = raw.select("vec_id", "label")
+    q = (
+        raw.filter(F.col("vec_id") % 10 == INC2_DAY2)
+        .orderBy("vec_id")
+        .limit(FRESH_NQ)
+        .select(
+            F.col("vec_id").alias("qid"),
+            to_double_array("embedding").alias("qe"),
+        )
+        .withColumn("qn", norm(F.col("qe")))
+    )
+    dot_udf = make_dot_udf()
+
+    def serve(members: DataFrame, phase: str) -> DataFrame:
+        pairs = (
+            members.withColumn("nrm", norm(F.col("e")))
+            .crossJoin(F.broadcast(q))
+            .withColumn(
+                "cos_sim",
+                round6(
+                    dot_udf(F.col("e"), F.col("qe"))
+                    / (F.col("nrm") * F.col("qn"))
+                ),
+            )
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("cos_sim"), F.asc("vec_id")
+        )
+        return (
+            pairs.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= FRESH_K)
+            .join(labels, "vec_id")
+            .select(
+                F.lit(phase).alias("phase"),
+                "qid",
+                "rnk",
+                "vec_id",
+                "label",
+                "cos_sim",
+            )
+        )
+
+    return serve(day0, "pre").unionByName(
+        serve(day0.unionByName(day1), "post")
+    )

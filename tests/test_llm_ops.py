@@ -1049,3 +1049,35 @@ def test_embed_index_refresh_drift_and_identity(spark, sf_dir):
         .collect()
     }
     assert refit == stored
+
+
+def test_ann_index_fresh_catch_and_phase_discipline(spark, sf_dir):
+    """The freshness serve must (a) never return a day-1/day-2 vector
+    in the PRE phase (they are not in day0), (b) return at least one
+    day-1 vector in the POST phase (the appended files are visible to
+    queries — a stale index cannot produce these rows), and (c) rank
+    each phase's results 1..K per query with non-increasing cosine."""
+    from data_wrangler_spark.operators.dedup import INC2_DAY1, INC2_DAY2
+    from data_wrangler_spark.operators.similarity import FRESH_K, FRESH_NQ
+    from data_wrangler_spark.registry import REGISTRY
+
+    rows = REGISTRY["q_ann_index_fresh"].run(spark, sf_dir).collect()
+    by_pq: dict = {}
+    for r in rows:
+        assert r.qid % 10 == INC2_DAY2
+        if r.phase == "pre":
+            assert r.vec_id % 10 not in (INC2_DAY1, INC2_DAY2)
+        else:
+            assert r.phase == "post"
+            assert r.vec_id % 10 != INC2_DAY2
+        by_pq.setdefault((r.phase, r.qid), []).append((r.rnk, r.cos_sim))
+    assert len(by_pq) == 2 * FRESH_NQ
+    for (_, _), lst in by_pq.items():
+        lst.sort()
+        assert [rk for rk, _ in lst] == list(range(1, FRESH_K + 1))
+        sims = [s for _, s in lst]
+        assert sims == sorted(sims, reverse=True)
+    catches = [
+        r for r in rows if r.phase == "post" and r.vec_id % 10 == INC2_DAY1
+    ]
+    assert catches, "no day-1 vector entered the post-append top-k"

@@ -118,6 +118,7 @@ AUDIT = [
     ("q_dedup_embed_2day", "frozen-centroid assign; day-2 probes the day0+day1 cell union"),
     ("q_embed_index_refresh", "two integer fits; drift aggregation moves <=K^2 grid rows"),
     ("q_quality_classifier", "packed weight-vector literal; scan-side score, no exchange"),
+    ("q_ann_index_fresh", "broadcast query batch; appended files visible to the next serve"),
 ]
 
 # Streaming operators: REGISTRY.run() returns the memory sink (its
