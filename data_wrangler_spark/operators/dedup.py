@@ -2258,3 +2258,122 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.expr("div(tp * 1000000, n_true)"))
         .alias("recall_micro"),
     )
+
+
+# ── C4-style global span dedup ─────────────────────────────────────
+SPAN_W = 10  # words per non-overlapping span
+
+
+def _span_dedup_oracle() -> str:
+    return f"""
+    WITH w AS (SELECT doc_id, {sql_words('text')} AS w FROM documents),
+    sp AS (SELECT doc_id,
+                  list_transform(
+                    range(1, greatest(len(w) // {SPAN_W}, 0) + 1),
+                    i -> array_to_string(
+                      list_slice(w, (i-1)*{SPAN_W} + 1, i*{SPAN_W}), ' '))
+                    AS sp
+           FROM w),
+    ex0 AS (SELECT doc_id, sp,
+                   unnest(generate_series(1, len(sp))) AS pos
+            FROM sp),
+    ex AS (SELECT doc_id, CAST(pos AS INT) AS pos, md5(sp[pos]) AS dig
+           FROM ex0),
+    rk AS (SELECT doc_id, pos,
+                  ROW_NUMBER() OVER (PARTITION BY dig
+                                     ORDER BY doc_id, pos) AS rn
+           FROM ex),
+    agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dropped
+            FROM rk GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(a.n_spans, 0) AS n_spans,
+           COALESCE(a.n_dropped, 0) AS n_dropped,
+           CASE WHEN COALESCE(a.n_spans, 0) = 0 THEN CAST(1000000 AS BIGINT)
+                ELSE (a.n_spans - a.n_dropped) * 1000000 // a.n_spans
+           END AS keep_micro
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """
+
+
+@register("q_dedup_spans", oracle=_span_dedup_oracle(), tags=("llm", "dedup", "text"))
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL SPAN-LEVEL exact dedup — the C4 preprocessing stage the
+    doc-level families skip: duplicated boilerplate inside otherwise-
+    distinct documents (C4 removes any three-sentence span seen
+    before; here the unit is a non-overlapping SPAN_W-word window,
+    the corpus having no sentence boundaries). Every span's FIRST
+    occurrence in global (doc_id, position) order is the keeper;
+    later occurrences anywhere in the corpus are dropped. Output per
+    document: (doc_id, n_spans, n_dropped, keep_micro) — the numbers
+    a curation dashboard tracks to decide how much boilerplate a
+    source carries. Zero-span docs (< SPAN_W words) report
+    keep_micro = 1e6. The oracle replays spanning, global ranking,
+    and the per-doc rollup from raw text.
+
+    Scale: the ONLY shuffle is on the 16-byte md5 span digest (the
+    q_dedup_exact discipline — span text never moves; both engines
+    rank by digest so the hop is hash-checked). Keeper selection is
+    a min-struct aggregate — partial-aggregates map-side, no global
+    sort, no window over the corpus. This is THE plan for span dedup
+    at 100 TB: explode to |spans| digest rows, one exchange, two
+    grid-sized joins back."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from data_wrangler_spark.functions.text import words
+
+    t = d.select("doc_id", words("text").alias("w"))
+    n_sp = F.expr(f"size(w) div {SPAN_W}")
+    # sequence(1, 0) generates a DESCENDING range — guard short docs
+    # with an explicit empty array (the shingles_from_words rule)
+    sp = F.when(n_sp < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_sp),
+            lambda i: F.concat_ws(
+                " ", F.slice("w", (i - 1) * SPAN_W + 1, SPAN_W)
+            ),
+        )
+    )
+    ex = (
+        t.select("doc_id", F.posexplode(sp.alias("sp")))
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).cast("int").alias("pos"),
+            F.md5("col").alias("dig"),
+        )
+    )
+    keeper = ex.groupBy("dig").agg(
+        F.min(F.struct("doc_id", "pos")).alias("k")
+    )
+    stats = (
+        ex.join(keeper, "dig")
+        .select(
+            "doc_id",
+            (
+                (F.col("k.doc_id") != F.col("doc_id"))
+                | (F.col("k.pos") != F.col("pos"))
+            ).cast("long").alias("is_drop"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum("is_drop").alias("n_dropped"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            F.when(
+                F.coalesce("n_spans", F.lit(0)) == 0,
+                F.lit(1000000).cast("long"),
+            )
+            .otherwise(
+                F.expr("div((n_spans - n_dropped) * 1000000, n_spans)")
+            )
+            .alias("keep_micro"),
+        )
+    )

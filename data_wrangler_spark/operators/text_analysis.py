@@ -885,12 +885,16 @@ def _cls_oracle() -> str:
         f"(('0x'||substr(md5('w|' || CAST((('0x'||substr(md5(t),1,15))::BIGINT "
         f"% {CLS_BUCKETS}) AS VARCHAR)),1,15))::BIGINT % 2001) - 1000"
     )
+    # no COALESCE: a NULL text is NULL-in-NULL-out in BOTH engines
+    # (Spark's aggregate over a NULL array is NULL too) — splices of
+    # non-null text can never yield an empty token list, so the sum
+    # is only NULL when the text is
     return f"""
     WITH w AS (SELECT doc_id, {sql_words('lower(text)')} AS w FROM documents),
     s AS (
       SELECT doc_id, CAST(len(w) AS INT) AS n_tokens,
-             CAST(COALESCE(list_aggregate(
-               list_transform(w, t -> {wgt}), 'sum'), 0) AS BIGINT)
+             CAST(list_aggregate(
+               list_transform(w, t -> {wgt}), 'sum') AS BIGINT)
                AS score_micro
       FROM w)
     SELECT doc_id, n_tokens, score_micro, score_micro >= 0 AS keep

@@ -583,3 +583,46 @@ def test_quality_classifier_matches_pure_python_model(spark, sf_dir):
         assert r.keep == (s >= 0)
         kept += int(r.keep)
     assert 0 < kept < len(rows), "degenerate keep split"
+
+
+def test_dedup_spans_keeper_discipline(spark, sf_dir):
+    """Global span dedup must (a) cover every document exactly once,
+    (b) drop a nonzero number of spans on the fixture (the repeated-
+    boilerplate corpus), (c) never drop more spans than a doc has,
+    and (d) the corpus-wide keeper invariant: total spans - total
+    drops = number of DISTINCT span digests (first occurrences are
+    kept exactly once each)."""
+    from pyspark.sql import functions as F
+
+    from data_wrangler_spark.catalog import load_table
+    from data_wrangler_spark.functions.text import words
+    from data_wrangler_spark.operators.dedup import SPAN_W
+    from data_wrangler_spark.registry import REGISTRY
+
+    rows = REGISTRY["q_dedup_spans"].run(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    assert len(rows) == d.count()
+    assert sum(r.n_dropped for r in rows) > 0, "fixture should drop spans"
+    for r in rows:
+        assert 0 <= r.n_dropped <= r.n_spans
+        if r.n_spans == 0:
+            assert r.keep_micro == 1_000_000
+    t = d.select("doc_id", words("text").alias("w"))
+    distinct_spans = (
+        t.select(
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(w) div {SPAN_W} < 1 "
+                    f"THEN array() "
+                    f"ELSE transform(sequence(1, size(w) div {SPAN_W}), "
+                    f"i -> concat_ws(' ', slice(w, (i-1)*{SPAN_W}+1, {SPAN_W}))) END"
+                )
+            ).alias("s")
+        )
+        .distinct()
+        .count()
+    )
+    assert (
+        sum(r.n_spans for r in rows) - sum(r.n_dropped for r in rows)
+        == distinct_spans
+    )

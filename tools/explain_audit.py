@@ -119,6 +119,7 @@ AUDIT = [
     ("q_embed_index_refresh", "two integer fits; drift aggregation moves <=K^2 grid rows"),
     ("q_quality_classifier", "packed weight-vector literal; scan-side score, no exchange"),
     ("q_ann_index_fresh", "broadcast query batch; appended files visible to the next serve"),
+    ("q_dedup_spans", "span dedup: one exchange on the 16-byte span digest, min-struct keeper"),
 ]
 
 # Streaming operators: REGISTRY.run() returns the memory sink (its
