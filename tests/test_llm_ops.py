@@ -1074,7 +1074,12 @@ def test_ann_index_fresh_catch_and_phase_discipline(spark, sf_dir):
     assert len(by_pq) == 2 * FRESH_NQ
     for (_, _), lst in by_pq.items():
         lst.sort()
-        assert [rk for rk, _ in lst] == list(range(1, FRESH_K + 1))
+        # dense ranks from 1, at most FRESH_K rows: a fixture whose
+        # day0 index holds fewer than FRESH_K members legitimately
+        # serves fewer pre-phase rows (ADVICE r12) — the real gate is
+        # the non-vacuity catch assertion below
+        assert len(lst) <= FRESH_K
+        assert [rk for rk, _ in lst] == list(range(1, len(lst) + 1))
         sims = [s for _, s in lst]
         assert sims == sorted(sims, reverse=True)
     catches = [

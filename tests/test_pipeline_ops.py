@@ -553,6 +553,7 @@ def test_quality_classifier_matches_pure_python_model(spark, sf_dir):
     the same shared-formulation-bug closure the Bloom property pin
     gives q_contamination_bloom — and both keep classes must appear."""
     import hashlib
+    import re
 
     from data_wrangler_spark.catalog import load_table
 
@@ -563,7 +564,12 @@ def test_quality_classifier_matches_pure_python_model(spark, sf_dir):
     from data_wrangler_spark.registry import REGISTRY
 
     def py_score(text: str) -> tuple[int, int]:
-        toks = text.strip().lower().split()
+        # Mirror the engine EXACTLY: split(trim(text), '\s+') yields
+        # ONE empty-string token for empty/whitespace-only text (so
+        # n_tokens=1 and md5('')'s weight is counted) — str.split()
+        # would silently drop it and diverge if the fixture ever
+        # gains such a document (ADVICE r12).
+        toks = re.split(r"\s+", text.strip().lower())
         s = 0
         for t in toks:
             h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % CLS_BUCKETS
@@ -578,6 +584,11 @@ def test_quality_classifier_matches_pure_python_model(spark, sf_dir):
     assert len(rows) == len(docs)
     kept = 0
     for r in rows:
+        if docs[r.doc_id] is None:
+            # NULL text never reaches the scorer's arithmetic; the
+            # engine's behavior on it is pinned by the oracle, not
+            # this independent model
+            continue
         n, s = py_score(docs[r.doc_id])
         assert (r.n_tokens, r.score_micro) == (n, s), f"doc {r.doc_id}"
         assert r.keep == (s >= 0)
