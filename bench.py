@@ -81,6 +81,14 @@ def main() -> None:
     # (tools/bench_duckdb.py) applies the identical treatment.
     N_MEASURED = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    # Load evidence (VERDICT r12 #3): this box is shared, and two
+    # rounds of above-band totals were adjudicated "box noise" by
+    # narrative. Record the host's run-queue state and the raw
+    # per-query run spread IN the artifact so a hot box is visible
+    # mechanically: loadavg >> ncpu or a wide min–max spread says
+    # "contended host", a tight spread at nominal load says "signal".
+    load_before = list(os.getloadavg())
     for name in names:
         try:
             REGISTRY[name].run(spark, sf_dir).write.format("noop").mode(
@@ -95,6 +103,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[len(runs) // 2], 4)
+        spread[name] = [round(r, 4) for r in runs]
         # release AFTER the measured runs: the warmup's pinned frames
         # stay visible to them (CacheManager matches identical plans —
         # the steady-state regime the warm-run methodology measures),
@@ -111,6 +120,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "load": {
+                    "before": [round(x, 2) for x in load_before],
+                    "after": [round(x, 2) for x in os.getloadavg()],
+                    "ncpu": os.cpu_count(),
+                },
+                "run_spread": spread,
             }
         )
     )

@@ -81,6 +81,8 @@ def main() -> None:
 
     con = duck_con(sf_dir)
     duck: dict[str, float] = {}
+    spread: dict[str, dict[str, list[float]]] = {"duckdb": {}, "spark": {}}
+    load_before = [round(x, 2) for x in os.getloadavg()]
     for name in wanted:
         spec = REGISTRY[name]
         if not spec.oracle:
@@ -105,6 +107,7 @@ def main() -> None:
                 n_rows = duck_fetch()
                 runs.append(time.time() - t0)
             duck[name], reps = round(sorted(runs)[1], 4), 3
+            spread["duckdb"][name] = [round(r, 4) for r in runs]
         print(
             f"duckdb {name}: {duck[name]}s ({n_rows} rows, {reps} reps)",
             file=sys.stderr,
@@ -145,6 +148,7 @@ def main() -> None:
                     spark_fetch()
                     runs.append(time.time() - t0)
                 sp[name], reps = round(sorted(runs)[1], 4), 3
+                spread["spark"][name] = [round(r, 4) for r in runs]
             print(
                 f"spark  {name}: {sp[name]}s ({reps} reps)",
                 file=sys.stderr,
@@ -156,6 +160,15 @@ def main() -> None:
             n: round(sp[n] / duck[n], 2) if duck[n] > 0 else None for n in sp
         }
 
+    # load evidence (VERDICT r12 #3): host run-queue state + raw run
+    # spread committed with the numbers, so a contended box is visible
+    # in the artifact instead of adjudicated by narrative
+    out["load"] = {
+        "before": load_before,
+        "after": [round(x, 2) for x in os.getloadavg()],
+        "ncpu": os.cpu_count(),
+    }
+    out["run_spread"] = spread
     print(json.dumps(out))
 
 
