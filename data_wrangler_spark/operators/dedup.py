@@ -2128,6 +2128,231 @@ def q_embed_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _commit_index_manifest(
+    base: str, version: int, centroids: str, members: list[str]
+) -> None:
+    """Commit an embedding-index version: write INDEX-v{N}.json via
+    tmp + atomic rename, then flip CURRENT_INDEX the same way — the
+    q_snapshot_commit object-store protocol (io_formats.py
+    _commit_manifest) applied to the vector index's (quantizer,
+    member roots) pair. Readers resolve CURRENT_INDEX → manifest →
+    roots, so a serve sees v1 or v2 in full, never a mix."""
+    import json as _json
+    import os as _os
+
+    man = {"version": version, "centroids": centroids, "members": members}
+    mpath = f"{base}/INDEX-v{version}.json"
+    with open(mpath + ".tmp", "w") as fh:
+        _json.dump(man, fh)
+    _os.replace(mpath + ".tmp", mpath)
+    with open(f"{base}/CURRENT_INDEX.tmp", "w") as fh:
+        fh.write(f"INDEX-v{version}.json")
+    _os.replace(f"{base}/CURRENT_INDEX.tmp", f"{base}/CURRENT_INDEX")
+
+
+def read_embed_index(spark: SparkSession, base: str, version: int | None = None):
+    """Resolve CURRENT_INDEX (or a pinned version — time travel) to
+    its manifest and open the index it describes: returns
+    (cl_ids, cmat, members_df) — the quantizer in the numpy form
+    kmeans_assign_mat consumes plus the member roots unioned into one
+    DataFrame (each root is its own cell-partitioned table)."""
+    import json as _json
+
+    if version is None:
+        with open(f"{base}/CURRENT_INDEX") as fh:
+            mname = fh.read().strip()
+    else:
+        mname = f"INDEX-v{version}.json"
+    with open(f"{base}/{mname}") as fh:
+        man = _json.load(fh)
+    cl_ids, cmat = _read_embed_centroids(spark, f"{base}/{man['centroids']}")
+    mem_schema = "vec_id bigint, e array<double>, cell int"
+    members = spark.read.schema(mem_schema).parquet(f"{base}/{man['members'][0]}")
+    for root in man["members"][1:]:
+        members = members.unionByName(
+            spark.read.schema(mem_schema).parquet(f"{base}/{root}")
+        )
+    return cl_ids, cmat, members
+
+
+def _ensure_embed_rebuilt(spark: SparkSession, sf_dir: str) -> str:
+    """Execute the re-cluster ACTION q_embed_index_refresh's drift
+    report recommends (VERDICT r12 #1) — the vector index's
+    compaction/maintenance leg, mirroring what q_dedup_index_compact
+    is to the LSH band index. Starting from the two-day index
+    (day0/ + day1/ sibling roots, frozen history-fit quantizer):
+
+    - commit INDEX-v1.json describing the as-ingested index
+      (centroids + [day0, day1]) if no manifest exists yet;
+    - REFIT the integer k-means on the index's CURRENT membership
+      (everything except tomorrow's batch — the exact refit the
+      drift report measures), rewrite every member into ONE
+      cell-partitioned root `v2/members` under the new quantization
+      (this also folds the append's sibling roots together —
+      VERDICT r12 #6), and persist the new quantizer `v2/centroids`;
+    - commit INDEX-v2.json + flip CURRENT_INDEX atomically.
+
+    A crash mid-rebuild leaves CURRENT_INDEX on the still-valid v1;
+    the rerun rebuilds v2 (overwrite) and flips. Once flipped, the
+    ensure is a no-op — serves pay zero rebuild cost."""
+    import os as _os
+
+    from data_wrangler_spark.operators.embeddings_ext import (
+        kmeans_assign_mat,
+        kmeans_fit_mat,
+    )
+
+    base = _ensure_embed_2day_built(spark, sf_dir)
+    try:
+        with open(f"{base}/CURRENT_INDEX") as fh:
+            if fh.read().strip() == "INDEX-v2.json":
+                return base
+    except OSError:
+        pass
+    _commit_index_manifest(base, 1, "centroids", ["day0", "day1"])
+
+    member_pred = F.col("vec_id") % 10 != INC2_DAY2
+    v_arr, cl_ids, cmat = kmeans_fit_mat(spark, sf_dir, fit_filter=member_pred)
+    asg = kmeans_assign_mat(v_arr.filter(member_pred), cl_ids, cmat).select(
+        "vec_id", F.col("cl").cast("int").alias("cell")
+    )
+    e_all = load_table(spark, sf_dir, "embeddings")
+    (
+        e_all.filter(member_pred)
+        .select("vec_id", to_double_array("embedding").alias("e"))
+        .join(asg, "vec_id")
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{base}/v2/members")
+    )
+    (
+        spark.createDataFrame(
+            [
+                (int(cl), [int(x) for x in cmat[i]])
+                for i, cl in enumerate(cl_ids)
+            ],
+            "cl long, c array<long>",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{base}/v2/centroids")
+    )
+    _commit_index_manifest(base, 2, "v2/centroids", ["v2/members"])
+    return base
+
+
+def _embed_rebuild_oracle() -> str:
+    from data_wrangler_spark.operators.embeddings_ext import kmeans_cte_sql
+
+    cos = sql_round6(
+        f"{sql_dot('nw.e', 'h.e')} / ({sql_norm('nw.e')} * {sql_norm('h.e')})"
+    )
+    return f"""
+    WITH RECURSIVE
+    {kmeans_cte_sql(fit_where=f"vec_id % 10 <> {INC2_DAY2}", suffix="_r")},
+    n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+    asg AS (SELECT n.vec_id, n.e, CAST(a.cl AS INT) AS cell
+            FROM n JOIN km_asg_r a ON a.vec_id = n.vec_id),
+    mem AS (SELECT * FROM asg WHERE vec_id % 10 <> {INC2_DAY2}),
+    d2 AS (SELECT * FROM asg WHERE vec_id % 10 = {INC2_DAY2})
+    SELECT nw.vec_id AS vec_new, h.vec_id AS vec_old, nw.cell,
+           {cos} AS cos_sim
+    FROM d2 nw JOIN mem h ON h.cell = nw.cell
+    WHERE {cos} >= {SEM_TAU}
+    """
+
+
+@register(
+    "q_embed_index_rebuild",
+    oracle=_embed_rebuild_oracle(),
+    tags=("llm", "dedup", "embedding"),
+)
+def q_embed_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-index REBUILD executed, then served through — the
+    re-cluster action q_embed_index_refresh's drift report only
+    recommends, closing the embedding family's last lifecycle
+    asymmetry (the LSH side has had its action since
+    q_dedup_index_compact). _ensure_embed_rebuilt refits the integer
+    k-means on current membership (history ∪ day-1), rewrites every
+    member into ONE cell-partitioned root under the refreshed
+    quantization (also compacting the append's day0/day1 sibling
+    roots — one root post-maintenance, matching the LSH story), and
+    swaps INDEX-v2 in with the q_snapshot_commit manifest protocol:
+    tmp-write + atomic rename + CURRENT_INDEX flip, so readers see
+    the old index or the new one, never a mix. The returned rows are
+    the PROOF the swap kept the index correct: tomorrow's batch
+    (day-2) probed through the CURRENT (rebuilt) index — nearest
+    refreshed centroid, same-cell exact cosine ≥ SEM_TAU — as
+    (vec_new, vec_old, cell, cos_sim) with cells in the NEW
+    quantization. The DuckDB oracle replays the refit (recursive
+    CTE, suffix form), every member's new assignment, and the probe
+    from raw embeddings, so the rewritten members + centroids +
+    manifest hop is proven lossless end-to-end; pytest additionally
+    pins member-set equivalence across the swap, the planted day-1
+    near-dups still being caught, and the serve path reading the new
+    root. Restart identity (same-split refit ≡ bit-identical
+    trajectory) is the q_embed_index_refresh pin, inherited.
+
+    Scale: the rebuild is the expensive, RARE leg — one bounded-
+    iteration integer fit (driver-resident K×dim centroids, one
+    Arrow pass per iteration, no shuffle), one assignment pass, and
+    ONE repartition("cell") shuffle to lay members out for serving —
+    exactly the cost the drift report exists to gate. Serving after
+    the flip pays zero of it: probes read the one compacted root
+    with cell-partition pruning (q_sim_search_ivf_indexed's
+    PartitionFilters), and the manifest flip means a 100 TB index
+    can rebuild in the background while v1 keeps serving, then cut
+    over atomically — the standard two-version index deployment."""
+    from data_wrangler_spark.functions.vectors import (
+        make_dot_udf,
+        norm,
+        round6,
+    )
+    from data_wrangler_spark.operators.embeddings_ext import (
+        kmeans_assign_mat,
+        quantize_xs,
+    )
+
+    base = _ensure_embed_rebuilt(spark, sf_dir)
+    cl_ids, cmat, members = read_embed_index(spark, base)
+
+    e_all = load_table(spark, sf_dir, "embeddings")
+    d2_raw = e_all.filter(F.col("vec_id") % 10 == INC2_DAY2)
+    asg = kmeans_assign_mat(quantize_xs(d2_raw), cl_ids, cmat).select(
+        "vec_id", F.col("cl").cast("int").alias("cell")
+    )
+    dot_udf = make_dot_udf()
+    a = (
+        d2_raw.select("vec_id", to_double_array("embedding").alias("ea"))
+        .join(asg, "vec_id")
+        .select(
+            F.col("vec_id").alias("vec_new"),
+            "cell",
+            "ea",
+            norm(F.col("ea")).alias("na"),
+        )
+    )
+    b = members.select(
+        F.col("vec_id").alias("vec_old"),
+        "cell",
+        F.col("e").alias("eb"),
+        norm(F.col("e")).alias("nb"),
+    )
+    return (
+        a.join(b, "cell")
+        .withColumn(
+            "cos_sim",
+            round6(
+                dot_udf(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+            ),
+        )
+        .filter(F.col("cos_sim") >= SEM_TAU)
+        .select("vec_new", "vec_old", "cell", "cos_sim")
+    )
+
+
 EVAL_JAC_MICRO = 500000  # ground-truth near-dup threshold for the eval
 
 

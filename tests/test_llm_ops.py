@@ -1086,3 +1086,109 @@ def test_ann_index_fresh_catch_and_phase_discipline(spark, sf_dir):
         r for r in rows if r.phase == "post" and r.vec_id % 10 == INC2_DAY1
     ]
     assert catches, "no day-1 vector entered the post-append top-k"
+
+
+def test_embed_index_rebuild_swap_compaction_and_serve(spark, sf_dir):
+    """The executed re-cluster action (VERDICT r12 #1): after
+    q_embed_index_rebuild runs, (a) CURRENT_INDEX points at v2 whose
+    manifest lists ONE compacted member root (v1 listed the day0/day1
+    append siblings — VERDICT r12 #6), (b) the member set is
+    preserved bit-for-bit across the swap (same vec_ids, same
+    vectors), (c) the planted day-1 near-dups are still caught
+    through the rebuilt index, and (d) the serve path reads the new
+    root: brute-force top-k over the CURRENT members equals
+    q_ann_index_fresh's post-append phase (equal member sets must
+    serve identically — swap-invariance of serving)."""
+    import json
+
+    from pyspark.sql import Window
+
+    from data_wrangler_spark.functions.vectors import (
+        make_dot_udf,
+        norm,
+        round6,
+    )
+    from data_wrangler_spark.operators.dedup import (
+        INC2_DAY1,
+        INC2_DAY2,
+        SEM_TAU,
+        _embed_2day_path,
+        read_embed_index,
+    )
+    from data_wrangler_spark.operators.similarity import FRESH_K
+    from data_wrangler_spark.registry import REGISTRY
+
+    rows = REGISTRY["q_embed_index_rebuild"].run(spark, sf_dir).collect()
+    base = _embed_2day_path(sf_dir)
+
+    # (a) atomic flip + compaction: v2 is CURRENT with one root
+    with open(f"{base}/CURRENT_INDEX") as fh:
+        assert fh.read().strip() == "INDEX-v2.json"
+    with open(f"{base}/INDEX-v1.json") as fh:
+        assert len(json.load(fh)["members"]) == 2
+    with open(f"{base}/INDEX-v2.json") as fh:
+        assert len(json.load(fh)["members"]) == 1
+
+    # (b) member-set equivalence across the swap
+    mem_schema = "vec_id bigint, e array<double>, cell int"
+    old = {
+        r.vec_id: tuple(r.e)
+        for r in spark.read.schema(mem_schema)
+        .parquet(f"{base}/day0")
+        .unionByName(spark.read.schema(mem_schema).parquet(f"{base}/day1"))
+        .collect()
+    }
+    _, _, members = read_embed_index(spark, base)
+    new = {r.vec_id: tuple(r.e) for r in members.collect()}
+    assert new == old and new
+
+    # (c) probe discipline + the planted day-1 catch survives
+    for r in rows:
+        assert r.cos_sim >= SEM_TAU
+        assert r.vec_new % 10 == INC2_DAY2
+        assert r.vec_old % 10 != INC2_DAY2
+    assert any(r.vec_old % 10 == INC2_DAY1 for r in rows), (
+        "no day-1 member caught through the rebuilt index — the "
+        "re-quantization lost the appended vectors"
+    )
+
+    # (d) serving through CURRENT ≡ the pre-swap union serve
+    post = sorted(
+        (r.qid, r.rnk, r.vec_id, r.cos_sim)
+        for r in REGISTRY["q_ann_index_fresh"].run(spark, sf_dir).collect()
+        if r.phase == "post"
+    )
+    e_all = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from data_wrangler_spark.functions.vectors import to_double_array
+    from data_wrangler_spark.operators.similarity import FRESH_NQ
+
+    q = (
+        e_all.filter(F.col("vec_id") % 10 == INC2_DAY2)
+        .orderBy("vec_id")
+        .limit(FRESH_NQ)
+        .select(
+            F.col("vec_id").alias("qid"),
+            to_double_array("embedding").alias("qe"),
+        )
+        .withColumn("qn", norm(F.col("qe")))
+    )
+    dot_udf = make_dot_udf()
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    served = sorted(
+        (r.qid, r.rnk, r.vec_id, r.cos_sim)
+        for r in members.withColumn("nrm", norm(F.col("e")))
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "cos_sim",
+            round6(dot_udf(F.col("e"), F.col("qe")) / (F.col("nrm") * F.col("qn"))),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= FRESH_K)
+        .select("qid", "rnk", "vec_id", "cos_sim")
+        .collect()
+    )
+    assert served == post and served
+
+    # idempotence: a second run serves from the committed v2, same rows
+    again = REGISTRY["q_embed_index_rebuild"].run(spark, sf_dir).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
