@@ -943,3 +943,196 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("keep", F.col("score_micro") >= 0)
     )
+
+
+# ── PII detection / redaction ──────────────────────────────────────
+# Shared regex classes, chosen to behave identically under Java
+# regex (Spark) and RE2 (DuckDB): character classes, bounded
+# repetition, alternation, and ASCII \b only — no backreferences or
+# lookaround (RE2 has neither), the same dialect-parity discipline
+# TOKEN_REGEX pins. Counts are per class over the ORIGINAL text
+# (overlap between classes cannot skew them); redaction applies the
+# classes in one fixed order, so both engines' leftmost global
+# replace produces byte-identical output.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PAN_RE = r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b|\b\d{16}\b"
+PII_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+# deterministic planting moduli: which docs get which PII appended
+PII_M_EMAIL, PII_M_PHONE, PII_M_IP, PII_M_PAN = (7, 3), (11, 4), (13, 5), (17, 6)
+
+
+def _pii_sql() -> str:
+    plant = f"""
+      text
+      || CASE WHEN doc_id % {PII_M_EMAIL[0]} = {PII_M_EMAIL[1]}
+              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE '' END
+      || CASE WHEN doc_id % {PII_M_PHONE[0]} = {PII_M_PHONE[1]}
+              THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                   || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END
+      || CASE WHEN doc_id % {PII_M_IP[0]} = {PII_M_IP[1]}
+              THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.' || CAST((doc_id // 256) % 256 AS VARCHAR) || '.7'
+              ELSE '' END
+      || CASE WHEN doc_id % {PII_M_PAN[0]} = {PII_M_PAN[1]}
+              THEN ' card 4111-1111-1111-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END
+    """
+    red = "p.pii_text"
+    for pat, tok in (
+        (PII_EMAIL_RE, "<EMAIL>"),
+        (PII_PAN_RE, "<PAN>"),
+        (PII_PHONE_RE, "<PHONE>"),
+        (PII_IP_RE, "<IP>"),
+    ):
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+    return f"""
+    WITH p AS (SELECT doc_id, {plant} AS pii_text FROM documents),
+    scanned AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(pii_text, '{PII_EMAIL_RE}')) AS BIGINT)
+               AS n_email,
+             CAST(len(regexp_extract_all(pii_text, '{PII_PHONE_RE}')) AS BIGINT)
+               AS n_phone,
+             CAST(len(regexp_extract_all(pii_text, '{PII_IP_RE}')) AS BIGINT)
+               AS n_ip,
+             CAST(len(regexp_extract_all(pii_text, '{PII_PAN_RE}')) AS BIGINT)
+               AS n_pan,
+             {red} AS redacted
+      FROM p),
+    perdoc AS (
+      SELECT doc_id, n_email, n_phone, n_ip, n_pan,
+             n_email + n_phone + n_ip + n_pan AS n_pii, redacted
+      FROM scanned)
+    SELECT * FROM perdoc WHERE n_pii > 0
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(SUM(n_email) AS BIGINT),
+           CAST(SUM(n_phone) AS BIGINT), CAST(SUM(n_ip) AS BIGINT),
+           CAST(SUM(n_pan) AS BIGINT),
+           CAST(SUM(n_email + n_phone + n_ip + n_pan) AS BIGINT),
+           CAST(NULL AS VARCHAR)
+    FROM perdoc
+    """
+
+
+@register("q_pii_scrub", oracle=_pii_sql(), tags=("llm", "text", "pii"))
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the standard training-data stage
+    the pipeline lacked (VERDICT r12 #4; q_text_scrub only masks
+    digit runs). Four regex classes (email, US-shaped phone, IPv4,
+    16-digit PAN with/without group separators) are detected and
+    counted per document over a corpus with DETERMINISTICALLY PLANTED
+    PII (doc_id-derived values appended by modulus per class, so
+    every class is non-vacuous at every scale factor and both engines
+    construct the identical corpus in-plan); redaction replaces each
+    class with a typed token in one fixed order (email → PAN → phone
+    → IP — tokens contain no digits, so later classes can never match
+    inside an earlier replacement). Output: per-doc rows (doc_id,
+    n_email, n_phone, n_ip, n_pan, n_pii, redacted) for docs with
+    any hit, plus one corpus-level audit row (doc_id = -1, class
+    totals over ALL docs, NULL redacted) — the numbers a privacy
+    review signs off on. Regex dialect parity (Java vs RE2) is held
+    to the shared safe subset: classes, bounded repetition,
+    alternation, ASCII word boundaries — no backreferences or
+    lookaround; byte-identical counts AND redacted text are
+    hash-checked by the oracle.
+
+    Scale: one pruned scan of documents; every count and both
+    replace chains are codegen string expressions — no UDF, no
+    shuffle for the per-doc rows, one partial+final agg for the
+    audit row. At 100 TB this is exactly the shape you want: the
+    scrub rides the same scan as the rest of the quality gates and
+    the audit aggregate moves 5 longs per partition."""
+    did = F.col("doc_id")
+
+    def planted(mod_pair, body: F.Column) -> F.Column:
+        m, r = mod_pair
+        return F.when(did % m == r, body).otherwise(F.lit(""))
+
+    pii_text = F.concat(
+        F.col("text"),
+        planted(
+            PII_M_EMAIL,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com"),
+            ),
+        ),
+        planted(
+            PII_M_PHONE,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ),
+        planted(
+            PII_M_IP,
+            F.concat(
+                F.lit(" from 10."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                (F.expr("doc_id div 256") % 256).cast("string"),
+                F.lit(".7"),
+            ),
+        ),
+        planted(
+            PII_M_PAN,
+            F.concat(
+                F.lit(" card 4111-1111-1111-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ),
+    )
+
+    red = F.col("pii_text")
+    for pat, tok in (
+        (PII_EMAIL_RE, "<EMAIL>"),
+        (PII_PAN_RE, "<PAN>"),
+        (PII_PHONE_RE, "<PHONE>"),
+        (PII_IP_RE, "<IP>"),
+    ):
+        red = F.regexp_replace(red, pat, tok)
+
+    perdoc = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", pii_text.alias("pii_text"))
+        .select(
+            "doc_id",
+            F.regexp_count("pii_text", F.lit(PII_EMAIL_RE))
+            .cast("long")
+            .alias("n_email"),
+            F.regexp_count("pii_text", F.lit(PII_PHONE_RE))
+            .cast("long")
+            .alias("n_phone"),
+            F.regexp_count("pii_text", F.lit(PII_IP_RE))
+            .cast("long")
+            .alias("n_ip"),
+            F.regexp_count("pii_text", F.lit(PII_PAN_RE))
+            .cast("long")
+            .alias("n_pan"),
+            red.alias("redacted"),
+        )
+        .withColumn(
+            "n_pii",
+            F.col("n_email") + F.col("n_phone") + F.col("n_ip") + F.col("n_pan"),
+        )
+        .select(
+            "doc_id", "n_email", "n_phone", "n_ip", "n_pan", "n_pii", "redacted"
+        )
+    )
+    audit = perdoc.agg(
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.sum("n_email").alias("n_email"),
+        F.sum("n_phone").alias("n_phone"),
+        F.sum("n_ip").alias("n_ip"),
+        F.sum("n_pan").alias("n_pan"),
+        F.sum("n_pii").alias("n_pii"),
+        F.lit(None).cast("string").alias("redacted"),
+    )
+    return perdoc.filter(F.col("n_pii") > 0).unionByName(audit)

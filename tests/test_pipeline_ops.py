@@ -637,3 +637,100 @@ def test_dedup_spans_keeper_discipline(spark, sf_dir):
         sum(r.n_spans for r in rows) - sum(r.n_dropped for r in rows)
         == distinct_spans
     )
+
+
+def test_pii_scrub_every_class_planted_and_python_parity(spark, sf_dir):
+    """q_pii_scrub must (a) be non-vacuous in EVERY class (the audit
+    row's per-class totals are all positive — the deterministic
+    planting guarantees it at any factor), (b) have a consistent
+    audit row (totals == sums over per-doc rows), and (c) agree with
+    an INDEPENDENT pure-Python `re` scan on a planted corpus
+    covering each class plus the overlap traps (separator PAN vs
+    phone, bare 16-digit PAN, dotted phone vs IPv4, token ordering)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from data_wrangler_spark.operators.text_analysis import (
+        PII_EMAIL_RE,
+        PII_IP_RE,
+        PII_PAN_RE,
+        PII_PHONE_RE,
+    )
+    from data_wrangler_spark.registry import REGISTRY
+
+    rows = REGISTRY["q_pii_scrub"].run(spark, sf_dir).collect()
+    audit = [r for r in rows if r.doc_id == -1]
+    perdoc = [r for r in rows if r.doc_id != -1]
+    assert len(audit) == 1
+    a = audit[0]
+    for cls in ("n_email", "n_phone", "n_ip", "n_pan"):
+        assert getattr(a, cls) > 0, f"class {cls} vacuous"
+        assert getattr(a, cls) == sum(getattr(r, cls) for r in perdoc)
+    assert all(r.n_pii == r.n_email + r.n_phone + r.n_ip + r.n_pan
+               for r in perdoc)
+    # redaction removed every detected span: re-scanning the redacted
+    # text finds nothing (tokens contain no digits or '@')
+    for r in perdoc[:50]:
+        for pat in (PII_EMAIL_RE, PII_PAN_RE, PII_PHONE_RE, PII_IP_RE):
+            assert not re.search(pat, r.redacted), (r.doc_id, pat)
+
+    # (c) independent pure-Python parity on a hand-planted corpus
+    corpus = [
+        (1, "mail bob.smith+x@sub.example.com and a@b.io twice"),
+        (2, "call 555-123-4567 or 555.987.6543 now"),
+        (3, "card 4111-1111-1111-0042 and 1234567890123456 raw"),
+        (4, "host 10.0.255.7 peer 192.168.1.200"),
+        (5, "mix u9@ex.org 555-000-1111 4111 1111 1111 9999 1.2.3.4"),
+        (6, "clean text with numbers 123 45678 and a.b words"),
+        (7, "edge [email protected] then 999.888.777.666"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id bigint, pii_text string")
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            F.regexp_count("pii_text", F.lit(PII_EMAIL_RE)).alias("e"),
+            F.regexp_count("pii_text", F.lit(PII_PHONE_RE)).alias("p"),
+            F.regexp_count("pii_text", F.lit(PII_IP_RE)).alias("i"),
+            F.regexp_count("pii_text", F.lit(PII_PAN_RE)).alias("c"),
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(
+                            "pii_text", PII_EMAIL_RE, "<EMAIL>"
+                        ),
+                        PII_PAN_RE,
+                        "<PAN>",
+                    ),
+                    PII_PHONE_RE,
+                    "<PHONE>",
+                ),
+                PII_IP_RE,
+                "<IP>",
+            ).alias("red"),
+        ).collect()
+    }
+    for doc_id, text in corpus:
+        exp = {
+            "e": len(re.findall(PII_EMAIL_RE, text)),
+            "p": len(re.findall(PII_PHONE_RE, text)),
+            "i": len(re.findall(PII_IP_RE, text)),
+            "c": len(re.findall(PII_PAN_RE, text)),
+        }
+        r = got[doc_id]
+        assert (r.e, r.p, r.i, r.c) == tuple(exp.values()), (doc_id, text)
+        red = text
+        for pat, tok in (
+            (PII_EMAIL_RE, "<EMAIL>"),
+            (PII_PAN_RE, "<PAN>"),
+            (PII_PHONE_RE, "<PHONE>"),
+            (PII_IP_RE, "<IP>"),
+        ):
+            red = re.sub(pat, tok, red)
+        assert r.red == red, (doc_id, r.red, red)
+    # the traps actually trip: doc 2 has a dotted phone not an IP,
+    # doc 3 a bare PAN, doc 5 all four classes at once
+    assert (got[2].p, got[2].i) == (2, 0)
+    assert got[3].c == 2
+    assert (got[5].e, got[5].p, got[5].i, got[5].c) == (1, 1, 1, 1)
