@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from data_wrangler_spark.catalog import load_table
+from data_wrangler_spark.functions.distributed import pin
 from data_wrangler_spark.functions.text import (
     TOKEN_REGEX,
     occurrence_count,
@@ -294,53 +295,66 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BPE_ROUNDS = 2      # merge rounds learned
+BPE_ROUNDS = 8      # merge rounds learned (r13: 2 -> 8, VERDICT r12 #8)
 BPE_TOPN = 10       # pairs reported per stage
-BPE_SYMBOLS = "AB"  # single-char stand-ins for merged symbols (corpus
-                    # is lowercase a-z, so these can never collide)
+BPE_SYMBOLS = "ABCDEFGH"  # single-char stand-ins for merged symbols
+                          # (corpus is lowercase a-z, so these never
+                          # collide; later merges may consume earlier
+                          # symbols, exactly as BPE prescribes)
+
+
+def _bpe_stage_ctes(rounds: int) -> str:
+    """Generated CTE chain for `rounds` BPE merge rounds (no leading
+    WITH): w{s} (the corpus after s merges), p{s}/r{s} (pair counts +
+    (cnt DESC, pair) rank), m{s+1} (the chosen merge). One generator
+    feeds BOTH oracles (q_bpe_merges, q_bpe_encode) so the learned
+    rules are identical by construction; parameterizing it is what
+    lets K grow past a hand-unrolled 2 (VERDICT r12 #8)."""
+    parts = [
+        """w0 AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents)"""
+    ]
+    for s in range(rounds + 1):
+        parts.append(
+            f"""p{s} AS (
+      SELECT substr(word, i, 2) AS pair, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT word, unnest(generate_series(1, length(word) - 1)) AS i
+            FROM w{s})
+      GROUP BY 1)"""
+        )
+        parts.append(
+            f"""r{s} AS (SELECT pair, cnt,
+                  ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rnk
+           FROM p{s})"""
+        )
+        if s < rounds:
+            parts.append(
+                f"m{s + 1} AS (SELECT pair FROM r{s} WHERE rnk = 1)"
+            )
+            parts.append(
+                f"w{s + 1} AS (SELECT replace(word, (SELECT pair FROM "
+                f"m{s + 1}), '{BPE_SYMBOLS[s]}') AS word FROM w{s})"
+            )
+    return ",\n    ".join(parts)
+
+
+def _bpe_merges_oracle() -> str:
+    union = "\n          UNION ALL ".join(
+        f"SELECT {s} AS stage, * FROM r{s}" for s in range(BPE_ROUNDS + 1)
+    )
+    return f"""
+    WITH {_bpe_stage_ctes(BPE_ROUNDS)}
+    SELECT stage, pair, cnt, CAST(rnk AS INT) AS rnk,
+           (rnk = 1 AND stage < {BPE_ROUNDS}) AS chosen
+    FROM ({union})
+    WHERE rnk <= {BPE_TOPN}
+    """
 
 
 @register(
     "q_bpe_merges",
-    oracle=f"""
-    WITH w0 AS (
-      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
-      FROM documents),
-    p0 AS (
-      SELECT substr(word, i, 2) AS pair, CAST(count(*) AS BIGINT) AS cnt
-      FROM (SELECT word, unnest(generate_series(1, length(word) - 1)) AS i
-            FROM w0)
-      GROUP BY 1),
-    r0 AS (SELECT pair, cnt,
-                  ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rnk
-           FROM p0),
-    m1 AS (SELECT pair FROM r0 WHERE rnk = 1),
-    w1 AS (SELECT replace(word, (SELECT pair FROM m1), 'A') AS word FROM w0),
-    p1 AS (
-      SELECT substr(word, i, 2) AS pair, CAST(count(*) AS BIGINT) AS cnt
-      FROM (SELECT word, unnest(generate_series(1, length(word) - 1)) AS i
-            FROM w1)
-      GROUP BY 1),
-    r1 AS (SELECT pair, cnt,
-                  ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rnk
-           FROM p1),
-    m2 AS (SELECT pair FROM r1 WHERE rnk = 1),
-    w2 AS (SELECT replace(word, (SELECT pair FROM m2), 'B') AS word FROM w1),
-    p2 AS (
-      SELECT substr(word, i, 2) AS pair, CAST(count(*) AS BIGINT) AS cnt
-      FROM (SELECT word, unnest(generate_series(1, length(word) - 1)) AS i
-            FROM w2)
-      GROUP BY 1),
-    r2 AS (SELECT pair, cnt,
-                  ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rnk
-           FROM p2)
-    SELECT stage, pair, cnt, CAST(rnk AS INT) AS rnk,
-           (rnk = 1 AND stage < {BPE_ROUNDS}) AS chosen
-    FROM (SELECT 0 AS stage, * FROM r0
-          UNION ALL SELECT 1, * FROM r1
-          UNION ALL SELECT 2, * FROM r2)
-    WHERE rnk <= {BPE_TOPN}
-    """,
+    oracle=_bpe_merges_oracle(),
     tags=("llm", "text", "tokenizer"),
 )
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -395,10 +409,17 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             top = ranked.filter(F.col("rnk") == 1).select(
                 F.col("pair").alias("mpair")
             )
-            w = w.crossJoin(F.broadcast(top)).select(
-                F.replace(
-                    F.col("word"), F.col("mpair"), F.lit(BPE_SYMBOLS[s])
-                ).alias("word")
+            # pin each merged corpus: stage s's pair count reads the
+            # CACHED w_s instead of replaying s chained replace scans
+            # (at K=8 the un-pinned lineage costs O(K^2) corpus scans)
+            w = pin(
+                w.crossJoin(F.broadcast(top))
+                .select(
+                    F.replace(
+                        F.col("word"), F.col("mpair"), F.lit(BPE_SYMBOLS[s])
+                    ).alias("word")
+                )
+                .persist()
             )
 
     out = stages[0]
@@ -604,45 +625,22 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_merge_ctes() -> str:
-    """The two learned-merge CTEs (m1, m2) — identical text to
-    q_bpe_merges' oracle so both queries learn the same rules."""
-    return """
-    w0 AS (
-      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
-      FROM documents),
-    p0 AS (
-      SELECT substr(word, i, 2) AS pair, CAST(count(*) AS BIGINT) AS cnt
-      FROM (SELECT word, unnest(generate_series(1, length(word) - 1)) AS i
-            FROM w0)
-      GROUP BY 1),
-    r0 AS (SELECT pair, cnt,
-                  ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rnk
-           FROM p0),
-    m1 AS (SELECT pair FROM r0 WHERE rnk = 1),
-    w1 AS (SELECT replace(word, (SELECT pair FROM m1), 'A') AS word FROM w0),
-    p1 AS (
-      SELECT substr(word, i, 2) AS pair, CAST(count(*) AS BIGINT) AS cnt
-      FROM (SELECT word, unnest(generate_series(1, length(word) - 1)) AS i
-            FROM w1)
-      GROUP BY 1),
-    r1 AS (SELECT pair, cnt,
-                  ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rnk
-           FROM p1),
-    m2 AS (SELECT pair FROM r1 WHERE rnk = 1)"""
-
-
-@register(
-    "q_bpe_encode",
-    oracle=f"""
-    WITH {_bpe_merge_ctes()},
+def _bpe_encode_oracle() -> str:
+    """Encode oracle: the SAME generated merge chain as q_bpe_merges
+    (one generator, identical rules by construction), then every
+    document tokenized by applying the K merges in learned order."""
+    reps = "w"
+    for s in range(BPE_ROUNDS):
+        reps = f"replace({reps}, m{s + 1}.pair, '{BPE_SYMBOLS[s]}')"
+    froms = ", ".join(f"m{s + 1}" for s in range(BPE_ROUNDS))
+    return f"""
+    WITH {_bpe_stage_ctes(BPE_ROUNDS)},
     docs AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
              FROM documents),
     enc AS (
       SELECT doc_id, ws,
-             list_transform(ws,
-               w -> replace(replace(w, m1.pair, 'A'), m2.pair, 'B')) AS es
-      FROM docs, m1, m2),
+             list_transform(ws, w -> {reps}) AS es
+      FROM docs, {froms}),
     stats AS (
       SELECT doc_id,
              CAST(len(ws) AS BIGINT) AS n_words,
@@ -655,7 +653,12 @@ def _bpe_merge_ctes() -> str:
            (n_symbols_bpe * 1000000) // n_chars_raw AS compression_micro
     FROM stats
     WHERE n_chars_raw > 0
-    """,
+    """
+
+
+@register(
+    "q_bpe_encode",
+    oracle=_bpe_encode_oracle(),
     tags=("llm", "text"),
 )
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -695,28 +698,34 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("pair").alias(out))
         )
 
-    m1 = top_pair(w0, "p1")
-    w1 = w0.crossJoin(F.broadcast(m1)).select(
-        F.replace(F.col("word"), F.col("p1"), F.lit("A")).alias("word")
-    )
-    m2 = top_pair(w1, "p2")
-
-    enc = (
-        d.select("doc_id", words("text").alias("ws"))
-        .crossJoin(F.broadcast(m1))
-        .crossJoin(F.broadcast(m2))
-        .select(
-            "doc_id",
-            "ws",
-            F.transform(
-                "ws",
-                lambda wd: F.replace(
-                    F.replace(wd, F.col("p1"), F.lit("A")),
-                    F.col("p2"),
-                    F.lit("B"),
-                ),
-            ).alias("es"),
+    w, rules = w0, []
+    for s in range(BPE_ROUNDS):
+        m = top_pair(w, f"p{s + 1}")
+        rules.append((f"p{s + 1}", BPE_SYMBOLS[s], m))
+        # pin the merged corpus so rule s+1's pair count reads a
+        # cached table instead of replaying the whole replace chain
+        w = pin(
+            w.crossJoin(F.broadcast(m))
+            .select(
+                F.replace(
+                    F.col("word"), F.col(f"p{s + 1}"), F.lit(BPE_SYMBOLS[s])
+                ).alias("word")
+            )
+            .persist()
         )
+
+    enc = d.select("doc_id", words("text").alias("ws"))
+    for _, _, m in rules:
+        enc = enc.crossJoin(F.broadcast(m))
+
+    def apply_rules(wd):
+        e = wd
+        for name, sym, _ in rules:
+            e = F.replace(e, F.col(name), F.lit(sym))
+        return e
+
+    enc = enc.select(
+        "doc_id", "ws", F.transform("ws", apply_rules).alias("es")
     )
     zero = F.lit(0).cast("long")
     n_raw = F.aggregate(
