@@ -120,6 +120,9 @@ AUDIT = [
     ("q_quality_classifier", "packed weight-vector literal; scan-side score, no exchange"),
     ("q_ann_index_fresh", "broadcast query batch; appended files visible to the next serve"),
     ("q_dedup_spans", "span dedup: one exchange on the 16-byte span digest, min-struct keeper"),
+    ("q_embed_index_rebuild", "manifest-resolved CURRENT index; day-2 probes the one rebuilt cell root"),
+    ("q_pii_scrub", "regex count+redact as codegen string exprs; one scan, 5-long audit agg"),
+    ("q_bpe_merges", "K=8 merge loop: per-stage pinned corpus + TakeOrdered pair heap"),
 ]
 
 # Streaming operators: REGISTRY.run() returns the memory sink (its
@@ -131,6 +134,10 @@ STREAM_AUDIT = [
     ("q_stream_quarantine", "self-union of both gates; per-(doc,reason) dedup state"),
     ("q_stream_embed_gate", "expression centroid assign + stream-static cell join + per-pair state"),
 ]
+
+# Durable-sink resume ops replay their plan through _run_stream_to_dir
+# (same stash); their micro-batch evidence is the gate plan above plus
+# the file-source/file-sink commit logs exercised by the resume tests.
 
 
 def main() -> None:
