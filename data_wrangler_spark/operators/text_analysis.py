@@ -971,7 +971,11 @@ PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_M_EMAIL, PII_M_PHONE, PII_M_IP, PII_M_PAN = (7, 3), (11, 4), (13, 5), (17, 6)
 
 
-def _pii_sql() -> str:
+def _pii_perdoc_sql() -> str:
+    """The per-doc CTE chain (planted corpus -> class counts ->
+    redacted text -> n_pii), shared verbatim by the batch oracle
+    (which adds the audit row) and the streaming oracle (which is
+    exactly the per-doc rows) — one formulation, two deliveries."""
     plant = f"""
       text
       || CASE WHEN doc_id % {PII_M_EMAIL[0]} = {PII_M_EMAIL[1]}
@@ -1016,6 +1020,12 @@ def _pii_sql() -> str:
       SELECT doc_id, n_email, n_phone, n_ip, n_pan,
              n_email + n_phone + n_ip + n_pan AS n_pii, redacted
       FROM scanned)
+    """
+
+
+def _pii_sql() -> str:
+    return f"""
+    WITH {_pii_perdoc_sql().strip().removeprefix("WITH ")}
     SELECT * FROM perdoc WHERE n_pii > 0
     UNION ALL
     SELECT CAST(-1 AS BIGINT), CAST(SUM(n_email) AS BIGINT),
@@ -1024,6 +1034,13 @@ def _pii_sql() -> str:
            CAST(SUM(n_email + n_phone + n_ip + n_pan) AS BIGINT),
            CAST(NULL AS VARCHAR)
     FROM perdoc
+    """
+
+
+def pii_stream_oracle() -> str:
+    return f"""
+    WITH {_pii_perdoc_sql().strip().removeprefix("WITH ")}
+    SELECT * FROM perdoc WHERE n_pii > 0
     """
 
 
@@ -1055,6 +1072,29 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit row. At 100 TB this is exactly the shape you want: the
     scrub rides the same scan as the rest of the quality gates and
     the audit aggregate moves 5 longs per partition."""
+    perdoc = pii_perdoc(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    audit = perdoc.agg(
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.sum("n_email").alias("n_email"),
+        F.sum("n_phone").alias("n_phone"),
+        F.sum("n_ip").alias("n_ip"),
+        F.sum("n_pan").alias("n_pan"),
+        F.sum("n_pii").alias("n_pii"),
+        F.lit(None).cast("string").alias("redacted"),
+    )
+    return perdoc.filter(F.col("n_pii") > 0).unionByName(audit)
+
+
+def pii_perdoc(df: DataFrame) -> DataFrame:
+    """(doc_id, text) → the per-doc PII rows (counts per class,
+    n_pii, redacted) — the SAME Column expressions whether `df` is a
+    batch scan (q_pii_scrub) or a streaming micro-batch
+    (q_stream_pii_scrub); factored so the two deliveries cannot
+    drift. Stateless and row-local by construction: a pure codegen
+    map with no aggregation, which is what makes the streaming form
+    a zero-state gate."""
     did = F.col("doc_id")
 
     def planted(mod_pair, body: F.Column) -> F.Column:
@@ -1108,9 +1148,8 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         red = F.regexp_replace(red, pat, tok)
 
-    perdoc = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", pii_text.alias("pii_text"))
+    return (
+        df.select("doc_id", pii_text.alias("pii_text"))
         .select(
             "doc_id",
             F.regexp_count("pii_text", F.lit(PII_EMAIL_RE))
@@ -1135,13 +1174,3 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "n_email", "n_phone", "n_ip", "n_pan", "n_pii", "redacted"
         )
     )
-    audit = perdoc.agg(
-        F.lit(-1).cast("long").alias("doc_id"),
-        F.sum("n_email").alias("n_email"),
-        F.sum("n_phone").alias("n_phone"),
-        F.sum("n_ip").alias("n_ip"),
-        F.sum("n_pan").alias("n_pan"),
-        F.sum("n_pii").alias("n_pii"),
-        F.lit(None).cast("string").alias("redacted"),
-    )
-    return perdoc.filter(F.col("n_pii") > 0).unionByName(audit)

@@ -1562,3 +1562,56 @@ def q_stream_embed_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ingest_day int, vec_new bigint, vec_old bigint, "
         "cell int, cos_sim double"
     ).parquet(out)
+
+
+def _stream_pii_oracle() -> str:
+    from data_wrangler_spark.operators.text_analysis import (
+        pii_stream_oracle,
+    )
+
+    return pii_stream_oracle()
+
+
+@register(
+    "q_stream_pii_scrub",
+    oracle=_stream_pii_oracle(),
+    tags=("stream", "llm", "text", "pii"),
+)
+def q_stream_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PII gate delivered AS a stream — q_pii_scrub's per-doc
+    detection/redaction applied to arriving documents, completing
+    the streaming-delivery matrix for the newest gate family the
+    way the LSH, gram, and embedding gates already stream. Two
+    micro-batches (doc_id parity split); each arriving doc is
+    counted per class and redacted by the IDENTICAL Column
+    expressions as the batch op (pii_perdoc — factored, so the two
+    deliveries cannot drift), and docs with any hit are emitted as
+    (doc_id, n_email, n_phone, n_ip, n_pan, n_pii, redacted). The
+    oracle is the batch per-doc replay (the shared CTE chain minus
+    the audit row), so the streamed emission is value-hash checked
+    end to end.
+
+    Scale: the ideal streaming stage — STATELESS and row-local
+    (pure codegen string expressions, no join, no aggregation, no
+    dedup state; the corpus-level audit is the batch op's job, not
+    the stream's), so throughput is scan-bound and a restart needs
+    only the source log. Every arriving document is scrubbed
+    exactly once by the file source's own commit semantics."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = _stage_parts(
+        f"pii_{os.path.basename(sf_dir.rstrip('/'))}",
+        [
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+        ],
+    )
+    from data_wrangler_spark.operators.text_analysis import pii_perdoc
+
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    return _run_stream(
+        pii_perdoc(src).filter(F.col("n_pii") > 0), "q_stream_pii_scrub"
+    )

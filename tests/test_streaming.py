@@ -724,3 +724,23 @@ def test_embed_resume_op_idempotent_and_equals_batch(spark, sf_dir):
         for r in REGISTRY["q_dedup_embed_2day"].run(spark, sf_dir).collect()
     }
     assert a == b == batch and batch
+
+
+def test_stream_pii_scrub_equals_batch_and_stateless(spark, sf_dir):
+    """The streamed PII gate must emit exactly the batch op's per-doc
+    rows (same factored expressions — any drift is a bug), and its
+    micro-batch plan must be STATELESS: no state-store operator, no
+    aggregation — the scrub is a pure row-local map, which is the
+    scale property the docstring claims."""
+    import data_wrangler_spark.streaming.windows as W
+
+    rows = REGISTRY["q_stream_pii_scrub"].run(spark, sf_dir).collect()
+    streamed = {tuple(r) for r in rows}
+    batch = {
+        tuple(r)
+        for r in REGISTRY["q_pii_scrub"].run(spark, sf_dir).collect()
+        if r.doc_id != -1
+    }
+    assert streamed == batch and streamed
+    plan = W._LAST_STREAM_PLAN or ""
+    assert "StateStore" not in plan and "Aggregate" not in plan
