@@ -38,6 +38,14 @@ GATE_QUERIES = (
     "q_stream_dedup_ingest",
     "q_stream_quarantine",
     "q_stream_embed_gate",
+    # r13: the PII gate's stateless streaming delivery and the
+    # embed gate's durable restart/resume composition — their
+    # checkpoints live in op-owned scratch (memory-sink ckpt for the
+    # former, durable per-fixture root for the latter), so the
+    # generic ckpt-bytes scan below simply finds none for them;
+    # wall + oracle parity are the probe's claim here
+    "q_stream_pii_scrub",
+    "q_stream_embed_resume",
 )
 
 
