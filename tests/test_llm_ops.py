@@ -1141,6 +1141,10 @@ def test_embed_index_rebuild_swap_compaction_and_serve(spark, sf_dir):
     _, _, members = read_embed_index(spark, base)
     new = {r.vec_id: tuple(r.e) for r in members.collect()}
     assert new == old and new
+    # time travel: the superseded v1 manifest still serves the
+    # as-appended index after the flip (two roots, same members)
+    _, _, mem_v1 = read_embed_index(spark, base, version=1)
+    assert {r.vec_id: tuple(r.e) for r in mem_v1.collect()} == old
 
     # (c) probe discipline + the planted day-1 catch survives
     for r in rows:
