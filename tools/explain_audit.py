@@ -133,6 +133,7 @@ STREAM_AUDIT = [
     ("q_stream_dedup_ingest", "stream-static band-index probe + verify + per-pair dedup state"),
     ("q_stream_quarantine", "self-union of both gates; per-(doc,reason) dedup state"),
     ("q_stream_embed_gate", "expression centroid assign + stream-static cell join + per-pair state"),
+    ("q_stream_pii_scrub", "stateless row-local scrub: no join, no agg, no state store"),
 ]
 
 # Durable-sink resume ops replay their plan through _run_stream_to_dir
