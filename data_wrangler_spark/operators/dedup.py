@@ -2141,13 +2141,24 @@ def _commit_index_manifest(
     import os as _os
 
     man = {"version": version, "centroids": centroids, "members": members}
-    mpath = f"{base}/INDEX-v{version}.json"
-    with open(mpath + ".tmp", "w") as fh:
-        _json.dump(man, fh)
-    _os.replace(mpath + ".tmp", mpath)
-    with open(f"{base}/CURRENT_INDEX.tmp", "w") as fh:
-        fh.write(f"INDEX-v{version}.json")
-    _os.replace(f"{base}/CURRENT_INDEX.tmp", f"{base}/CURRENT_INDEX")
+
+    def write_sync(path: str, body: str) -> None:
+        # fsync file then parent dir so the atomicity claim covers
+        # host/power crashes, not just process crashes (ADVICE r13):
+        # os.replace alone leaves the rename in the dirty page cache
+        with open(path + ".tmp", "w") as fh:
+            fh.write(body)
+            fh.flush()
+            _os.fsync(fh.fileno())
+        _os.replace(path + ".tmp", path)
+        dfd = _os.open(base, _os.O_RDONLY)
+        try:
+            _os.fsync(dfd)
+        finally:
+            _os.close(dfd)
+
+    write_sync(f"{base}/INDEX-v{version}.json", _json.dumps(man))
+    write_sync(f"{base}/CURRENT_INDEX", f"INDEX-v{version}.json")
 
 
 def read_embed_index(spark: SparkSession, base: str, version: int | None = None):

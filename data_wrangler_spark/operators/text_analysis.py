@@ -302,6 +302,13 @@ BPE_SYMBOLS = "ABCDEFGH"  # single-char stand-ins for merged symbols
                           # collide; later merges may consume earlier
                           # symbols, exactly as BPE prescribes)
 
+# every merge round consumes one stand-in symbol; catch a mismatched
+# tune at import instead of an IndexError mid-loop (ADVICE r13)
+assert BPE_ROUNDS <= len(BPE_SYMBOLS), (
+    f"BPE_ROUNDS={BPE_ROUNDS} needs {BPE_ROUNDS} stand-in symbols but "
+    f"BPE_SYMBOLS has {len(BPE_SYMBOLS)} — extend BPE_SYMBOLS"
+)
+
 
 def _bpe_stage_ctes(rounds: int) -> str:
     """Generated CTE chain for `rounds` BPE merge rounds (no leading
@@ -410,6 +417,12 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(BPE_TOPN)
             .collect()
         )
+        if not top and s < BPE_ROUNDS:
+            raise ValueError(
+                f"BPE round {s}: corpus has no 2-char pairs left to "
+                f"merge (every word is a single symbol) — lower "
+                f"BPE_ROUNDS below {BPE_ROUNDS} for this corpus"
+            )
         for i, r in enumerate(top, start=1):
             rows.append(
                 (s, r["pair"], r["cnt"], i, i == 1 and s < BPE_ROUNDS)
@@ -691,14 +704,20 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         # TakeOrderedAndProject; the single winner is this round's
         # driver-resident state (the kmeans pattern — see
         # q_bpe_merges' scale note and measurement)
-        return (
+        top = (
             wdf.select(F.explode(grams).alias("pair"))
             .groupBy("pair")
             .agg(F.count("*").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("pair"))
             .limit(1)
-            .collect()[0]["pair"]
+            .collect()
         )
+        if not top:
+            raise ValueError(
+                "BPE encode: corpus has no 2-char pairs left to merge "
+                f"— lower BPE_ROUNDS below {BPE_ROUNDS} for this corpus"
+            )
+        return top[0]["pair"]
 
     w, rules = w0, []
     for s in range(BPE_ROUNDS):

@@ -1514,11 +1514,26 @@ def q_stream_embed_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m10 = F.col("vec_id") % 10
 
+    # the scratch key folds in EVERY constant that governs the emitted
+    # rows (quantizer shape + pairing threshold, not just the day
+    # split) — same rule as dedup.py's index tag: a tuned constant
+    # must invalidate the _DONE-guarded scratch, or replay serves
+    # stale rows against the refreshed oracle (ADVICE r13)
+    from data_wrangler_spark.operators.dedup import SEM_TAU
+    from data_wrangler_spark.operators.embeddings_ext import (
+        KM_ITER,
+        KM_K,
+        KM_Q,
+    )
+
     root = os.path.join(
         SCRATCH,
         "embed_resume",
         scratch_tag(
-            sf_dir, "embeddings", f"d1={INC2_DAY1},d2={INC2_DAY2},v1"
+            sf_dir,
+            "embeddings",
+            f"d1={INC2_DAY1},d2={INC2_DAY2},k={KM_K},q={KM_Q},"
+            f"it={KM_ITER},tau={SEM_TAU},v1",
         ),
     )
     src_dir = os.path.join(root, "src")
