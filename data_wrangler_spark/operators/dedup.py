@@ -42,6 +42,67 @@ N_MINHASH = 16  # minhash signature length
 N_BANDS = 4  # LSH bands (rows per band = 16/4 = 4)
 MAX_BUCKET = 1000  # hot-bucket guard for the self-join
 
+# Hot-CELL guard for every k-means-cell (and label-block) pairing
+# path — the embedding family's MAX_BUCKET (VERDICT r13 #2): a cell
+# holding n > MAX_CELL members splits into ceil(n / MAX_CELL)
+# sub-cells keyed by a VECTOR-derived hash (first component,
+# micro-quantized), and pairs are generated within (cell, sub) only.
+# Vector-derived (not vec_id-derived) so exact/near-exact duplicates
+# land in the same sub and are still caught; the split is the
+# SemDeDup oversized-cluster sub-clustering semantic (Abbas et al.
+# 2023 §3), replayed verbatim in every DuckDB oracle. With
+# MAX_CELL=1024 no driver fixture is split (max cell ≈ 271 at
+# sf0.1); a skewed quantizer at 100 TB degrades to ≤ MAX_CELL-wide
+# all-pairs per member instead of within-cell quadratic.
+MAX_CELL = 1024
+
+
+def _cell_subs(members: DataFrame, key: str = "cell") -> DataFrame:
+    """(key, n_sub) — the split arity per cell/label, from the INDEX
+    side's populations. K rows; always broadcast."""
+    return members.groupBy(key).agg(
+        F.ceil(F.count("*") / F.lit(float(MAX_CELL)))
+        .cast("long")
+        .alias("n_sub")
+    )
+
+
+def _with_sub(df: DataFrame, subs: DataFrame, e_col: str,
+              key: str = "cell") -> DataFrame:
+    """Attach the sub-cell id: pmod(floor(e[0] * 1e6), n_sub). Both
+    engines compute floor/% on the identical double, so the oracle
+    replay is exact; identical vectors always share a sub."""
+    return (
+        df.join(F.broadcast(subs), key)
+        .withColumn(
+            "sub",
+            F.pmod(
+                F.floor(F.element_at(F.col(e_col), 1) * 1000000.0)
+                .cast("long"),
+                F.col("n_sub"),
+            ).cast("int"),
+        )
+        .drop("n_sub")
+    )
+
+
+def sql_cell_subs(src: str, key: str = "cell") -> str:
+    """DuckDB fragment: the per-cell split arity over CTE ``src``."""
+    return (
+        f"SELECT {key}, CAST(CEIL(COUNT(*) / {MAX_CELL}.0) AS BIGINT)"
+        f" AS n_sub FROM {src} GROUP BY {key}"
+    )
+
+
+def sql_sub(alias: str) -> str:
+    """DuckDB fragment: the sub-cell id for row alias ``alias`` given
+    csz alias ``c`` — ((floor(e[1]*1e6) % n_sub) + n_sub) % n_sub,
+    the engine-identical pmod."""
+    return (
+        f"(((CAST(FLOOR({alias}.e[1] * 1000000.0) AS BIGINT) % c.n_sub)"
+        f" + c.n_sub) % c.n_sub)"
+    )
+
 # q_dedup_embed block sizing: ONE entry per sf_dir, storing
 # (fixture mtime, sizing). Versus keying the dict on (sf_dir, mtime),
 # latest-entry-wins buys exactly one thing: bounded growth over the
@@ -631,10 +692,14 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH n AS (SELECT vec_id, label,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
                FROM embeddings),
+    lsz AS ({sql_cell_subs('n', key='label')}),
+    ns AS (SELECT n.*, {sql_sub('n')} AS sub
+           FROM n JOIN lsz c USING (label)),
     scored AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
              {sql_round6(f"{sql_dot('a.e', 'b.e')} / ({sql_norm('a.e')} * {sql_norm('b.e')})")} AS cos_sim
-      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+      FROM ns a JOIN ns b
+        ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id)
     SELECT vec_a, vec_b, label, cos_sim FROM scored WHERE cos_sim >= 0.3
     """,
     tags=("llm", "dedup"),
@@ -698,11 +763,16 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_double_array("embedding").alias("e"),
         F.pmod("vec_id", F.lit(n_blocks)).alias("blk"),
     )
+    # MAX_CELL sub-split on the label block key: a 100 TB label whose
+    # population exceeds MAX_CELL pairs within (label, sub) only —
+    # same cap as the k-means-cell paths, replayed in the oracle
+    e = _with_sub(e, _cell_subs(e, "label"), "e", "label")
     blocks = (
-        e.groupBy("label", "blk")
+        e.groupBy("label", "sub", "blk")
         .agg(F.collect_list(F.struct("vec_id", "e")).alias("rows"))
         .select(
             "label",
+            "sub",
             "blk",
             F.transform("rows", lambda r: r["vec_id"]).alias("ids"),
             F.flatten(F.transform("rows", lambda r: r["e"])).alias("flat"),
@@ -710,17 +780,21 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bp = blocks.select(
         "label",
+        "sub",
         F.col("blk").alias("ba"),
         F.col("ids").alias("ids_a"),
         F.col("flat").alias("flat_a"),
     ).join(
         blocks.select(
             F.col("label").alias("label_b"),
+            F.col("sub").alias("sub_b"),
             F.col("blk").alias("bb"),
             F.col("ids").alias("ids_b"),
             F.col("flat").alias("flat_b"),
         ),
-        (F.col("label") == F.col("label_b")) & (F.col("ba") <= F.col("bb")),
+        (F.col("label") == F.col("label_b"))
+        & (F.col("sub") == F.col("sub_b"))
+        & (F.col("ba") <= F.col("bb")),
     )
 
     def gemm(batches):
@@ -1520,6 +1594,7 @@ def q_dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEM_TAU = 0.35  # SemDeDup cosine threshold (corpus-calibrated; see doc)
 
 
+
 def _semantic_oracle() -> str:
     from data_wrangler_spark.operators.embeddings_ext import kmeans_cte_sql
 
@@ -1534,9 +1609,14 @@ def _semantic_oracle() -> str:
     m AS MATERIALIZED (
       SELECT n.vec_id, n.e, CAST(a.cl AS INT) AS cell
       FROM n JOIN km_asg a ON a.vec_id = n.vec_id),
+    csz AS ({sql_cell_subs('m')}),
+    ms AS MATERIALIZED (
+      SELECT m.*, {sql_sub('m')} AS sub
+      FROM m JOIN csz c USING (cell)),
     dups AS MATERIALIZED (
       SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos_sim
-      FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      FROM ms a JOIN ms b
+        ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
       WHERE {cos} >= {SEM_TAU}),
     sel AS (SELECT vec_b AS vec_dup, MIN(vec_a) AS kept_id
             FROM dups GROUP BY vec_b)
@@ -1589,12 +1669,15 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(asg, "vec_id")
         .withColumn("nrm", norm(F.col("e")))
     )
+    # MAX_CELL sub-split: oversized cells pair within (cell, sub)
+    # only — bounded fan-out under quantizer skew (see MAX_CELL doc)
+    e = _with_sub(e, _cell_subs(e), "e")
     a = e.select(
-        F.col("vec_id").alias("vec_a"), "cell",
+        F.col("vec_id").alias("vec_a"), "cell", "sub",
         F.col("e").alias("ea"), F.col("nrm").alias("na"),
     )
     b = e.select(
-        F.col("vec_id").alias("vec_b"), "cell",
+        F.col("vec_id").alias("vec_b"), "cell", "sub",
         F.col("e").alias("eb"), F.col("nrm").alias("nb"),
     )
     dot_udf = make_dot_udf()
@@ -1603,7 +1686,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would execute twice (same re-execution q_dedup_incremental pins
     # against)
     dups = pin(
-        a.join(b, "cell")
+        a.join(b, ["cell", "sub"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn(
             "cos_sim",
@@ -1620,6 +1703,63 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         dups,
         (dups["vec_b"] == sel["vec_dup"]) & (dups["vec_a"] == sel["kept_id"]),
     ).select("vec_dup", "kept_id", "cell", F.col("cos_sim").alias("cos_to_kept"))
+
+
+def _cell_audit_oracle() -> str:
+    from data_wrangler_spark.operators.embeddings_ext import kmeans_cte_sql
+
+    return f"""
+    WITH RECURSIVE
+    {kmeans_cte_sql()},
+    m AS (SELECT CAST(a.cl AS INT) AS cell FROM km_asg a)
+    SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(CEIL(COUNT(*) / {MAX_CELL}.0) AS BIGINT) AS n_sub,
+           COUNT(*) > {MAX_CELL} AS capped
+    FROM m GROUP BY cell
+    """
+
+
+@register(
+    "q_embed_cell_audit",
+    oracle=_cell_audit_oracle(),
+    tags=("llm", "dedup", "embedding"),
+)
+def q_embed_cell_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX_CELL accounting — the embedding family's counterpart of
+    the LSH side's hot-bucket audit (q_dedup_index_audit's
+    over-MAX_BUCKET count): per k-means cell, its population, the
+    sub-split arity the MAX_CELL guard applies to it
+    (ceil(n / MAX_CELL)), and whether the cap is active. This is the
+    row an operator reads before trusting a pairing run: capped
+    cells mean the quantizer has drifted or K is undersized for the
+    corpus, and within-cell recall is bounded by the sub-split (the
+    SemDeDup oversized-cluster semantic — see MAX_CELL's doc).
+
+    Scale: one partial-agg count over the assignment column — a
+    metadata-sized scan next to any pairing pass; at 100 TB a
+    production index stores these counts in its manifest and this op
+    validates them against the live membership."""
+    from data_wrangler_spark.operators.embeddings_ext import (
+        kmeans_assign_mat,
+        kmeans_fit_mat,
+    )
+
+    v_arr, cl_ids, cmat = kmeans_fit_mat(spark, sf_dir)
+    asg = kmeans_assign_mat(v_arr, cl_ids, cmat).select(
+        F.col("cl").cast("int").alias("cell")
+    )
+    return (
+        asg.groupBy("cell")
+        .agg(F.count("*").alias("n_members"))
+        .select(
+            "cell",
+            "n_members",
+            F.ceil(F.col("n_members") / F.lit(float(MAX_CELL)))
+            .cast("long")
+            .alias("n_sub"),
+            (F.col("n_members") > MAX_CELL).alias("capped"),
+        )
+    )
 
 
 _EMB_INC_SCRATCH = "/root/repo/.scratch/embed_inc"
@@ -1658,10 +1798,15 @@ def _embed_inc_oracle() -> str:
       SELECT n.vec_id, n.e, CAST(a.cl AS INT) AS cell
       FROM n JOIN km_asg a ON a.vec_id = n.vec_id),
     hist AS (SELECT * FROM asg WHERE vec_id % 10 < {INC_EXIST_PCT}),
-    nw0 AS (SELECT * FROM asg WHERE vec_id % 10 >= {INC_EXIST_PCT})
+    nw0 AS (SELECT * FROM asg WHERE vec_id % 10 >= {INC_EXIST_PCT}),
+    csz AS ({sql_cell_subs('hist')}),
+    hs AS (SELECT h.*, {sql_sub('h')} AS sub
+           FROM hist h JOIN csz c USING (cell)),
+    ns AS (SELECT nw.*, {sql_sub('nw')} AS sub
+           FROM nw0 nw JOIN csz c USING (cell))
     SELECT nw.vec_id AS vec_new, h.vec_id AS vec_old, nw.cell,
            {cos} AS cos_sim
-    FROM nw0 nw JOIN hist h ON h.cell = nw.cell
+    FROM ns nw JOIN hs h ON h.cell = nw.cell AND h.sub = nw.sub
     WHERE {cos} >= {SEM_TAU}
     """
 
@@ -1781,7 +1926,10 @@ def q_dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_asg = kmeans_assign_mat(new_arr, cl_ids, cmat).select(
         "vec_id", F.col("cl").cast("int").alias("cell")
     )
-    a = (
+    # MAX_CELL: split arity comes from the INDEX side's populations,
+    # probe vectors hash into the same sub rule (see MAX_CELL doc)
+    subs = _cell_subs(members)
+    a = _with_sub(
         raw_new.select("vec_id", to_double_array("embedding").alias("ea"))
         .join(new_asg, "vec_id")
         .select(
@@ -1789,17 +1937,20 @@ def q_dedup_embed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell",
             "ea",
             norm(F.col("ea")).alias("na"),
-        )
+        ),
+        subs,
+        "ea",
     )
-    b = members.select(
+    b = _with_sub(members, subs, "e").select(
         F.col("vec_id").alias("vec_old"),
         "cell",
+        "sub",
         F.col("e").alias("eb"),
         norm(F.col("e")).alias("nb"),
     )
     dot_udf = make_dot_udf()
     return (
-        a.join(b, "cell")
+        a.join(b, ["cell", "sub"])
         .withColumn(
             "cos_sim",
             round6(
@@ -1913,14 +2064,24 @@ def _embed_2day_oracle() -> str:
              WHERE vec_id % 10 NOT IN ({INC2_DAY1}, {INC2_DAY2})),
     d1 AS (SELECT * FROM asg WHERE vec_id % 10 = {INC2_DAY1}),
     d2 AS (SELECT * FROM asg WHERE vec_id % 10 = {INC2_DAY2}),
-    idx1 AS (SELECT * FROM hist UNION ALL SELECT * FROM d1)
+    idx1 AS (SELECT * FROM hist UNION ALL SELECT * FROM d1),
+    csz0 AS ({sql_cell_subs('hist')}),
+    csz1 AS ({sql_cell_subs('idx1')}),
+    h0 AS (SELECT h.*, {sql_sub('h')} AS sub
+           FROM hist h JOIN csz0 c USING (cell)),
+    d1s AS (SELECT nw.*, {sql_sub('nw')} AS sub
+            FROM d1 nw JOIN csz0 c USING (cell)),
+    h1 AS (SELECT h.*, {sql_sub('h')} AS sub
+           FROM idx1 h JOIN csz1 c USING (cell)),
+    d2s AS (SELECT nw.*, {sql_sub('nw')} AS sub
+            FROM d2 nw JOIN csz1 c USING (cell))
     SELECT ingest_day, vec_new, vec_old, cell, cos_sim FROM (
       SELECT 1 AS ingest_day, nw.vec_id AS vec_new, h.vec_id AS vec_old,
              nw.cell, {cos} AS cos_sim
-      FROM d1 nw JOIN hist h ON h.cell = nw.cell
+      FROM d1s nw JOIN h0 h ON h.cell = nw.cell AND h.sub = nw.sub
       UNION ALL
       SELECT 2, nw.vec_id, h.vec_id, nw.cell, {cos}
-      FROM d2 nw JOIN idx1 h ON h.cell = nw.cell)
+      FROM d2s nw JOIN h1 h ON h.cell = nw.cell AND h.sub = nw.sub)
     WHERE cos_sim >= {SEM_TAU}
     """
 
@@ -1987,7 +2148,10 @@ def q_dedup_embed_2day(spark: SparkSession, sf_dir: str) -> DataFrame:
         asg = kmeans_assign_mat(quantize_xs(batch_raw), cl_ids, cmat).select(
             "vec_id", F.col("cl").cast("int").alias("cell")
         )
-        a = (
+        # MAX_CELL: split arity from THIS probe's index population
+        # (day-1 sees day0, day-2 sees the grown day0 ∪ day1)
+        subs = _cell_subs(members)
+        a = _with_sub(
             batch_raw.select("vec_id", to_double_array("embedding").alias("ea"))
             .join(asg, "vec_id")
             .select(
@@ -1995,16 +2159,19 @@ def q_dedup_embed_2day(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cell",
                 "ea",
                 norm(F.col("ea")).alias("na"),
-            )
+            ),
+            subs,
+            "ea",
         )
-        b = members.select(
+        b = _with_sub(members, subs, "e").select(
             F.col("vec_id").alias("vec_old"),
             "cell",
+            "sub",
             F.col("e").alias("eb"),
             norm(F.col("e")).alias("nb"),
         )
         return (
-            a.join(b, "cell")
+            a.join(b, ["cell", "sub"])
             .withColumn(
                 "cos_sim",
                 round6(
@@ -2267,10 +2434,15 @@ def _embed_rebuild_oracle() -> str:
     asg AS (SELECT n.vec_id, n.e, CAST(a.cl AS INT) AS cell
             FROM n JOIN km_asg_r a ON a.vec_id = n.vec_id),
     mem AS (SELECT * FROM asg WHERE vec_id % 10 <> {INC2_DAY2}),
-    d2 AS (SELECT * FROM asg WHERE vec_id % 10 = {INC2_DAY2})
+    d2 AS (SELECT * FROM asg WHERE vec_id % 10 = {INC2_DAY2}),
+    csz AS ({sql_cell_subs('mem')}),
+    hs AS (SELECT h.*, {sql_sub('h')} AS sub
+           FROM mem h JOIN csz c USING (cell)),
+    ns AS (SELECT nw.*, {sql_sub('nw')} AS sub
+           FROM d2 nw JOIN csz c USING (cell))
     SELECT nw.vec_id AS vec_new, h.vec_id AS vec_old, nw.cell,
            {cos} AS cos_sim
-    FROM d2 nw JOIN mem h ON h.cell = nw.cell
+    FROM ns nw JOIN hs h ON h.cell = nw.cell AND h.sub = nw.sub
     WHERE {cos} >= {SEM_TAU}
     """
 
@@ -2335,7 +2507,9 @@ def q_embed_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("cl").cast("int").alias("cell")
     )
     dot_udf = make_dot_udf()
-    a = (
+    # MAX_CELL: split arity from the rebuilt index's cell populations
+    subs = _cell_subs(members)
+    a = _with_sub(
         d2_raw.select("vec_id", to_double_array("embedding").alias("ea"))
         .join(asg, "vec_id")
         .select(
@@ -2343,16 +2517,19 @@ def q_embed_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell",
             "ea",
             norm(F.col("ea")).alias("na"),
-        )
+        ),
+        subs,
+        "ea",
     )
-    b = members.select(
+    b = _with_sub(members, subs, "e").select(
         F.col("vec_id").alias("vec_old"),
         "cell",
+        "sub",
         F.col("e").alias("eb"),
         norm(F.col("e")).alias("nb"),
     )
     return (
-        a.join(b, "cell")
+        a.join(b, ["cell", "sub"])
         .withColumn(
             "cos_sim",
             round6(

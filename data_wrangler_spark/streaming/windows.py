@@ -1230,17 +1230,24 @@ def q_stream_embed_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # static side: history members with precomputed norms; pinned so
     # later micro-batches reuse the decoded arrays (see
-    # q_stream_dedup_ingest)
+    # q_stream_dedup_ingest). MAX_CELL sub-split arity comes from the
+    # static index side, exactly as in the batch twin.
+    from data_wrangler_spark.operators.dedup import _cell_subs, _with_sub
+
+    subs = _cell_subs(members)
     b = pin(
-        members.select(
+        _with_sub(members, subs, "e")
+        .select(
             F.col("vec_id").alias("vec_old"),
             "cell",
+            "sub",
             F.col("e").alias("eb"),
             norm(F.col("e")).alias("nb"),
-        ).persist()
+        )
+        .persist()
     )
 
-    a = (
+    a = _with_sub(
         spark.readStream.schema(new.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(base)
@@ -1251,11 +1258,13 @@ def q_stream_embed_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("cell", assign_cell_expr(cl_ids, cmat).cast("int"))
         .withColumn("na", norm(F.col("ea")))
-        .drop("xs")
+        .drop("xs"),
+        subs,
+        "ea",
     )
     dot_udf = make_dot_udf()
     stream = (
-        a.join(b, "cell")
+        a.join(b, ["cell", "sub"])
         .withColumn(
             "cos_sim",
             round6(
@@ -1409,7 +1418,12 @@ def embed_gate_resume_plan(
         quantize_expr,
     )
 
-    a = (
+    # MAX_CELL: split arity from this restart's index membership —
+    # identical to the batch two-day probe's per-day subs
+    from data_wrangler_spark.operators.dedup import _cell_subs, _with_sub
+
+    subs = _cell_subs(members)
+    a = _with_sub(
         src.select(
             F.col("vec_id").alias("vec_new"),
             to_double_array("embedding").alias("ea"),
@@ -1417,17 +1431,20 @@ def embed_gate_resume_plan(
         )
         .withColumn("cell", assign_cell_expr(cl_ids, cmat).cast("int"))
         .withColumn("na", norm(F.col("ea")))
-        .drop("xs")
+        .drop("xs"),
+        subs,
+        "ea",
     )
-    b = members.select(
+    b = _with_sub(members, subs, "e").select(
         F.col("vec_id").alias("vec_old"),
         "cell",
+        "sub",
         F.col("e").alias("eb"),
         norm(F.col("e")).alias("nb"),
     )
     dot_udf = make_dot_udf()
     return (
-        a.join(b, "cell")
+        a.join(b, ["cell", "sub"])
         .withColumn(
             "cos_sim",
             round6(
@@ -1519,7 +1536,7 @@ def q_stream_embed_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split) — same rule as dedup.py's index tag: a tuned constant
     # must invalidate the _DONE-guarded scratch, or replay serves
     # stale rows against the refreshed oracle (ADVICE r13)
-    from data_wrangler_spark.operators.dedup import SEM_TAU
+    from data_wrangler_spark.operators.dedup import MAX_CELL, SEM_TAU
     from data_wrangler_spark.operators.embeddings_ext import (
         KM_ITER,
         KM_K,
@@ -1533,7 +1550,7 @@ def q_stream_embed_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
             sf_dir,
             "embeddings",
             f"d1={INC2_DAY1},d2={INC2_DAY2},k={KM_K},q={KM_Q},"
-            f"it={KM_ITER},tau={SEM_TAU},v1",
+            f"it={KM_ITER},tau={SEM_TAU},cap={MAX_CELL},v1",
         ),
     )
     src_dir = os.path.join(root, "src")

@@ -213,3 +213,84 @@ def test_window_skew_detection_is_data_driven(spark, sf_dir):
         F.lit(1).cast("long").alias("_c"),
     )
     assert hot_keys(uniform).count() == 0
+
+
+def test_max_cell_caps_skewed_quantizer(spark, tmp_path, monkeypatch):
+    """MAX_CELL hot-cell guard (the embedding family's MAX_BUCKET):
+    on a deliberately degenerate corpus — every vector within a few
+    degrees of one direction, so the quantizer piles everything into
+    one cell — the sub-split must (a) bound candidate fan-out to
+    ~n × MAX_CELL instead of the within-cell n²/2, (b) stay
+    hash-exact against the DuckDB oracle regenerated under the same
+    cap, and (c) be visible in q_embed_cell_audit's accounting row
+    (capped=True, n_sub = ceil(n / MAX_CELL))."""
+    import duckdb
+    import numpy as np
+
+    import data_wrangler_spark.operators.dedup as dd
+    from data_wrangler_spark.operators.embeddings_ext import (
+        kmeans_assign_mat,
+        kmeans_fit_mat,
+    )
+
+    rng = np.random.default_rng(7)
+    u = rng.normal(size=64)
+    u /= np.linalg.norm(u)
+    n = 400
+    vecs = u + 0.05 * rng.normal(size=(n, 64))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], int(i % 4)) for i in range(n)],
+        "vec_id bigint, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/embeddings.parquet"
+    )
+    sfd = str(tmp_path)
+
+    monkeypatch.setattr(dd, "MAX_CELL", 16)
+
+    # (c) the accounting row: one dominant cell, capped, arity right
+    audit = {r.cell: r for r in dd.q_embed_cell_audit(spark, sfd).collect()}
+    hot = max(audit.values(), key=lambda r: r.n_members)
+    assert hot.n_members > 16 and hot.capped
+    assert hot.n_sub == -(-hot.n_members // 16)
+
+    # (a) bounded fan-out: per-(cell, sub) populations make candidate
+    # volume linear in n, far under the uncapped within-cell n²/2
+    v_arr, cl_ids, cmat = kmeans_fit_mat(spark, sfd)
+    asg = kmeans_assign_mat(v_arr, cl_ids, cmat).select(
+        "vec_id", F.col("cl").cast("int").alias("cell")
+    )
+    from data_wrangler_spark.catalog import load_table
+    from data_wrangler_spark.functions.vectors import to_double_array
+
+    e = (
+        load_table(spark, sfd, "embeddings")
+        .select("vec_id", to_double_array("embedding").alias("e"))
+        .join(asg, "vec_id")
+    )
+    es = dd._with_sub(e, dd._cell_subs(e), "e")
+    sizes = [r["count"] for r in es.groupBy("cell", "sub").count().collect()]
+    capped_pairs = sum(s * (s - 1) // 2 for s in sizes)
+    uncapped_pairs = sum(
+        m * (m - 1) // 2 for m in (r.n_members for r in audit.values())
+    )
+    assert capped_pairs <= n * 16
+    assert capped_pairs < uncapped_pairs / 3
+
+    # (b) oracle parity under skew: the Spark keeper output equals
+    # the DuckDB replay with the SAME patched cap baked in
+    got = sorted(
+        (r.vec_dup, r.kept_id, r.cell, round(r.cos_to_kept, 6))
+        for r in dd.q_dedup_semantic(spark, sfd).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sfd}/embeddings.parquet/*.parquet')"
+    )
+    want = sorted(
+        (r[0], r[1], r[2], round(r[3], 6))
+        for r in con.execute(dd._semantic_oracle()).fetchall()
+    )
+    assert got == want and len(got) > 0

@@ -17,13 +17,27 @@ key-offset copies into `.scratch/sfprobe` (never touching
   preserved, the day grid grows ×FACTOR);
 - documents get a per-copy suffix token so text dedup ops see a
   FACTOR× corpus, not FACTOR× exact duplicates;
-- embeddings replicate with vec_id offsets (timing-only: ANN recall
-  against planted neighbors is meaningless on copies, runtimes are
-  not).
+- embeddings (fixture v2, VERDICT r13 #1): copy 0 is identity; every
+  other copy gets deterministic per-element noise (hash-seeded, ±2.0
+  per dim on unit vectors) so copies are ANGULARLY INDEPENDENT of
+  their base and of each other — the old identical-copy scheme made
+  every vector a FACTOR-way near-dup, so pair-emitting embed ops
+  measured fixture pathology, not serve cost. On top of the noise
+  floor, BOUNDED planted clusters: PLANT_PCT% of base vectors plant
+  exactly ONE exact-copy partner (in exactly one copy index, chosen
+  by hash), carrying the embedding of a same-decade different-
+  day-class base vector so incremental probes (history vs day-2)
+  can actually catch it. Clusters are ≤2-way by construction; all
+  decisions are base-vec_id-hash-derived, so regeneration is
+  bit-identical. The remaining emission floor is the corpus's own
+  isotropic background (P[cos≥0.35] ≈ 0.2% per pair at d=64 — no
+  100k-point arrangement can sit pairwise below cos 0.35, see
+  SCALE.md), which the operators' MAX_CELL guard bounds linearly.
 
 Usage: python tools/scale_probe.py [factor]
-Writes the derived tables once (marker-guarded), then runs bench.py's
-headline set against them and prints the one-line JSON.
+Writes the derived tables once (marker-guarded; regenerates when
+FIXTURE_VERSION bumps), then runs bench.py's headline set against
+them and prints the one-line JSON.
 """
 
 from __future__ import annotations
@@ -35,14 +49,21 @@ sys.path.insert(0, "/root/repo")
 
 SRC = "/root/testdata/sf0.1"
 OUT_BASE = "/root/repo/.scratch/sfprobe"
+FIXTURE_VERSION = 2  # v2: decorrelated embedding copies + ≤2-way planted dups
+PLANT_PCT = 4  # % of base vectors that plant one exact-copy partner
 
 
 def generate(spark, factor: int) -> str:
+    import shutil
+
     from pyspark.sql import functions as F
 
     out = f"{OUT_BASE}/f{factor}"
-    if os.path.exists(f"{out}/_DONE"):
+    marker = f"{out}/_DONE"
+    want = f"factor={factor} from {SRC} v{FIXTURE_VERSION}\n"
+    if os.path.exists(marker) and open(marker).read() == want:
         return out
+    shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
 
     def load(t):
@@ -120,8 +141,41 @@ def generate(spark, factor: int) -> str:
              {"text": "text || ' r{i}x' AS text",
               "n_chars": "n_chars + length(' r{i}x') AS n_chars"}
              ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
-    rep_auto(e, {"vec_id": SV}).write.mode("overwrite").parquet(
-        f"{out}/embeddings.parquet")
+    # embeddings v2 (module docstring): angularly-independent copies
+    # + bounded planted near-dups. The planted partner u shares v's
+    # id-decade but sits 3 day-classes away (vec_id % 10 survives the
+    # power-of-ten stride, so same-day partners would be invisible to
+    # the history-vs-day-N probes); the left join drops partners past
+    # the table edge (last partial decade).
+    partner = e.selectExpr("vec_id AS u_id", "embedding AS u_emb")
+    e_p = e.withColumn(
+        "u_id",
+        F.expr("vec_id - vec_id % 10 + (vec_id + 3) % 10"),
+    ).join(partner, "u_id", "left")
+    fm1 = max(factor - 1, 1)
+    e_parts = []
+    for i in range(factor):
+        e_parts.append(
+            e_p.selectExpr(
+                f"vec_id + {i} * {SV} AS vec_id",
+                f"""CASE
+                      WHEN {i} = 0 THEN embedding
+                      WHEN u_emb IS NOT NULL
+                           AND pmod(hash(vec_id), 100) < {PLANT_PCT}
+                           AND {i} = 1 + pmod(hash(vec_id, 11), {fm1})
+                        THEN u_emb
+                      ELSE transform(
+                             embedding,
+                             (x, j) -> cast(x + 2.0d * sin(cast(
+                               hash(vec_id, {i}, j) AS double)) AS float))
+                    END AS embedding""",
+                "label",
+            )
+        )
+    e2u = e_parts[0]
+    for q in e_parts[1:]:
+        e2u = e2u.unionByName(q)
+    e2u.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
 
     # the shared-stride contract, asserted: cross-table joins on the
     # user_id/doc_id/vec_id domain must survive replication in EVERY
@@ -139,8 +193,8 @@ def generate(spark, factor: int) -> str:
         f"documents⋈embeddings={dv} (want {factor}×{base_dv})"
     )
 
-    with open(f"{out}/_DONE", "w") as fh:
-        fh.write(f"factor={factor} from {SRC}\n")
+    with open(marker, "w") as fh:
+        fh.write(want)
     return out
 
 
