@@ -12,10 +12,24 @@ prepared once, N repeated executions, mean after one unmeasured
 warmup). DuckDB gets the same treatment: one connection, one warmup,
 N repeated fetch_arrow_table of the same oracle SQL.
 
+Three Spark modes (ADVICE r13):
+- serving: ONE DataFrame, N toArrow() — repeated byte-identical
+  requests reuse registered shuffle map outputs (skipped stages);
+  the long-lived-session best case, disclosed as such.
+- fresh_plan: a NEW DataFrame per request — full re-plan + full
+  re-execution. The disclosed per-request-constant qualifier.
+- parameterized: the template-serving regime — same plan SHAPE,
+  a DIFFERENT bind value per request (q_sort_paginate's page, the
+  one weak query with a real template parameter and the worst
+  ratio of the seven), so skipped-stage reuse is impossible while
+  the workload is still "serve the catalog template". DuckDB gets
+  the identical varied bind spliced into its oracle SQL.
+
 Usage: python tools/bench_amortized.py [sf_dir] [N]
 Defaults: the derived f50 fixture (the factor the weak labels were
 assigned at), N=100. Writes one JSON line to stdout; commit it as
-BENCH_AMORTIZED.json.
+BENCH_AMORTIZED_r{N}.json each round (kept self-sustaining since
+r14 — the serving claim is re-measured, not narrated forward).
 """
 
 from __future__ import annotations
@@ -117,6 +131,43 @@ def main() -> None:
         }
         out["fresh_plan"][name] = fq
         print(f"{name} fresh: {json.dumps(fq)}", file=sys.stderr, flush=True)
+
+        # Parameterized serving (module docstring): only queries with
+        # a real template bind run here; the bind varies per request
+        # on BOTH engines, so neither side can reuse a prior
+        # request's execution.
+        if name == "q_sort_paginate":
+            pages = [2 + (i % 8) for i in range(n_fresh)]
+            spec.run(spark, sf_dir, page=pages[0]).toArrow()
+            t0 = time.perf_counter()
+            for p in pages:
+                spec.run(spark, sf_dir, page=p).toArrow()
+            sp_total = time.perf_counter() - t0
+
+            def duck_sql(p: int) -> str:
+                return spec.oracle.replace(
+                    "LIMIT 50 OFFSET 100", f"LIMIT 50 OFFSET {50 * (p - 1)}"
+                )
+
+            assert duck_sql(7) != spec.oracle  # splice point must exist
+            con.execute(duck_sql(pages[0])).fetch_arrow_table()
+            t0 = time.perf_counter()
+            for p in pages:
+                con.execute(duck_sql(p)).fetch_arrow_table()
+            dp_total = time.perf_counter() - t0
+            pq = {
+                "param": "page 2..9 rotating",
+                "n_requests": n_fresh,
+                "duckdb_amortized": round(dp_total / n_fresh, 5),
+                "spark_amortized": round(sp_total / n_fresh, 5),
+                "ratio_spark_over_duckdb": round(sp_total / dp_total, 2),
+            }
+            out.setdefault("parameterized", {})[name] = pq
+            print(
+                f"{name} parameterized: {json.dumps(pq)}",
+                file=sys.stderr,
+                flush=True,
+            )
 
     out["load"] = {
         "before": load_before,
