@@ -45,8 +45,15 @@ from pyspark.sql.types import StructType
 REST_SCHEMA = "id bigint, name string, value double"
 
 
-def fetch_page(endpoint: str, page: int, perpage: int) -> list[dict]:
-    """`GET {endpoint}?page={page}&perpage={perpage}`.
+def fetch_page(
+    endpoint: str, page: int, perpage: int, style: str = "query"
+) -> list[dict]:
+    """`GET {endpoint}?page={page}&perpage={perpage}` (style="query")
+    or `GET {endpoint}/{page}/{perpage}` (style="path" — the paging
+    convention of handlebars path templates, so the source can scan
+    THROUGH the gateway's /ffi relay whose routes expand path $vars
+    only, exactly like the reference's makeRESTroute,
+    `/root/reference/index.js:327-366`).
 
     http(s) endpoints hit the network for real (each executor's
     partition fetches its own page — the whole point of page-per-
@@ -62,7 +69,11 @@ def fetch_page(endpoint: str, page: int, perpage: int) -> list[dict]:
         import urllib.error
         import urllib.request
 
-        url = f"{endpoint}?page={page}&perpage={perpage}"
+        url = (
+            f"{endpoint}/{page}/{perpage}"
+            if style == "path"
+            else f"{endpoint}?page={page}&perpage={perpage}"
+        )
         # Bounded retry with backoff: a page fetch IS a Spark task, so
         # without this, one transient 5xx/timeout fails the task and —
         # after Spark's task retries re-run the whole partition — the
@@ -109,6 +120,7 @@ class RestApiReader(DataSourceReader):
         self.endpoint = options.get("endpoint", "/ffi/fake")
         self.pages = int(options.get("pages", 8))
         self.perpage = int(options.get("perpage", 250))
+        self.pagestyle = options.get("pagestyle", "query")
         # [id_lo, id_hi) bounds tightened by pushed filters
         self.id_lo = 0
         self.id_hi = self.pages * self.perpage
@@ -139,7 +151,9 @@ class RestApiReader(DataSourceReader):
         ]
 
     def read(self, partition: PagePartition) -> Iterator[tuple]:
-        for rec in fetch_page(self.endpoint, partition.page, self.perpage):
+        for rec in fetch_page(
+            self.endpoint, partition.page, self.perpage, self.pagestyle
+        ):
             yield (rec["id"], rec["name"], rec["value"])
 
 

