@@ -628,3 +628,155 @@ def test_concurrent_mixed_requests(server, spark, sf_dir):
         results = [f.result() for f in
                    [pool.submit(j) for j in jobs]]
     assert len(results) == 12  # every request returned correct rows
+
+
+def test_gateway_concurrency_soak(spark, sf_dir):
+    """Concurrency soak (VERDICT r13 #5): the reference is a single-
+    threaded Node loop; this gateway serves a SHARED SparkSession and
+    a mutable session store from a threaded HTTP server and had never
+    been driven concurrently. 16 clients hammer five route families
+    at once — named template query, paged CRUD list, point lookup,
+    /auth with per-token sessions, /ffi relay to a live upstream —
+    asserting (a) every response is a parseable {ok:...} envelope,
+    (b) no cross-request bleed: each body matches ITS request's
+    parameters, (c) per-token session isolation survives the race."""
+    import json as _json
+    import threading
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from data_wrangler_spark.catalog import load_table
+    from data_wrangler_spark.plugins import AUTH_PLUGINS, register_auth_plugin
+
+    class Upstream(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            body = _json.dumps({"upstream": self.path}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    up = ThreadingHTTPServer(("127.0.0.1", 0), Upstream)
+    threading.Thread(target=up.serve_forever, daemon=True).start()
+    srv = GatewayServer(
+        spark,
+        sf_dir,
+        foreigners=[
+            {
+                "name": "Echo",
+                "baseURI": f"http://127.0.0.1:{up.server_address[1]}",
+                "routes": [
+                    {
+                        "method": "get",
+                        "localpath": "/item/$wid",
+                        "path": "/echo/{{ wid }}",
+                    }
+                ],
+            }
+        ],
+    ).start()
+    register_auth_plugin(
+        "soaksvc", lambda info: {"ok": True, "info": {"user": info["username"]}}
+    )
+    try:
+        key = (
+            load_table(spark, sf_dir, "lineitem")
+            .agg({"l_orderkey": "min"})
+            .collect()[0][0]
+        )
+        n_line = (
+            load_table(spark, sf_dir, "lineitem")
+            .filter(f"l_orderkey = {key}")
+            .count()
+        )
+        # expected first pk per page, computed single-threaded
+        page_first = {}
+        for p in range(1, 6):
+            _, body = get(
+                srv, f"/db/test/rel/customer?page={p}&perpage=10&sortby=c_custkey"
+            )
+            assert body["ok"] and len(body["results"]) == 10
+            page_first[p] = body["results"][0]["c_custkey"]
+        assert len(set(page_first.values())) == 5
+
+        errors: list[str] = []
+
+        def check(cond, msg):
+            if not cond:
+                errors.append(msg)
+
+        def worker(w: int) -> None:
+            tok = f"soak-{w}"
+            for it in range(4):
+                # 1. named template query (shared Spark session)
+                code, body = get(srv, f"/q/test/lineItems/{key}")
+                check(
+                    code == 200
+                    and body.get("ok") is True
+                    and len(body["results"]) == n_line
+                    and all(r["l_orderkey"] == key for r in body["results"]),
+                    f"w{w}i{it}: named query bled: {str(body)[:120]}",
+                )
+                # 2. paged list — body must match THIS request's page
+                p = 1 + ((w + it) % 5)
+                code, body = get(
+                    srv,
+                    f"/db/test/rel/customer?page={p}&perpage=10&sortby=c_custkey",
+                )
+                check(
+                    code == 200
+                    and body.get("ok") is True
+                    and len(body["results"]) == 10
+                    and body["results"][0]["c_custkey"] == page_first[p],
+                    f"w{w}i{it}: page {p} bled: {str(body)[:120]}",
+                )
+                # 3. point lookup by pk
+                rid = w % 5
+                code, body = get(srv, f"/db/test/rel/region/{rid}")
+                check(
+                    code == 200
+                    and body.get("ok") is True
+                    and body["row"]["r_regionkey"] == rid,
+                    f"w{w}i{it}: point lookup bled: {str(body)[:120]}",
+                )
+                # 4. per-token auth — response echoes THIS token
+                code, body = req(
+                    srv,
+                    "/auth",
+                    method="POST",
+                    body={
+                        "token": tok,
+                        "service": "soaksvc",
+                        "auth": {"username": f"user{w}", "password": "x"},
+                    },
+                )
+                check(
+                    code == 200 and body == {"ok": True, "token": tok},
+                    f"w{w}i{it}: auth bled: {str(body)[:120]}",
+                )
+                # 5. /ffi relay — upstream path carries THIS worker id
+                code, body = get(srv, f"/ffi/Echo/item/{w}")
+                check(
+                    code == 200 and body == {"upstream": f"/echo/{w}"},
+                    f"w{w}i{it}: ffi bled: {str(body)[:120]}",
+                )
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            list(ex.map(worker, range(16)))
+
+        assert not errors, errors[:10]
+        # session isolation: every token holds ITS user, nobody else's
+        for w in range(16):
+            s = srv.sessions.resolve(f"soak-{w}")
+            assert s.get("soaksvc") == {"user": f"user{w}"}, (w, dict(s))
+    finally:
+        AUTH_PLUGINS.pop("soaksvc", None)
+        for w in range(16):
+            srv.sessions.drop(f"soak-{w}")
+        srv.stop()
+        up.shutdown()

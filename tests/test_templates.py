@@ -73,3 +73,96 @@ def test_qmark_inside_literal_not_a_slot(spark, templates):
     tpl = templates.get("literalQ")
     assert tpl.n_positional == 0
     assert templates.run(spark, "literalQ").count() == 0
+
+
+# ── adversarial property fuzz (hypothesis; VERDICT r13 #6) ─────────
+# The examiner mirror was example-tested; these strategies generate
+# hostile strings — quotes, SQL comments, statement terminators,
+# unicode homoglyphs, $var / ? / :name metacharacters, backslashes —
+# and assert the template layer's two invariants: VALUE bindings can
+# never alter statement structure (they round-trip byte-identically
+# as literals through both positional and named slots), and
+# IDENTIFIER bindings either resolve against the real schema or
+# raise — a hostile string never reaches the SQL text.
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_METACHARS = st.sampled_from(
+    [
+        "'", '"', "''", "\\'", "--", "/*", "*/", ";", "?", ":p1",
+        ":minqty", "$tbl", "{{ x }}", "\x00", "\\", "`", "\n", "\t",
+        "' OR '1'='1", "'; DROP TABLE orders; --", "region; --",
+        "ʼ", "＇", "‛", "᾽",  # apostrophe homoglyphs
+        "UNION ALL SELECT 1", "IDENTIFIER(region)",
+    ]
+)
+_HOSTILE_VALUE = st.one_of(
+    _METACHARS,
+    st.text(min_size=0, max_size=40),
+    st.tuples(_METACHARS, st.text(max_size=10), _METACHARS).map(
+        lambda t: "".join(t)
+    ),
+)
+
+
+@pytest.fixture(scope="module")
+def fuzz_templates(spark, sf_dir):
+    reg = SQLTemplates(Catalog(spark, sf_dir))
+    reg.register("echoPos", "SELECT ? AS v, count(*) AS n FROM region")
+    reg.register("echoNamed", "SELECT :val AS v, count(*) AS n FROM region")
+    reg.register(
+        "identOnly", "SELECT count(*) AS n FROM IDENTIFIER(:tbl)"
+    )
+    return reg
+
+
+@given(payload=_HOSTILE_VALUE)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_value_binding_never_alters_structure(
+    spark, fuzz_templates, payload
+):
+    """Positional AND named value slots: any payload comes back as
+    the literal value of a one-row, two-column result — a structure
+    escape would change the shape (extra rows/cols, a second
+    statement, an unbound-parameter error) or mangle the echo."""
+    for tname, kwargs, args in (
+        ("echoPos", {}, (payload,)),
+        ("echoNamed", {"val": payload}, ()),
+    ):
+        df = fuzz_templates.run(spark, tname, *args, **kwargs)
+        rows = df.collect()
+        assert len(rows) == 1 and df.columns == ["v", "n"]
+        assert rows[0]["v"] == payload
+        assert rows[0]["n"] == 5  # region's row count — FROM untouched
+
+
+@given(payload=_HOSTILE_VALUE)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_identifier_binding_rejects_hostile(
+    spark, fuzz_templates, payload
+):
+    """Identifier slots validate against the REAL schema (tables and
+    their columns), so every hostile string raises before any SQL is
+    built; the only accepted payloads are genuine identifiers."""
+    from data_wrangler_spark.catalog import TABLES
+
+    cat = fuzz_templates.catalog
+    legit = payload in TABLES or any(
+        payload in cat.table(t).columns for t in TABLES
+    )
+    if legit and payload in TABLES:
+        n = fuzz_templates.run(
+            spark, "identOnly", tbl=payload
+        ).collect()[0]["n"]
+        assert n >= 0
+    elif not legit:
+        with pytest.raises(UnknownIdentifierError):
+            fuzz_templates.run(spark, "identOnly", tbl=payload)
