@@ -1324,3 +1324,46 @@ def test_bpe_k64_merge_table_matches_sennrich(spark, sf_dir):
     # not 64 independent 2-gram picks
     assert any(any(c in symbols for c in m) for m in engine_merges)
     print(f"\nBPE K=64: {wall:.1f}s total, {wall / K:.2f}s/round")
+
+
+def test_quality_repetition_and_entropy_semantics(spark, tmp_path):
+    """Hand-checkable pins for the two r14 quality ops on a planted
+    corpus: a pathologically repetitive doc trips every repetition
+    rule and the entropy floor; a diverse doc passes everything;
+    the top-2-gram report is deterministic under ties."""
+    import math
+
+    import data_wrangler_spark.operators.text_analysis as ta
+
+    rows = [
+        # doc 1: "ba ba ba ba" — all words identical, one 2-gram
+        (1, "ba ba ba ba", 11, "en"),
+        # doc 2: all-distinct words, rich alphabet
+        (2, "the quick brown fox jumps over lazy dogs with vexing zeal "
+            "while many other animals watch from distant green hills and "
+            "wonder about strange new visitors crossing frozen rivers", 170, "en"),
+        # doc 3: single word (no 2-grams — the empty-gram edge)
+        (3, "solo", 4, "en"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, n_chars int, lang string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    sfd = str(tmp_path)
+
+    rep = {r.doc_id: r for r in ta.q_quality_repetition(spark, sfd).collect()}
+    r1, r2, r3 = rep[1], rep[2], rep[3]
+    assert r1.dup_word_frac == 0.75 and not r1.ok_dup_word
+    assert r1.top2_gram == "ba ba"
+    # 3 occurrences of "ba ba" × 4 letters / 8 letters
+    assert r1.top2_char_frac == 1.5 and not r1.ok_top2
+    assert r1.dup3_frac == 0.5 and not r1.ok_dup3 and not r1.passes
+    assert r2.dup_word_frac == 0.0 and r2.dup3_frac == 0.0 and r2.passes
+    assert r3.top2_gram == "" and r3.top2_char_frac == 0.0
+
+    ent = {r.doc_id: r for r in ta.q_text_entropy(spark, sfd).collect()}
+    # doc 1: letters "babababa" → p(a)=p(b)=0.5 → exactly 1 bit
+    assert ent[1].entropy_bits == 1.0 and not ent[1].ok_entropy
+    assert ent[2].entropy_bits > 4.0 and ent[2].ok_entropy
+    assert all(
+        0.0 <= r.entropy_bits <= math.log2(26) + 1e-9 for r in ent.values()
+    )
