@@ -125,6 +125,8 @@ AUDIT = [
     ("q_bpe_merges", "K=8 merge loop: per-stage pinned corpus + TakeOrdered pair heap"),
     ("q_dedup_semantic", "MAX_CELL sub-split: broadcast K-row arity table; pairing joins on (cell, sub)"),
     ("q_embed_cell_audit", "the cap's accounting row: one partial-agg count over the assignment"),
+    ("q_quality_repetition", "dup fractions scan-side; top-2-gram = one (doc,gram) agg + per-doc window"),
+    ("q_text_entropy", "26 replace-length pairs in codegen: histogram + entropy with no exchange"),
 ]
 
 # Streaming operators: REGISTRY.run() returns the memory sink (its
