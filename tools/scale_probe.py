@@ -15,8 +15,18 @@ key-offset copies into `.scratch/sfprobe` (never touching
   keys;
 - events shift ts by 31 days per copy (per-day/hourly structure
   preserved, the day grid grows ×FACTOR);
-- documents get a per-copy suffix token so text dedup ops see a
-  FACTOR× corpus, not FACTOR× exact duplicates;
+- documents (fixture v3): copy 0 is identity; every other copy gets a
+  DETERMINISTIC per-copy word permutation (sort words by
+  hash(doc_id, copy, position)) plus the per-copy suffix token, so a
+  copy shares its base's word multiset (word-stat quality ops keep
+  their distributions) but almost none of its word 3-gram shingles —
+  the old suffix-only copies made every doc a FACTOR-way near-dup
+  clique, so pair-emitting TEXT dedup ops' fN numbers measured the
+  same fixture pathology the embeddings side had (v2). On top,
+  bounded planting exactly like the embedding scheme: PLANT_PCT% of
+  base docs plant ONE exact text copy (same decade, 3 day-classes
+  away — visible to the history-vs-day-N incremental probes), ≤2-way
+  clusters by construction;
 - embeddings (fixture v2, VERDICT r13 #1): copy 0 is identity; every
   other copy gets deterministic per-element noise (hash-seeded, ±2.0
   per dim on unit vectors) so copies are ANGULARLY INDEPENDENT of
@@ -49,7 +59,9 @@ sys.path.insert(0, "/root/repo")
 
 SRC = "/root/testdata/sf0.1"
 OUT_BASE = "/root/repo/.scratch/sfprobe"
-FIXTURE_VERSION = 2  # v2: decorrelated embedding copies + ≤2-way planted dups
+FIXTURE_VERSION = 3  # v2: decorrelated embedding copies + ≤2-way planted
+                     # dups; v3: same treatment for documents (word-
+                     # permuted copies + bounded cross-day planting)
 PLANT_PCT = 4  # % of base vectors that plant one exact-copy partner
 
 
@@ -137,10 +149,53 @@ def generate(spark, factor: int) -> str:
     rep_auto(ev, {"event_id": SE, "user_id": SU},
              {"ts": "ts + make_interval(0, 0, 0, {i} * 31) AS ts"}
              ).write.mode("overwrite").parquet(f"{out}/events.parquet")
-    rep_auto(d, {"doc_id": SD},
-             {"text": "text || ' r{i}x' AS text",
-              "n_chars": "n_chars + length(' r{i}x') AS n_chars"}
-             ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    # documents v3 (module docstring): word-permuted copies + bounded
+    # planted exact dups. Planted partner u sits 3 day-classes away in
+    # the same id-decade (doc_id % 10 survives the stride — same-day
+    # plants would be invisible to the incremental probes); the left
+    # join drops partners past the table edge.
+    fm1 = max(factor - 1, 1)
+    d_partner = d.selectExpr(
+        "doc_id AS u_id", "text AS u_text", "lang AS u_lang",
+        "source AS u_source",
+    )
+    d_p = d.withColumn(
+        "u_id", F.expr("doc_id - doc_id % 10 + (doc_id + 3) % 10")
+    ).join(d_partner, "u_id", "left")
+    perm_tmpl = (
+        "array_join(transform(array_sort(zip_with("
+        "split(trim(text), '\\\\s+'), "
+        "sequence(1, size(split(trim(text), '\\\\s+'))), "
+        "(w, p) -> named_struct('k', hash(doc_id, {i}, p), 'w', w))), "
+        "s -> s.w), ' ') || ' r{i}x'"
+    )
+    d_parts = []
+    for i in range(factor):
+        planted = (
+            f"u_text IS NOT NULL AND pmod(hash(doc_id, 5), 100) < {PLANT_PCT}"
+            f" AND {i} = 1 + pmod(hash(doc_id, 13), {fm1})"
+        )
+        txt = (
+            "CASE "
+            f"WHEN {i} = 0 THEN text "
+            f"WHEN {planted} THEN u_text "
+            f"ELSE {perm_tmpl.format(i=i)} END"
+        )
+        d_parts.append(
+            d_p.selectExpr(
+                f"doc_id + {i} * {SD} AS doc_id",
+                f"{txt} AS text",
+                f"CASE WHEN {i} > 0 AND ({planted}) THEN u_lang "
+                f"ELSE lang END AS lang",
+                f"CASE WHEN {i} > 0 AND ({planted}) THEN u_source "
+                f"ELSE source END AS source",
+                f"length({txt}) AS n_chars",
+            )
+        )
+    d2u = d_parts[0]
+    for q in d_parts[1:]:
+        d2u = d2u.unionByName(q)
+    d2u.write.mode("overwrite").parquet(f"{out}/documents.parquet")
     # embeddings v2 (module docstring): angularly-independent copies
     # + bounded planted near-dups. The planted partner u shares v's
     # id-decade but sits 3 day-classes away (vec_id % 10 survives the
@@ -152,7 +207,6 @@ def generate(spark, factor: int) -> str:
         "u_id",
         F.expr("vec_id - vec_id % 10 + (vec_id + 3) % 10"),
     ).join(partner, "u_id", "left")
-    fm1 = max(factor - 1, 1)
     e_parts = []
     for i in range(factor):
         e_parts.append(
