@@ -842,6 +842,113 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 PREFIX_JACCARD_T = 0.6  # near-dup threshold for the prefix-filtered join
 
 
+def _prefix_audit_oracle() -> str:
+    t = PREFIX_JACCARD_T
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct({sql_shingles_of('w', 3)}) AS s
+      FROM (SELECT doc_id, {sql_words('text')} AS w FROM documents)),
+    ex AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n_sh,
+                  unnest(s) AS tok
+           FROM sh WHERE len(s) > 0),
+    dfs AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+            FROM ex GROUP BY tok),
+    ranked AS (
+      SELECT e.doc_id, e.n_sh, e.tok,
+             ROW_NUMBER() OVER (PARTITION BY e.doc_id
+                                ORDER BY d.df, e.tok) AS rn
+      FROM ex e JOIN dfs d USING (tok)),
+    pex AS (SELECT * FROM ranked
+            WHERE rn <= n_sh - CEIL({t} * n_sh) + 1),
+    w AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS wd
+          FROM pex GROUP BY tok)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sh) AS n_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dfs) AS n_tokens,
+           (SELECT CAST(MAX(df) AS BIGINT) FROM dfs) AS max_df,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pex) AS n_prefix_rows,
+           CAST(COUNT(CASE WHEN wd >= 2 THEN 1 END) AS BIGINT)
+             AS n_buckets,
+           CAST(MAX(wd) AS BIGINT) AS max_bucket,
+           CAST(SUM(wd * (wd - 1) / 2) AS BIGINT) AS cand_pairs
+    FROM w
+    """
+
+
+@register(
+    "q_dedup_prefix_audit",
+    oracle=_prefix_audit_oracle(),
+    tags=("llm", "dedup"),
+)
+def q_dedup_prefix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin candidate-volume ACCOUNTING — the exact-prefix-join
+    family's counterpart of q_embed_cell_audit (MAX_CELL) and the LSH
+    index audit (MAX_BUCKET): one summary row with the corpus's
+    shingle dictionary size, max document frequency, prefix posting
+    volume, candidate bucket widths, and the implied candidate-pair
+    count Σ C(width, 2). This is the row an operator reads BEFORE
+    running q_dedup_jaccard_prefix at scale: the prefix filter's
+    power comes from token RARITY, so on a corpus whose dictionary
+    saturates instead of growing (Heaps-law violation — tiny
+    vocabularies, templated text), cand_pairs grows quadratically in
+    corpus size while emitted pairs stay flat, and the right tool is
+    the capped family (q_dedup_minhash's MAX_BUCKET banding or
+    q_dedup_jaccard's JACCARD_DF_CAP stop-shingles), keeping exact
+    PPJoin for verify stages. Measured on the v3 derived fixtures
+    (SCALE.md r14): f10 → f50 emitted pairs flat at 499 while
+    cand_pairs grows ~25× — the audit predicts the wall, the output
+    doesn't.
+
+    The audit ranks prefix tokens by (df, shingle-string) — the
+    pipeline itself ranks by (df, xxhash64) for wire economy; the
+    tie-break difference cannot change any count here (both orders
+    take exactly n_sh − ceil(t·n_sh) + 1 tokens per doc).
+
+    Scale: two gram-keyed partial-agg shuffles and a per-doc window —
+    the same shape as the pipeline's own index build, with payloads
+    that never exceed (doc_id, tok, df) triples."""
+    t = PREFIX_JACCARD_T
+    d = load_table(spark, sf_dir, "documents")
+    from data_wrangler_spark.functions.text import words
+
+    sh = d.select("doc_id", words("text").alias("w")).select(
+        "doc_id",
+        F.array_distinct(shingles_from_words(F.col("w"), 3)).alias("s"),
+    )
+    ex = (
+        sh.filter(F.size("s") > 0)
+        .select(
+            "doc_id",
+            F.size("s").cast("long").alias("n_sh"),
+            F.explode("s").alias("tok"),
+        )
+    )
+    dfs = ex.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    ranked = ex.join(dfs, "tok").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "tok")
+        ),
+    )
+    pex = ranked.filter(
+        F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1
+    )
+    w = pex.groupBy("tok").agg(F.count("*").cast("long").alias("wd"))
+    n_docs = sh.count()
+    n_tokens, max_df = dfs.agg(
+        F.count("*").cast("long"), F.max("df").cast("long")
+    ).first()
+    n_prefix_rows = pex.count()
+    return w.agg(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        F.lit(n_tokens).cast("long").alias("n_tokens"),
+        F.lit(max_df).cast("long").alias("max_df"),
+        F.lit(n_prefix_rows).cast("long").alias("n_prefix_rows"),
+        F.count(F.when(F.col("wd") >= 2, 1)).cast("long").alias("n_buckets"),
+        F.max("wd").cast("long").alias("max_bucket"),
+        F.sum(F.expr("wd * (wd - 1) / 2")).cast("long").alias("cand_pairs"),
+    )
+
+
 @register(
     "q_dedup_jaccard_prefix",
     oracle=f"""

@@ -386,7 +386,15 @@ def min_label_components(
     n_nodes = labels.count()
     changed = 0
     with shuffle_width(spark, n_nodes):
-        for _ in range(25):  # diameter bound; converges in ~3-5
+        # Diameter bound. Near-clique dup graphs converge in ~3-5
+        # rounds; the v3 derived fixtures (decorrelated copies — no
+        # cross-copy clique shortcuts) expose the BASE corpus's true
+        # chain diameter, measured ~26-30 at the 0.05 cluster
+        # threshold, so the cap is 64 with early exit. At 100 TB the
+        # O(diameter) min-label loop would swap for the O(log n)
+        # alternating star contraction (Kiveris et al.) — same
+        # label-contract shape, fewer rounds.
+        for _ in range(64):
             prop = labels.join(edges, labels["node"] == edges["src"]).select(
                 F.col("dst").alias("node"), F.col("label")
             )
@@ -414,7 +422,7 @@ def min_label_components(
         # tail (q_dedup_cluster, q_dedup_prefix_keep,
         # q_dedup_lsh_keep), so fail loudly rather than mislabel.
         raise RuntimeError(
-            f"min_label_components: not converged after 25 rounds "
+            f"min_label_components: not converged after 64 rounds "
             f"({changed} labels still moving) — component diameter "
             f"exceeds the bound; raise the round cap for this corpus"
         )
