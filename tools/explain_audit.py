@@ -127,6 +127,7 @@ AUDIT = [
     ("q_embed_cell_audit", "the cap's accounting row: one partial-agg count over the assignment"),
     ("q_quality_repetition", "dup fractions scan-side; top-2-gram = one (doc,gram) agg + per-doc window"),
     ("q_text_entropy", "26 replace-length pairs in codegen: histogram + entropy with no exchange"),
+    ("q_dedup_prefix_audit", "PPJoin candidate accounting: two gram-keyed partial aggs + per-doc window"),
 ]
 
 # Streaming operators: REGISTRY.run() returns the memory sink (its
