@@ -95,21 +95,31 @@ def main() -> None:
     # gate spins until the 1-min loadavg drops under the threshold or
     # the budget elapses; both the wait and the outcome are stamped
     # into the artifact so a forced hot measurement is self-labeling.
-    gate_thresh = float(os.environ.get("SPARK_GRAFT_BENCH_LOADGATE", "8"))
-    gate_budget = float(os.environ.get("SPARK_GRAFT_BENCH_LOADWAIT", "120"))
+    # Default 2.0 on 32 cores (VERDICT r14 #3): r14's threshold of 8
+    # passed a load-5.39 box with zero wait and produced a phantom
+    # +5.2% "regression" on untouched code — a gate that only trips
+    # when the box is already too hot to measure isn't a gate. 2.0
+    # (6% of 32 cores) is the level at which round-over-round deltas
+    # at this sf stop needing noise adjudication; the budget is long
+    # enough (10 min) for a transient neighbor job to drain.
+    gate_thresh = float(os.environ.get("SPARK_GRAFT_BENCH_LOADGATE", "2"))
+    gate_budget = float(os.environ.get("SPARK_GRAFT_BENCH_LOADWAIT", "600"))
     gate_t0 = time.time()
     while (
         os.getloadavg()[0] > gate_thresh
         and time.time() - gate_t0 < gate_budget
     ):
         time.sleep(5)
+    # one sample feeds BOTH the stamped exit load and the verdict, so
+    # the artifact can never disagree with itself (ADVICE r14)
+    load_exit = os.getloadavg()[0]
     load_gate = {
         "threshold": gate_thresh,
         "budget_sec": gate_budget,
         "waited_sec": round(time.time() - gate_t0, 1),
         "load_at_start": round(load_before[0], 2),
-        "load_at_gate_exit": round(os.getloadavg()[0], 2),
-        "passed": os.getloadavg()[0] <= gate_thresh,
+        "load_at_gate_exit": round(load_exit, 2),
+        "passed": load_exit <= gate_thresh,
     }
     for name in names:
         try:

@@ -47,8 +47,15 @@ MAX_BUCKET = 1000  # hot-bucket guard for the self-join
 # holding n > MAX_CELL members splits into ceil(n / MAX_CELL)
 # sub-cells keyed by a VECTOR-derived hash (first component,
 # micro-quantized), and pairs are generated within (cell, sub) only.
-# Vector-derived (not vec_id-derived) so exact/near-exact duplicates
-# land in the same sub and are still caught; the split is the
+# Vector-derived (not vec_id-derived) so EXACT duplicates are
+# guaranteed to land in the same sub; near-dups whose first
+# components straddle a 1e-6 quantization boundary may split across
+# subs once a cell exceeds MAX_CELL (ADVICE r14) — an extra recall
+# loss beyond the documented SemDeDup within-cell bound, expected
+# miss rate ∝ near-dup pair density within 1e-6 of a boundary
+# (inactive on current fixtures: max cell ≈ 271 < 1024, no cell ever
+# splits, and oracle parity replays the identical split either way);
+# the split is the
 # SemDeDup oversized-cluster sub-clustering semantic (Abbas et al.
 # 2023 §3), replayed verbatim in every DuckDB oracle. With
 # MAX_CELL=1024 no driver fixture is split (max cell ≈ 271 at
@@ -899,9 +906,18 @@ def q_dedup_prefix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     doesn't.
 
     The audit ranks prefix tokens by (df, shingle-string) — the
-    pipeline itself ranks by (df, xxhash64) for wire economy; the
-    tie-break difference cannot change any count here (both orders
-    take exactly n_sh − ceil(t·n_sh) + 1 tokens per doc).
+    pipeline itself ranks by (df, xxhash64) for wire economy. The
+    per-doc counts (n_prefix_rows, n_docs, n_tokens, max_df) are
+    tie-break-invariant — both orders take exactly
+    n_sh − ceil(t·n_sh) + 1 tokens per doc — but WHICH tokens enter
+    a prefix at equal df differs, so n_buckets/max_bucket/cand_pairs
+    are the audit ORDER's candidate volume, not necessarily the
+    pipeline's (ADVICE r14). The divergence is bounded by df-tie
+    density and does not matter for the audit's purpose: saturation
+    is a property of the df DISTRIBUTION (every token frequent), on
+    which all tie-break orders produce the same quadratic verdict —
+    and the enforced guard inside prefix_verified_pairs measures the
+    pipeline's OWN buckets, not this audit's.
 
     Scale: two gram-keyed partial-agg shuffles and a per-doc window —
     the same shape as the pipeline's own index build, with payloads

@@ -163,6 +163,29 @@ def test_fuzz_identifier_binding_rejects_hostile(
             spark, "identOnly", tbl=payload
         ).collect()[0]["n"]
         assert n >= 0
-    elif not legit:
+    elif legit:
+        # a genuine COLUMN name passes schema validation (it IS a
+        # catalog identifier) but cannot resolve as a table:
+        # IDENTIFIER(:tbl) fails at Spark analysis with a resolution
+        # error — a refusal, never a structure escape. Previously
+        # this case fell through both branches and asserted nothing
+        # (ADVICE r14); test_column_name_as_table_is_refused pins it
+        # deterministically since random text rarely lands here.
+        from pyspark.errors import AnalysisException
+
+        with pytest.raises(AnalysisException):
+            fuzz_templates.run(spark, "identOnly", tbl=payload).collect()
+    else:
         with pytest.raises(UnknownIdentifierError):
             fuzz_templates.run(spark, "identOnly", tbl=payload)
+
+
+def test_column_name_as_table_is_refused(spark, fuzz_templates):
+    """Deterministic pin of the fuzz test's column-name branch: a
+    real column name binds as an identifier but is refused at
+    analysis when used where a table is required — the engine never
+    silently scans something else (ADVICE r14)."""
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        fuzz_templates.run(spark, "identOnly", tbl="r_name").collect()
