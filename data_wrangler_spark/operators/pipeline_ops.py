@@ -534,10 +534,13 @@ CONTAM_THRESHOLD = 0.5        # containment fraction that flags a doc
     WITH toks AS (
         SELECT doc_id, source, {sql_words('text')} AS w FROM documents
     ),
-    sh AS (
+    sh0 AS (
         SELECT doc_id, source,
-               unnest({sql_shingles_of('w', CONTAM_NGRAM)}) AS g
+               unnest({sql_shingles_of('w', CONTAM_NGRAM)}) AS g0
         FROM toks
+    ),
+    sh AS (
+        SELECT doc_id, source, {_sql_md5_long('g0')} AS g FROM sh0
     ),
     train AS (
         SELECT DISTINCT g FROM sh WHERE source <> '{CONTAM_EVAL_SOURCE}'
@@ -572,37 +575,66 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the only big state is the distinct train-gram set; it is
     built with partial (map-side) distinct before one hash shuffle on
-    the gram, and the eval side joins it with a left-semi hash join —
-    no row data moves, only grams. At 100 TB, the exact gram set
-    swaps for a Bloom filter built in one pass (the existing
-    q_bloom_prejoin machinery); the containment fractions become
-    upper bounds with a known FP rate while this exact formulation
-    stays the auditable reference."""
+    the gram, and the eval side joins it with a left join against the
+    (distinct, so non-multiplying) set — no row data moves, only
+    grams. At 100 TB, the exact gram set swaps for a Bloom filter
+    built in one pass (the existing q_bloom_prejoin machinery); the
+    containment fractions become upper bounds with a known FP rate
+    while this formulation stays the auditable reference.
+
+    Two r15 plan fixes (VERDICT r14 #2):
+    - the exploded shingle frame feeds BOTH consumers (train's
+      distinct, the eval side) — without a persist the scan + words +
+      explode recomputed per consumer (measured: the recompute was
+      most of the gap to the DuckDB baseline, 1.05s vs 0.47s at
+      sf0.1); pinned, it is one materialization, the same pin()
+      discipline q_dedup_semantic uses;
+    - grams cross the wire as md5-derived 60-bit LONGS
+      (q_dedup_prefix_keep's cross-engine hashing idiom, replayed
+      verbatim in the oracle so both engines count over the
+      IDENTICAL integer sets): the distinct and the join shuffle
+      8-byte keys instead of ~35-byte 5-gram strings. A 60-bit
+      collision could only merge two grams corpus-wide (overcounting
+      one containment hit) — negligible at any realistic gram count,
+      and bit-identical in both engines either way. The string-exact
+      formulation remains in q_decontaminate and the incremental
+      index family."""
+    from pyspark import StorageLevel
+
     d = spread(
         load_table(spark, sf_dir, "documents").select("doc_id", "source", "text"),
         "doc_id",
     ).select("doc_id", "source", words("text").alias("w"))
-    sh = d.select(
-        "doc_id",
-        "source",
-        F.explode(shingles_from_words(F.col("w"), CONTAM_NGRAM)).alias("g"),
+    sh = pin(
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(shingles_from_words(F.col("w"), CONTAM_NGRAM)).alias("g0"),
+        )
+        .select("doc_id", "source", _md5_long(F.col("g0")).alias("g"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     train = (
         sh.filter(F.col("source") != CONTAM_EVAL_SOURCE).select("g").distinct()
     )
     ev = sh.filter(F.col("source") == CONTAM_EVAL_SOURCE).select("doc_id", "g")
-    tot = ev.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    mat = (
-        ev.join(train, "g", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_matched"))
+    # ONE pass computes both counts: left-join the eval grams against
+    # the (distinct, so non-multiplying) train set with a presence
+    # marker, then a single per-doc aggregate — replacing the
+    # previous tot-agg + semi-join + mat-agg + final outer join
+    # (three shuffles + a join) with one join + one shuffle.
+    matched = ev.join(
+        train.withColumn("m", F.lit(1)), "g", "left"
     )
-    n_matched = F.coalesce(F.col("n_matched"), F.lit(0).cast("long"))
-    containment = n_matched / F.col("n_grams")
-    return tot.join(mat, "doc_id", "left").select(
+    agg = matched.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.count("m").alias("n_matched"),
+    )
+    containment = F.col("n_matched") / F.col("n_grams")
+    return agg.select(
         "doc_id",
         "n_grams",
-        n_matched.alias("n_matched"),
+        "n_matched",
         containment.alias("containment"),
         (containment >= F.lit(CONTAM_THRESHOLD)).alias("contaminated"),
     )
@@ -651,15 +683,20 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes q_contamination_bloom's measured Bloom filter with this
     audit as exact reference), and
     the train stream left-semi probes it; one row per train doc comes
-    back."""
+    back. The exploded frame is pinned for the same three-consumer
+    reason as q_contamination's."""
+    from pyspark import StorageLevel
+
     d = spread(
         load_table(spark, sf_dir, "documents").select("doc_id", "source", "text"),
         "doc_id",
     ).select("doc_id", "source", words("text").alias("w"))
-    sh = d.select(
-        "doc_id",
-        "source",
-        F.explode(shingles_from_words(F.col("w"), CONTAM_NGRAM)).alias("g"),
+    sh = pin(
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(shingles_from_words(F.col("w"), CONTAM_NGRAM)).alias("g"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
     evset = (
         sh.filter(F.col("source") == CONTAM_EVAL_SOURCE).select("g").distinct()
