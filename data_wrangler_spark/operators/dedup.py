@@ -848,6 +848,31 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PREFIX_JACCARD_T = 0.6  # near-dup threshold for the prefix-filtered join
 
+# Saturation guard for the exact-PPJoin family (VERDICT r14 #1,
+# enforcing the policy q_dedup_prefix_audit measured): the prefix
+# filter's pruning power comes from token RARITY, so on a corpus
+# whose shingle dictionary saturates instead of growing (templated
+# text, tiny vocabularies — a Heaps-law violation), every prefix
+# token is frequent and the candidate set grows QUADRATICALLY in
+# corpus size while emitted pairs stay flat (measured on the v3
+# derived fixtures: 312k → 40.3M → 1.057B candidates across
+# f5/f10/f50 with output flat at 499). The guard measures the
+# pipeline's OWN candidate volume — Σ C(width, 2) over its actual
+# postings buckets, one small aggregate over a frame the plan builds
+# anyway — and refuses to run the quadratic join when the average
+# per-document candidate load exceeds the bound, naming the capped
+# family (q_dedup_minhash / q_dedup_lsh_keep under MAX_BUCKET, or
+# q_dedup_jaccard under JACCARD_DF_CAP) instead of melting a 1000-
+# executor cluster. Driver fixtures measure ≤ ~30 candidates/doc;
+# the f50-v3 saturating corpus measures ~3,500. Override with
+# SPARK_GRAFT_PREFIX_CAND_PER_DOC (float; 'inf' disables) for a
+# verify stage that knowingly accepts the quadratic cost.
+PREFIX_CAND_PER_DOC = 256.0
+
+
+class PrefixSaturationError(RuntimeError):
+    """Exact PPJoin refused: the corpus saturates the prefix filter."""
+
 
 def _prefix_audit_oracle() -> str:
     t = PREFIX_JACCARD_T
@@ -1090,11 +1115,51 @@ def prefix_verified_pairs(spark: SparkSession, sh: DataFrame, t: float) -> DataF
     # INSIDE the emission, before any pair reaches the wire — it cuts
     # the candidate set ~3× at sf0.1 (300k → 90k) and is lossless by
     # the same containment bound the oracle's exact formulation obeys
-    buckets = (
+    from pyspark import StorageLevel
+
+    buckets = pin(
         pex.groupBy("tok")
         .agg(F.array_sort(F.collect_list(F.struct("n_sh", "doc_id"))).alias("ds"))
         .filter(F.size("ds") >= 2)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Pre-flight saturation guard (PREFIX_CAND_PER_DOC above): one
+    # aggregate over the persisted buckets frame — the pipeline's own
+    # candidate volume, so unlike q_dedup_prefix_audit's advisory row
+    # it cannot diverge from what would actually run. Oracle-neutral:
+    # on any corpus where the guard passes, the result is unchanged
+    # (the persist is reused by the pair-emission consumer below).
+    import math
+    import os
+
+    bound = float(
+        os.environ.get("SPARK_GRAFT_PREFIX_CAND_PER_DOC", PREFIX_CAND_PER_DOC)
+    )
+    if math.isfinite(bound):
+        cand_pairs = float(
+            buckets.agg(
+                F.coalesce(
+                    F.sum(F.expr("size(ds) * (size(ds) - 1) / 2")),
+                    F.lit(0.0),
+                ).cast("double")
+            ).first()[0]
+        )
+        n_docs = sh.count()
+        per_doc = cand_pairs / n_docs if n_docs else 0.0
+        if per_doc > bound:
+            raise PrefixSaturationError(
+                f"exact prefix join refused: {cand_pairs:.3g} candidate "
+                f"pairs over {n_docs} docs = {per_doc:.1f} candidates/doc "
+                f"(bound {bound:g}) — the shingle dictionary saturates "
+                f"this corpus, so the PPJoin prefix filter has no rarity "
+                f"to prune with and the join is candidate-quadratic. Use "
+                f"the capped family instead (q_dedup_minhash / "
+                f"q_dedup_lsh_keep under MAX_BUCKET, or q_dedup_jaccard "
+                f"under JACCARD_DF_CAP); run q_dedup_prefix_audit for "
+                f"the full accounting row; or raise "
+                f"SPARK_GRAFT_PREFIX_CAND_PER_DOC for a verify stage "
+                f"that accepts the quadratic cost."
+            )
     # pair emission as TWO CHAINED GENERATORS (posexplode the anchor,
     # explode its tail slice): rows stream through codegen with O(k)
     # task memory per bucket — a single flatten(transform(...)) would

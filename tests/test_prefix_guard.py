@@ -1,0 +1,73 @@
+"""The PPJoin saturation guard (VERDICT r14 #1): the policy
+q_dedup_prefix_audit measured in r14 ("use the capped family on
+dictionary-saturating corpora") is now ENFORCED inside
+prefix_verified_pairs, which both q_dedup_jaccard_prefix and
+q_dedup_prefix_keep run through — the quadratic plan refuses to run
+instead of melting, and the refusal names the capped alternatives."""
+
+import pytest
+
+from data_wrangler_spark.operators.dedup import (
+    PREFIX_CAND_PER_DOC,
+    PrefixSaturationError,
+)
+from data_wrangler_spark.registry import REGISTRY
+
+
+@pytest.fixture(scope="module")
+def saturating_sf_dir(spark, tmp_path_factory):
+    """A corpus that violates Heaps' law by construction: 240 docs of
+    40 words each, all drawn from an 8-word vocabulary, so every
+    3-gram shingle is shared by ~hundreds of documents and the prefix
+    filter has no rarity to prune with (candidates/doc in the
+    thousands — far over PREFIX_CAND_PER_DOC while the driver
+    fixtures sit at ≤ ~63)."""
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    rows = []
+    for i in range(240):
+        wordlist = [vocab[(i + j) % len(vocab)] for j in range(40)]
+        text = " ".join(wordlist)
+        rows.append((i + 1, text, len(text), "en", f"src{i % 3}"))
+    d = tmp_path_factory.mktemp("saturating")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, n_chars int, lang string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return str(d)
+
+
+def test_guard_trips_on_saturating_corpus(spark, saturating_sf_dir):
+    with pytest.raises(PrefixSaturationError) as ei:
+        REGISTRY["q_dedup_jaccard_prefix"].run(spark, saturating_sf_dir)
+    # the refusal carries the accounting and the alternatives
+    msg = str(ei.value)
+    assert "candidates/doc" in msg
+    assert "q_dedup_minhash" in msg and "q_dedup_jaccard" in msg
+    assert "SPARK_GRAFT_PREFIX_CAND_PER_DOC" in msg
+
+
+def test_guard_covers_the_fused_keeper(spark, saturating_sf_dir):
+    with pytest.raises(PrefixSaturationError):
+        REGISTRY["q_dedup_prefix_keep"].run(spark, saturating_sf_dir)
+
+
+def test_env_override_opts_into_the_quadratic_plan(
+    spark, saturating_sf_dir, monkeypatch
+):
+    """The documented verify-stage escape hatch: raising the bound
+    runs the exact join, and on this planted corpus (every doc of a
+    rotation class is a near-dup of its neighbors) it emits pairs —
+    proving the guard sits BEFORE the join, not in place of it."""
+    monkeypatch.setenv("SPARK_GRAFT_PREFIX_CAND_PER_DOC", "inf")
+    df = REGISTRY["q_dedup_jaccard_prefix"].run(spark, saturating_sf_dir)
+    assert df.count() > 0
+
+
+def test_driver_fixture_is_unaffected(spark, sf_dir):
+    """The guard is oracle-neutral where it passes: the driver
+    fixture's candidate load (≤ ~63/doc at every sf) clears the
+    256/doc bound with ~4× headroom, so the registered query runs
+    and emits the same verified pairs as before."""
+    assert PREFIX_CAND_PER_DOC == 256.0
+    df = REGISTRY["q_dedup_jaccard_prefix"].run(spark, sf_dir)
+    rows = df.collect()
+    assert all(r.jaccard >= 0.6 for r in rows)
