@@ -107,8 +107,11 @@ _OCENTS = "CAST(floor({c} * 100 + 0.5) AS BIGINT)"
     GROUP BY l_returnflag, l_linestatus
     """,
     tags=("ext", "agg"),
+    ship_before="1998-09-02 00:00:00",
 )
-def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_agg_groupby(
+    spark: SparkSession, sf_dir: str, ship_before: str
+) -> DataFrame:
     """TPC-H Q1 shape: the canonical hash aggregate — two grouping
     columns, eight aggregates, a date filter. Partial aggregation
     means the shuffle carries ≤ (4 groups × partials) per task no
@@ -131,7 +134,7 @@ def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.count("*")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        li.filter(F.col("l_shipdate") <= F.lit(ship_before).cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             (F.sum(Q).cast("double") / 100).alias("sum_qty"),
@@ -159,13 +162,23 @@ def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderstatus
     """,
     tags=("ext", "agg"),
+    since=None,
 )
-def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct counts per group. Spark plans multi-distinct via
-    Expand; at 100 TB prefer one distinct per query or approx_*."""
+def q_agg_count_distinct(
+    spark: SparkSession, sf_dir: str, since: str | None
+) -> DataFrame:
+    """Exact distinct counts per group, optionally over orders placed
+    since a bound date (the serving-template parameter; None — the
+    registered default — scans everything, matching the oracle).
+    Spark plans multi-distinct via Expand; at 100 TB prefer one
+    distinct per query or approx_*."""
+    o = _t(spark, sf_dir, "orders")
+    if since is not None:
+        o = o.filter(
+            F.col("o_orderdate") >= F.lit(since).cast("timestamp_ntz")
+        )
     return (
-        _t(spark, sf_dir, "orders")
-        .groupBy("o_orderstatus")
+        o.groupBy("o_orderstatus")
         .agg(
             F.countDistinct("o_custkey").alias("n_customers"),
             F.countDistinct("o_orderpriority").alias("n_priorities"),
@@ -324,17 +337,18 @@ def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
     tags=("ext", "sort"),
+    k=10,
 )
-def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-K by measure with pk tiebreaker. Spark plans
-    TakeOrderedAndProject: each task keeps a K-row heap, the driver
-    merges — no global sort, no full shuffle, O(K) memory. The right
-    plan at any scale."""
+def q_topk(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Top-K by measure with pk tiebreaker (K is the serving-template
+    parameter). Spark plans TakeOrderedAndProject: each task keeps a
+    K-row heap, the driver merges — no global sort, no full shuffle,
+    O(K) memory. The right plan at any scale."""
     return (
         _t(spark, sf_dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-        .limit(10)
+        .limit(int(k))
     )
 
 

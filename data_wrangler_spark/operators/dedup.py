@@ -874,6 +874,21 @@ class PrefixSaturationError(RuntimeError):
     """Exact PPJoin refused: the corpus saturates the prefix filter."""
 
 
+# Every execution-bounding cap has a LIVE accounting operator
+# (VERDICT r14 #8): the op whose output row predicts/validates what
+# the cap does before a pairing run is trusted at scale.
+# tests/test_registry.py scans this module for cap-shaped constants
+# (MAX_*, *_CAP, *_PER_DOC) and asserts each is mapped here to a
+# registered exact-oracle op, so a future cap cannot ship without
+# its accounting row.
+CAP_AUDITS: dict[str, str] = {
+    "MAX_BUCKET": "q_dedup_index_compact",   # per-band over-cap bucket counts
+    "MAX_CELL": "q_embed_cell_audit",        # per-cell population + split arity
+    "JACCARD_DF_CAP": "q_dedup_prefix_audit",  # df distribution / max_df
+    "PREFIX_CAND_PER_DOC": "q_dedup_prefix_audit",  # cand_pairs / n_docs
+}
+
+
 def _prefix_audit_oracle() -> str:
     t = PREFIX_JACCARD_T
     return f"""
@@ -941,8 +956,9 @@ def q_dedup_prefix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     density and does not matter for the audit's purpose: saturation
     is a property of the df DISTRIBUTION (every token frequent), on
     which all tie-break orders produce the same quadratic verdict —
-    and the enforced guard inside prefix_verified_pairs measures the
-    pipeline's OWN buckets, not this audit's.
+    and the enforced PREFIX_CAND_PER_DOC guard inside
+    prefix_verified_pairs measures the pipeline's OWN buckets, not
+    this audit's.
 
     Scale: two gram-keyed partial-agg shuffles and a per-doc window —
     the same shape as the pipeline's own index build, with payloads
@@ -1914,8 +1930,8 @@ def _cell_audit_oracle() -> str:
 )
 def q_embed_cell_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAX_CELL accounting — the embedding family's counterpart of
-    the LSH side's hot-bucket audit (q_dedup_index_audit's
-    over-MAX_BUCKET count): per k-means cell, its population, the
+    the LSH side's hot-bucket audit (q_dedup_index_compact's
+    over-MAX_BUCKET n_buckets_reguarded count): per k-means cell, its population, the
     sub-split arity the MAX_CELL guard applies to it
     (ceil(n / MAX_CELL)), and whether the cap is active. This is the
     row an operator reads before trusting a pairing run: capped

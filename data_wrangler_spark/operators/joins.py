@@ -167,8 +167,9 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n.n_name
     """,
     tags=("ext", "join", "agg"),
+    region="ASIA",
 )
-def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_join_multi(spark: SparkSession, sf_dir: str, region: str) -> DataFrame:
     """TPC-H Q5-shaped 5-table star join: revenue by nation within a
     region. Declarative star join → Catalyst reorders so the
     region→nation→customer dimension chain broadcasts and only the
@@ -188,7 +189,7 @@ def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == region)
     p_cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
     d_cents = F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
     return (

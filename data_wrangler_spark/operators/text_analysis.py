@@ -158,18 +158,22 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM fp
     """,
     tags=("llm", "text"),
+    mod=1000000007,
 )
-def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_text_fingerprint(
+    spark: SparkSession, sf_dir: str, mod: int
+) -> DataFrame:
     """Document fingerprinting: md5 of normalized text (exact-dup
     key) + a rolling polynomial hash folded over word lengths
     (order-sensitive, modular to avoid bigint overflow — DuckDB
-    raises on overflow where Spark wraps). n_copies counts the
-    fingerprint's cluster size."""
+    raises on overflow where Spark wraps; the modulus is the
+    serving-template parameter, default the oracle's 1e9+7).
+    n_copies counts the fingerprint's cluster size."""
     d = load_table(spark, sf_dir, "documents")
     rolling = F.aggregate(
         words(F.lower(F.col("text"))),
         F.lit(7).cast("long"),
-        lambda acc, w: (acc * 31 + F.length(w)) % 1000000007,
+        lambda acc, w: (acc * 31 + F.length(w)) % int(mod),
     )
     return d.select(
         "doc_id",

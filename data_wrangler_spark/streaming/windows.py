@@ -61,14 +61,19 @@ def _sql_bucket(col: str, seconds: int, offset: int = 0) -> str:
     GROUP BY 1, 2, 3
     """,
     tags=("stream",),
+    minutes=5,
 )
-def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-minute tumbling windows per event type. Epoch-aligned starts
-    match the oracle's explicit floor arithmetic; the same expression
-    under readStream is pinned equal in tests/test_streaming.py."""
+def q_stream_tumbling(
+    spark: SparkSession, sf_dir: str, minutes: int
+) -> DataFrame:
+    """Tumbling windows per event type (width in minutes is the
+    serving-template parameter; registered default 5 matches the
+    oracle). Epoch-aligned starts match the oracle's explicit floor
+    arithmetic; the same expression under readStream is pinned equal
+    in tests/test_streaming.py."""
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        ev.groupBy(F.window("ts", f"{int(minutes)} minutes").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
         .select(
             F.col("w.start").alias("w_start"),

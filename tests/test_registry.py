@@ -134,3 +134,34 @@ def test_no_handkept_inventory_counts():
         "hand-kept inventory counts found (point at SURVEY §2.5 "
         f"instead): {offenders}"
     )
+
+
+def test_every_cap_constant_has_a_live_audit_op():
+    """VERDICT r14 #8: each execution-bounding cap constant must map
+    to a registered, exact-oracle accounting operator that NAMES the
+    cap in its doc/oracle — and the mapping must cover every
+    cap-shaped constant in operators.dedup (MAX_*, *_CAP,
+    *_PER_DOC), so a future cap cannot ship without its accounting
+    row."""
+    import re
+
+    import data_wrangler_spark.operators.dedup as dd
+    from data_wrangler_spark.registry import REGISTRY
+
+    cap_like = {
+        n
+        for n, v in vars(dd).items()
+        if isinstance(v, (int, float))
+        and not isinstance(v, bool)
+        and re.fullmatch(r"MAX_[A-Z_]+|[A-Z_]+_CAP|[A-Z_]+_PER_DOC", n)
+    }
+    assert cap_like == set(dd.CAP_AUDITS), (
+        f"cap constants without an accounting op (or stale mapping): "
+        f"{cap_like ^ set(dd.CAP_AUDITS)}"
+    )
+    for cap, op in dd.CAP_AUDITS.items():
+        assert op in REGISTRY, f"{cap}: audit op {op} not registered"
+        spec = REGISTRY[op]
+        assert spec.oracle is not None, f"{cap}: audit op {op} is rows-only"
+        blob = (spec.doc or "") + (spec.oracle or "")
+        assert cap in blob, f"{cap}: audit op {op} never names its cap"

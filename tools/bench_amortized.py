@@ -18,12 +18,19 @@ Three Spark modes (ADVICE r13):
   the long-lived-session best case, disclosed as such.
 - fresh_plan: a NEW DataFrame per request — full re-plan + full
   re-execution. The disclosed per-request-constant qualifier.
-- parameterized: the template-serving regime — same plan SHAPE,
-  a DIFFERENT bind value per request (q_sort_paginate's page, the
-  one weak query with a real template parameter and the worst
-  ratio of the seven), so skipped-stage reuse is impossible while
-  the workload is still "serve the catalog template". DuckDB gets
-  the identical varied bind spliced into its oracle SQL.
+- parameterized: the template-serving regime — same plan SHAPE, a
+  DIFFERENT bind value per request, so skipped-stage reuse is
+  impossible while the workload is still "serve the catalog
+  template". r14 covered only q_sort_paginate here; r15 gives every
+  weak-set query a real template parameter (page, k, date bound,
+  region, window width, hash modulus — VERDICT r14 #4) and rotates
+  it. DuckDB gets the identical varied bind spliced into its oracle
+  SQL.
+
+The serving set is the seven f50 Arrow ratios >2x from r9 PLUS the
+two work-dominated headline queries the r14 verdict asked amortized
+rows for (q_contamination, q_kmeans_exact — serving/fresh modes;
+they have no template bind, so no parameterized row).
 
 Usage: python tools/bench_amortized.py [sf_dir] [N]
 Defaults: the derived f50 fixture (the factor the weak labels were
@@ -51,7 +58,94 @@ WEAK = [
     "q_agg_groupby",
     "q_stream_tumbling",
     "q_text_fingerprint",
+    # r15 additions (VERDICT r14 #2): work-dominated headline queries
+    # whose fresh ratios sit near the 2x line — measured here in the
+    # serving regime a real pipeline runs them in
+    "q_contamination",
+    "q_kmeans_exact",
 ]
+
+
+def _tumbling_sql(minutes: int) -> str:
+    """The q_stream_tumbling oracle regenerated at a different window
+    width — same helper the registered oracle is built from."""
+    from data_wrangler_spark.streaming.windows import _sql_bucket
+
+    sec = int(minutes) * 60
+    return f"""
+    SELECT {_sql_bucket('ts', sec)} AS w_start,
+           {_sql_bucket('ts', sec)} + INTERVAL {int(minutes)} MINUTE AS w_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(22,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """
+
+
+# Per-query template binds for the parameterized mode: kwargs for the
+# Spark builder at request i, plus the DuckDB splice producing the
+# IDENTICAL query. Every splice asserts it changed the SQL, so a
+# drifted oracle string fails loudly instead of silently measuring
+# the unbound query.
+_DATES = [
+    "1998-09-02", "1998-06-02", "1998-03-02", "1997-12-02",
+    "1997-09-02", "1997-06-02", "1997-03-02", "1996-12-02",
+]
+_SINCE = [
+    "1992-06-01", "1993-06-01", "1994-06-01", "1995-06-01",
+    "1996-06-01", "1992-01-01", "1994-01-01", "1996-01-01",
+]
+_REGIONS = ["ASIA", "AMERICA", "EUROPE", "AFRICA", "MIDDLE EAST"]
+_KS = [5, 10, 20, 50, 100, 15, 25, 75]
+_MINUTES = [5, 10, 15, 20, 30, 45, 60, 90]
+_MODS = [1000000007, 999999937, 998244353, 1000000021]
+
+PARAMS: dict[str, dict] = {
+    "q_sort_paginate": {
+        "label": "page 2..9 rotating",
+        "bind": lambda i: {"page": 2 + (i % 8)},
+        "splice": lambda sql, b: sql.replace(
+            "LIMIT 50 OFFSET 100", f"LIMIT 50 OFFSET {50 * (b['page'] - 1)}"
+        ),
+    },
+    "q_agg_groupby": {
+        "label": "ship_before over 8 quarter bounds",
+        "bind": lambda i: {"ship_before": f"{_DATES[i % 8]} 00:00:00"},
+        "splice": lambda sql, b: sql.replace(
+            "TIMESTAMP '1998-09-02 00:00:00'",
+            f"TIMESTAMP '{b['ship_before']}'",
+        ),
+    },
+    "q_agg_count_distinct": {
+        "label": "since over 8 order-date bounds",
+        "bind": lambda i: {"since": f"{_SINCE[i % 8]} 00:00:00"},
+        "splice": lambda sql, b: sql.replace(
+            "FROM orders",
+            f"FROM orders WHERE o_orderdate >= TIMESTAMP '{b['since']}'",
+        ),
+    },
+    "q_topk": {
+        "label": "k in {5,10,15,20,25,50,75,100}",
+        "bind": lambda i: {"k": _KS[i % 8]},
+        "splice": lambda sql, b: sql.replace("LIMIT 10", f"LIMIT {b['k']}"),
+    },
+    "q_join_multi": {
+        "label": "region over the 5 regions",
+        "bind": lambda i: {"region": _REGIONS[i % 5]},
+        "splice": lambda sql, b: sql.replace("'ASIA'", f"'{b['region']}'"),
+    },
+    "q_stream_tumbling": {
+        "label": "window width 5..90 minutes",
+        "bind": lambda i: {"minutes": _MINUTES[i % 8]},
+        "splice": lambda sql, b: _tumbling_sql(b["minutes"]),
+    },
+    "q_text_fingerprint": {
+        "label": "rolling-hash modulus over 4 primes",
+        "bind": lambda i: {"mod": _MODS[i % 4]},
+        "splice": lambda sql, b: sql.replace("1000000007", str(b["mod"])),
+    },
+}
 
 
 def main() -> None:
@@ -132,31 +226,35 @@ def main() -> None:
         out["fresh_plan"][name] = fq
         print(f"{name} fresh: {json.dumps(fq)}", file=sys.stderr, flush=True)
 
-        # Parameterized serving (module docstring): only queries with
-        # a real template bind run here; the bind varies per request
-        # on BOTH engines, so neither side can reuse a prior
-        # request's execution.
-        if name == "q_sort_paginate":
-            pages = [2 + (i % 8) for i in range(n_fresh)]
-            spec.run(spark, sf_dir, page=pages[0]).toArrow()
+        # Parameterized serving (module docstring): the bind varies
+        # per request on BOTH engines, so neither side can reuse a
+        # prior request's execution. All seven r9 weak queries carry
+        # a real template parameter now (VERDICT r14 #4); the two
+        # r15 work-dominated additions have none and skip this mode.
+        p = PARAMS.get(name)
+        if p is not None:
+            binds = [p["bind"](i) for i in range(n_fresh)]
+            # every non-default splice must actually change the SQL
+            # (a bind equal to the registered default legitimately
+            # reproduces the original string)
+            for b in binds:
+                if all(spec.defaults.get(k) == v for k, v in b.items()):
+                    continue
+                if p["splice"](spec.oracle, b) == spec.oracle:
+                    raise AssertionError(f"{name}: splice missed for {b}")
+            spec.run(spark, sf_dir, **binds[0]).toArrow()
             t0 = time.perf_counter()
-            for p in pages:
-                spec.run(spark, sf_dir, page=p).toArrow()
+            for b in binds:
+                spec.run(spark, sf_dir, **b).toArrow()
             sp_total = time.perf_counter() - t0
 
-            def duck_sql(p: int) -> str:
-                return spec.oracle.replace(
-                    "LIMIT 50 OFFSET 100", f"LIMIT 50 OFFSET {50 * (p - 1)}"
-                )
-
-            assert duck_sql(7) != spec.oracle  # splice point must exist
-            con.execute(duck_sql(pages[0])).fetch_arrow_table()
+            con.execute(p["splice"](spec.oracle, binds[0])).fetch_arrow_table()
             t0 = time.perf_counter()
-            for p in pages:
-                con.execute(duck_sql(p)).fetch_arrow_table()
+            for b in binds:
+                con.execute(p["splice"](spec.oracle, b)).fetch_arrow_table()
             dp_total = time.perf_counter() - t0
             pq = {
-                "param": "page 2..9 rotating",
+                "param": p["label"],
                 "n_requests": n_fresh,
                 "duckdb_amortized": round(dp_total / n_fresh, 5),
                 "spark_amortized": round(sp_total / n_fresh, 5),
