@@ -681,3 +681,153 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= HN_K)
         .select("query_id", "vec_id", "label", "cos_sim")
     )
+
+
+DSIR_B = 1024          # hashed n-gram feature buckets
+DSIR_TARGET_LANG = "en"  # the target distribution: English documents
+
+
+def _dsir_oracle() -> str:
+    from data_wrangler_spark.operators.dedup import _sql_md5_long
+
+    bkt = f"({_sql_md5_long('gram')} % {DSIR_B})"
+    return f"""
+    WITH w AS (SELECT doc_id, lang = '{DSIR_TARGET_LANG}' AS is_target,
+                      {sql_words('text')} AS w
+               FROM documents),
+    g AS (SELECT doc_id, is_target,
+                 unnest({sql_bigrams_of('w')}) AS gram
+          FROM w),
+    b AS (SELECT doc_id, is_target, {bkt} AS bkt FROM g),
+    cb AS (SELECT bkt,
+                  CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT)
+                    AS ct,
+                  CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT)
+                    AS cr
+           FROM b GROUP BY 1),
+    tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+                   CAST(SUM(cr) AS BIGINT) AS nr
+            FROM cb),
+    lw AS (SELECT cb.bkt,
+                  CAST(floor(CAST(CAST(ln(
+                      CAST((cb.ct + 1) * (tot.nr + {DSIR_B}) AS DOUBLE)
+                    / CAST((cb.cr + 1) * (tot.nt + {DSIR_B}) AS DOUBLE)
+                  ) AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT) AS lw_micro
+           FROM cb CROSS JOIN tot),
+    scored AS (SELECT b.doc_id,
+                      CAST(COUNT(*) AS BIGINT) AS n_grams,
+                      CAST(SUM(lw.lw_micro) AS BIGINT) AS sum_lw_micro
+               FROM b JOIN lw USING (bkt) GROUP BY 1)
+    SELECT s.doc_id, d.lang = '{DSIR_TARGET_LANG}' AS is_target,
+           s.n_grams, s.sum_lw_micro,
+           CAST(floor(CAST(s.sum_lw_micro AS DOUBLE) / s.n_grams) AS BIGINT)
+             AS avg_lw_micro,
+           (CAST(floor(CAST(s.sum_lw_micro AS DOUBLE) / s.n_grams) AS BIGINT)
+             > 0) AS selected
+    FROM scored s JOIN documents d USING (doc_id)
+    """
+
+
+@register("q_dsir_select", oracle=_dsir_oracle(), tags=("llm", "text", "selection"))
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by its hashed-n-gram importance weight toward a target
+    distribution — here the corpus's own English split — and flag the
+    documents whose mean log-weight says "more target-like than
+    raw-like". Features are word bigrams hashed into DSIR_B buckets
+    (the paper's hashed n-gram estimator); bucket log-weights are
+    ln(p_target/p_raw) under add-one smoothing. The reference gateway
+    has no selection tooling (SURVEY §2.2 — its analytics end at the
+    SQL routes); this extends the llm_extras selection family
+    (q_mix_temperature draws BETWEEN sources, this scores WITHIN the
+    corpus toward a style).
+
+    Exactness: bucket counts are exact integers; the smoothed ratio is
+    a division of two BIGINT products (each < 2^53 — counts × corpus
+    totals — so both doubles are exact and the quotient is one IEEE
+    op); ln runs once per BUCKET (≤ DSIR_B rows, never per gram) and
+    squeezes through float32 (the q_entropy parity guard) before
+    micro-flooring; per-doc totals are then order-free integer sums.
+    Docs under 2 words have no features and drop in both engines.
+
+    Scale: the gram stream aggregates to ≤ DSIR_B bucket rows
+    (map-side partials — the shuffle moves ≤ tasks × DSIR_B rows, not
+    data), the two corpus totals ride the same tiny table, and the
+    weight table broadcasts back onto the stream; the only data-sized
+    exchange is the per-doc score aggregate, partial-combined on
+    doc_id. Selection is a pure per-row predicate (avg weight > 0) —
+    no global sort, unlike top-k selection, so the plan is one
+    pass + one bounded side-channel at any corpus size."""
+    from pyspark import StorageLevel
+
+    from data_wrangler_spark.operators.dedup import _md5_long
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("lang") == DSIR_TARGET_LANG).alias("is_target"),
+        words("text").alias("w"),
+    )
+    # bind + persist the bucket stream: it feeds BOTH the bucket
+    # census and the per-doc scoring pass (the q_contamination lesson:
+    # an unpinned shared explode recomputes the scan per consumer)
+    b = pin(
+        d.select(
+            "doc_id",
+            "is_target",
+            F.explode(bigrams_from_words(F.col("w"))).alias("gram"),
+        )
+        .select(
+            "doc_id",
+            "is_target",
+            (_md5_long(F.col("gram")) % DSIR_B).alias("bkt"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cb = b.groupBy("bkt").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("cr"),
+    )
+    tot = cb.agg(
+        F.sum("ct").alias("nt"),
+        F.sum("cr").alias("nr"),
+    )
+    lw = cb.crossJoin(F.broadcast(tot)).select(
+        "bkt",
+        F.floor(
+            F.log(
+                ((F.col("ct") + 1) * (F.col("nr") + DSIR_B)).cast("double")
+                / ((F.col("cr") + 1) * (F.col("nt") + DSIR_B)).cast("double")
+            )
+            .cast("float")
+            .cast("double")
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("lw_micro"),
+    )
+    scored = (
+        b.join(F.broadcast(lw), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("lw_micro").alias("sum_lw_micro"),
+        )
+    )
+    avg = F.floor(
+        F.col("sum_lw_micro").cast("double") / F.col("n_grams")
+    ).cast("long")
+    flags = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("lang") == DSIR_TARGET_LANG).alias("is_target")
+    )
+    return (
+        scored.join(flags, "doc_id")
+        .select(
+            "doc_id",
+            "is_target",
+            "n_grams",
+            "sum_lw_micro",
+            avg.alias("avg_lw_micro"),
+            (avg > 0).alias("selected"),
+        )
+    )

@@ -147,3 +147,34 @@ def test_embed_quantize_roundtrip_bounded(spark, sf_dir):
         assert all(0 <= c <= 255 for c in codes)
         step_micro = (r.hi_micro - r.lo_micro) / 255.0
         assert r.max_err_micro <= step_micro / 2 + 2
+
+def test_dsir_selects_target_style_regardless_of_label(spark, tmp_path):
+    """DSIR's defining property: selection follows CONTENT, not the
+    label that defined the target split. A doc labeled outside the
+    target but written in target-style n-grams must be selected; a
+    doc in raw style must not."""
+    en = "the cat sat on the mat and the dog ran to the park"
+    xx = "zork blarg quux fizz grok splat wibble beep"
+    rows = (
+        [(i, en, "en", "s0", len(en)) for i in range(20)]
+        + [(100 + i, xx, "xx", "s1", len(xx)) for i in range(20)]
+        # content-en, labeled xx: must be selected anyway
+        + [(300, en, "xx", "s1", len(en))]
+        # content-xx, labeled en: must NOT be selected
+        + [(301, xx, "en", "s0", len(xx))]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {r.doc_id: r for r in REGISTRY["q_dsir_select"].run(spark, str(tmp_path)).collect()}
+    assert got[300].selected and not got[300].is_target
+    assert not got[301].selected and got[301].is_target
+    # the pure-style populations land on their own sides
+    assert all(got[i].selected for i in range(20))
+    assert not any(got[100 + i].selected for i in range(20))
+    # score identities: avg is the floored mean of the integer sum
+    import math
+    for r in got.values():
+        assert r.avg_lw_micro == math.floor(r.sum_lw_micro / r.n_grams)
+        assert r.selected == (r.avg_lw_micro > 0)
