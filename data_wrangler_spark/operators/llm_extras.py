@@ -687,6 +687,87 @@ DSIR_B = 1024          # hashed n-gram feature buckets
 DSIR_TARGET_LANG = "en"  # the target distribution: English documents
 
 
+def _dsir_lw_expr(ct, cr, nt, nr):
+    """Bucket log-weight in micro-units: floor(float32(ln(
+    (ct+1)(nr+B) / ((cr+1)(nt+B)))) · 1e6) — THE smoothed-ratio
+    expression, used by the batch census, the unseen-bucket default
+    (ct=cr=0), and the streaming gate's weight vector; a drifted copy
+    would score stream docs with a different estimator than the batch
+    op the oracle replays."""
+    return (
+        F.floor(
+            F.log(
+                ((ct + 1) * (nr + DSIR_B)).cast("double")
+                / ((cr + 1) * (nt + DSIR_B)).cast("double")
+            )
+            .cast("float")
+            .cast("double")
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("lw_micro")
+    )
+
+
+def dsir_bucket_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, is_target, bkt): one row per word-bigram occurrence,
+    hashed into DSIR_B buckets — the shared feature stream both the
+    batch selector and the streaming gate's fit derive from."""
+    from data_wrangler_spark.operators.dedup import _md5_long
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("lang") == DSIR_TARGET_LANG).alias("is_target"),
+        words("text").alias("w"),
+    )
+    return (
+        d.select(
+            "doc_id",
+            "is_target",
+            F.explode(bigrams_from_words(F.col("w"))).alias("gram"),
+        )
+        .select(
+            "doc_id",
+            "is_target",
+            (_md5_long(F.col("gram")) % DSIR_B).alias("bkt"),
+        )
+    )
+
+
+def _dsir_census(b: DataFrame):
+    """(cb, tot): per-bucket target/raw occurrence counts and the
+    1-row corpus totals over a (is_target, bkt) stream."""
+    cb = b.groupBy("bkt").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("cr"),
+    )
+    tot = cb.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    return cb, tot
+
+
+def dsir_weight_vector(spark: SparkSession, sf_dir: str, fit_pred) -> list[int]:
+    """The FULL DSIR_B-vector of bucket log-weight micro-units, fit on
+    the ``fit_pred`` split of the corpus; buckets unseen in the fit
+    split carry the smoothing default (_dsir_lw_expr at ct=cr=0). All
+    arithmetic runs ENGINE-SIDE (the same expression the batch op
+    plans), so the collected ints are the ones the DuckDB oracle
+    recomputes; the collect is ≤ DSIR_B+1 rows by construction."""
+    b = dsir_bucket_stream(spark, sf_dir).filter(fit_pred)
+    cb, tot = _dsir_census(b)
+    seen = (
+        cb.crossJoin(F.broadcast(tot))
+        .select("bkt", _dsir_lw_expr(F.col("ct"), F.col("cr"), F.col("nt"), F.col("nr")))
+        .collect()
+    )
+    default = tot.select(
+        _dsir_lw_expr(F.lit(0), F.lit(0), F.col("nt"), F.col("nr"))
+    ).collect()[0]["lw_micro"]
+    vec = [int(default)] * DSIR_B
+    for r in seen:
+        vec[int(r["bkt"])] = int(r["lw_micro"])
+    return vec
+
+
 def _dsir_oracle() -> str:
     from data_wrangler_spark.operators.dedup import _sql_md5_long
 
@@ -761,50 +842,16 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass + one bounded side-channel at any corpus size."""
     from pyspark import StorageLevel
 
-    from data_wrangler_spark.operators.dedup import _md5_long
-
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        (F.col("lang") == DSIR_TARGET_LANG).alias("is_target"),
-        words("text").alias("w"),
-    )
     # bind + persist the bucket stream: it feeds BOTH the bucket
     # census and the per-doc scoring pass (the q_contamination lesson:
     # an unpinned shared explode recomputes the scan per consumer)
     b = pin(
-        d.select(
-            "doc_id",
-            "is_target",
-            F.explode(bigrams_from_words(F.col("w"))).alias("gram"),
-        )
-        .select(
-            "doc_id",
-            "is_target",
-            (_md5_long(F.col("gram")) % DSIR_B).alias("bkt"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        dsir_bucket_stream(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cb = b.groupBy("bkt").agg(
-        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
-        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("cr"),
-    )
-    tot = cb.agg(
-        F.sum("ct").alias("nt"),
-        F.sum("cr").alias("nr"),
-    )
+    cb, tot = _dsir_census(b)
     lw = cb.crossJoin(F.broadcast(tot)).select(
         "bkt",
-        F.floor(
-            F.log(
-                ((F.col("ct") + 1) * (F.col("nr") + DSIR_B)).cast("double")
-                / ((F.col("cr") + 1) * (F.col("nt") + DSIR_B)).cast("double")
-            )
-            .cast("float")
-            .cast("double")
-            * 1_000_000
-        )
-        .cast("long")
-        .alias("lw_micro"),
+        _dsir_lw_expr(F.col("ct"), F.col("cr"), F.col("nt"), F.col("nr")),
     )
     scored = (
         b.join(F.broadcast(lw), "bkt")

@@ -1284,6 +1284,156 @@ def q_stream_embed_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(stream, "q_stream_embed_gate")
 
 
+def _stream_dsir_oracle() -> str:
+    from data_wrangler_spark.functions.text import sql_bigrams_of, sql_words
+    from data_wrangler_spark.operators.dedup import INC_EXIST_PCT, _sql_md5_long
+    from data_wrangler_spark.operators.llm_extras import DSIR_B, DSIR_TARGET_LANG
+
+    bkt = f"({_sql_md5_long('gram')} % {DSIR_B})"
+    return f"""
+    WITH w AS (SELECT doc_id, lang = '{DSIR_TARGET_LANG}' AS is_target,
+                      {sql_words('text')} AS w
+               FROM documents),
+    g AS (SELECT doc_id, is_target,
+                 unnest({sql_bigrams_of('w')}) AS gram
+          FROM w),
+    b AS (SELECT doc_id, is_target, {bkt} AS bkt FROM g),
+    cb AS (SELECT bkt,
+                  CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT)
+                    AS ct,
+                  CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT)
+                    AS cr
+           FROM b
+           WHERE doc_id % 10 < {INC_EXIST_PCT}
+           GROUP BY 1),
+    tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+                   CAST(SUM(cr) AS BIGINT) AS nr
+            FROM cb),
+    lw AS (SELECT cb.bkt,
+                  CAST(floor(CAST(CAST(ln(
+                      CAST((cb.ct + 1) * (tot.nr + {DSIR_B}) AS DOUBLE)
+                    / CAST((cb.cr + 1) * (tot.nt + {DSIR_B}) AS DOUBLE)
+                  ) AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT) AS lw_micro
+           FROM cb CROSS JOIN tot),
+    dflt AS (SELECT CAST(floor(CAST(CAST(ln(
+                      CAST(tot.nr + {DSIR_B} AS DOUBLE)
+                    / CAST(tot.nt + {DSIR_B} AS DOUBLE)
+                  ) AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT) AS d
+             FROM tot),
+    scored AS (SELECT b.doc_id,
+                      CAST(COUNT(*) AS BIGINT) AS n_grams,
+                      CAST(SUM(COALESCE(lw.lw_micro, dflt.d)) AS BIGINT)
+                        AS sum_lw_micro
+               FROM b LEFT JOIN lw USING (bkt) CROSS JOIN dflt
+               WHERE b.doc_id % 10 >= {INC_EXIST_PCT}
+               GROUP BY 1)
+    SELECT s.doc_id, d.lang = '{DSIR_TARGET_LANG}' AS is_target,
+           s.n_grams, s.sum_lw_micro,
+           CAST(floor(CAST(s.sum_lw_micro AS DOUBLE) / s.n_grams) AS BIGINT)
+             AS avg_lw_micro,
+           (CAST(floor(CAST(s.sum_lw_micro AS DOUBLE) / s.n_grams) AS BIGINT)
+             > 0) AS selected
+    FROM scored s JOIN documents d USING (doc_id)
+    """
+
+
+@register(
+    "q_stream_dsir_gate",
+    oracle=_stream_dsir_oracle(),
+    tags=("stream", "llm", "selection"),
+)
+def q_stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DSIR selection gate — q_dsir_select's importance
+    estimator served AS the ingest stream it is designed for,
+    extending the streaming-delivery matrix beyond dedup and
+    contamination to data SELECTION: the bucket weight table is fit
+    batch-side on the HISTORY split (doc_id % 10 < INC_EXIST_PCT, the
+    incremental families' convention), and new documents are scored as
+    they stream past. The weight table is the gate's whole index — the
+    FULL DSIR_B-vector including the smoothing default for buckets the
+    fit never saw (llm_extras.dsir_weight_vector; engine-side
+    arithmetic, so the ints match the oracle's) — and at DSIR_B longs
+    (~8 KB) it rides the plan as ONE SQL-parsed array literal (the
+    assign_cell_expr lesson: per-element lit construction would pay
+    thousands of py4j calls). Scoring is then a single codegen
+    projection per row: hash each bigram, element_at into the weight
+    vector, integer-sum — no Arrow barrier, NO stream-static join, NO
+    stateful operator. Output per streamed doc: (doc_id, is_target,
+    n_grams, sum_lw_micro, avg_lw_micro, selected). Runs a REAL
+    stream (file source, two doc_id-parity micro-batches →
+    availableNow → memory sink); the oracle replays fit, default, and
+    scoring from raw text, and pytest pins the streamed rows ≡ the
+    same scoring run batch-side.
+
+    Scale: this is the family's best-case streaming shape — the gate
+    holds ZERO state bytes (pure per-row projection, the
+    q_stream_pii_scrub property) and the fit artifact is O(DSIR_B),
+    independent of corpus size, so refitting and re-broadcasting it
+    is free at any scale; ingest cost is exactly O(new tokens) per
+    micro-batch with no exchange at all."""
+    from data_wrangler_spark.functions.text import bigrams_from_words, words
+    from data_wrangler_spark.operators.dedup import INC_EXIST_PCT
+    from data_wrangler_spark.operators.llm_extras import (
+        DSIR_B,
+        DSIR_TARGET_LANG,
+        dsir_weight_vector,
+    )
+
+    vec = dsir_weight_vector(
+        spark, sf_dir, F.col("doc_id") % 10 < INC_EXIST_PCT
+    )
+    lw_lit = F.expr("array(" + ",".join(f"{v}L" for v in vec) + ")")
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("lang") == DSIR_TARGET_LANG).alias("is_target"),
+        "text",
+    )
+    new = docs.filter(F.col("doc_id") % 10 >= INC_EXIST_PCT)
+    base = _stage_parts(
+        f"dsir_gate_{os.path.basename(sf_dir.rstrip('/'))}",
+        [
+            new.filter(F.col("doc_id") % 2 == 0),
+            new.filter(F.col("doc_id") % 2 == 1),
+        ],
+    )
+
+    def bucket_of(g):
+        return (
+            F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long") % DSIR_B
+        ).cast("int")
+
+    avg = F.floor(
+        F.col("sum_lw_micro").cast("double") / F.col("n_grams")
+    ).cast("long")
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+        .select(
+            "doc_id",
+            "is_target",
+            bigrams_from_words(words("text")).alias("grams"),
+        )
+        .filter(F.size("grams") > 0)
+        .select(
+            "doc_id",
+            "is_target",
+            F.size("grams").cast("long").alias("n_grams"),
+            F.aggregate(
+                F.transform(
+                    "grams", lambda g: F.element_at(lw_lit, bucket_of(g) + 1)
+                ),
+                F.lit(0).cast("long"),
+                lambda a, v: a + v,
+            ).alias("sum_lw_micro"),
+        )
+        .withColumn("avg_lw_micro", avg)
+        .withColumn("selected", avg > 0)
+    )
+    return _run_stream(stream, "q_stream_dsir_gate")
+
+
 def _run_stream_to_dir(stream_df, out: str, ckpt: str) -> None:
     """Drive a bounded stream to completion into a DURABLE parquet
     sink + checkpoint (the restart-capable counterpart of

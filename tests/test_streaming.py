@@ -744,3 +744,81 @@ def test_stream_pii_scrub_equals_batch_and_stateless(spark, sf_dir):
     assert streamed == batch and streamed
     plan = W._LAST_STREAM_PLAN or ""
     assert "StateStore" not in plan and "Aggregate" not in plan
+
+
+def test_stream_dsir_gate_matches_independent_rescore_and_stateless(spark, tmp_path):
+    """The streamed DSIR gate must reproduce a THIRD, pure-Python
+    implementation of the estimator (hashlib md5 buckets, math.log
+    through numpy.float32 — independent of both engines), must drop
+    sub-bigram docs, and its micro-batch plan must be STATELESS:
+    scoring is one codegen projection, no state store, no aggregate,
+    no join."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    import data_wrangler_spark.streaming.windows as W
+    from data_wrangler_spark.operators.llm_extras import DSIR_B
+
+    en = "the cat sat on the mat and the dog ran to the park"
+    xx = "zork blarg quux fizz grok splat wibble beep"
+    rows = (
+        # history (doc_id % 10 < 8): both styles, en labeled target
+        [(10 * i, en, "en", "s0", len(en)) for i in range(12)]
+        + [(10 * i + 1, xx, "xx", "s1", len(xx)) for i in range(12)]
+        # new docs (doc_id % 10 >= 8): content decides selection
+        + [(18, en, "xx", "s1", len(en)), (28, xx, "en", "s0", len(xx)),
+           (38, en + " " + xx, "en", "s0", 1), (48, "solo", "en", "s0", 4)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.doc_id: r
+        for r in REGISTRY["q_stream_dsir_gate"].run(spark, str(tmp_path)).collect()
+    }
+    plan = W._LAST_STREAM_PLAN or ""
+    assert "StateStore" not in plan and "Aggregate" not in plan
+
+    def bigrams(text):
+        w = text.strip().split()
+        return [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    def bkt(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % DSIR_B
+
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    for doc_id, text, lang, _, _ in rows:
+        if doc_id % 10 >= 8:
+            continue
+        tgt = lang == "en"
+        for g in bigrams(text):
+            d = ct if tgt else cr
+            d[bkt(g)] = d.get(bkt(g), 0) + 1
+    nt, nr = sum(ct.values()), sum(cr.values())
+
+    def lw(b):
+        num = (ct.get(b, 0) + 1) * (nr + DSIR_B)
+        den = (cr.get(b, 0) + 1) * (nt + DSIR_B)
+        return math.floor(float(np.float32(math.log(num / den))) * 1_000_000)
+
+    expected = {}
+    for doc_id, text, lang, _, _ in rows:
+        if doc_id % 10 < 8:
+            continue
+        gs = bigrams(text)
+        if not gs:
+            continue  # sub-bigram docs drop (doc 48)
+        s = sum(lw(bkt(g)) for g in gs)
+        avg = math.floor(s / len(gs))
+        expected[doc_id] = (lang == "en", len(gs), s, avg, avg > 0)
+    assert set(got) == set(expected)
+    for doc_id, (is_target, n, s, avg, sel) in expected.items():
+        r = got[doc_id]
+        assert (r.is_target, r.n_grams, r.sum_lw_micro, r.avg_lw_micro, r.selected) \
+            == (is_target, n, s, avg, sel)
+    # content decides: en-style doc labeled xx selected, reverse not
+    assert got[18].selected and not got[28].selected
