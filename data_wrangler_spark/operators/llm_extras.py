@@ -768,14 +768,17 @@ def dsir_weight_vector(spark: SparkSession, sf_dir: str, fit_pred) -> list[int]:
     return vec
 
 
-def _dsir_oracle() -> str:
+def _dsir_scored_ctes() -> str:
+    """The shared oracle CTE chain ending in `scored` (doc_id,
+    n_grams, sum_lw_micro) — composed by both the batch selector and
+    the Gumbel resampler so the estimator replay cannot drift."""
     from data_wrangler_spark.operators.dedup import _sql_md5_long
 
     bkt = f"({_sql_md5_long('gram')} % {DSIR_B})"
     return f"""
-    WITH w AS (SELECT doc_id, lang = '{DSIR_TARGET_LANG}' AS is_target,
-                      {sql_words('text')} AS w
-               FROM documents),
+    w AS (SELECT doc_id, lang = '{DSIR_TARGET_LANG}' AS is_target,
+                 {sql_words('text')} AS w
+          FROM documents),
     g AS (SELECT doc_id, is_target,
                  unnest({sql_bigrams_of('w')}) AS gram
           FROM w),
@@ -798,7 +801,39 @@ def _dsir_oracle() -> str:
     scored AS (SELECT b.doc_id,
                       CAST(COUNT(*) AS BIGINT) AS n_grams,
                       CAST(SUM(lw.lw_micro) AS BIGINT) AS sum_lw_micro
-               FROM b JOIN lw USING (bkt) GROUP BY 1)
+               FROM b JOIN lw USING (bkt) GROUP BY 1)"""
+
+
+def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark mirror of the oracle's `scored` CTE: (doc_id, n_grams,
+    sum_lw_micro) over the whole corpus — the estimator frame both
+    the selector and the resampler build on."""
+    from pyspark import StorageLevel
+
+    # bind + persist the bucket stream: it feeds BOTH the bucket
+    # census and the per-doc scoring pass (the q_contamination lesson:
+    # an unpinned shared explode recomputes the scan per consumer)
+    b = pin(
+        dsir_bucket_stream(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cb, tot = _dsir_census(b)
+    lw = cb.crossJoin(F.broadcast(tot)).select(
+        "bkt",
+        _dsir_lw_expr(F.col("ct"), F.col("cr"), F.col("nt"), F.col("nr")),
+    )
+    return (
+        b.join(F.broadcast(lw), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("lw_micro").alias("sum_lw_micro"),
+        )
+    )
+
+
+def _dsir_oracle() -> str:
+    return f"""
+    WITH {_dsir_scored_ctes()}
     SELECT s.doc_id, d.lang = '{DSIR_TARGET_LANG}' AS is_target,
            s.n_grams, s.sum_lw_micro,
            CAST(floor(CAST(s.sum_lw_micro AS DOUBLE) / s.n_grams) AS BIGINT)
@@ -840,27 +875,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id. Selection is a pure per-row predicate (avg weight > 0) —
     no global sort, unlike top-k selection, so the plan is one
     pass + one bounded side-channel at any corpus size."""
-    from pyspark import StorageLevel
-
-    # bind + persist the bucket stream: it feeds BOTH the bucket
-    # census and the per-doc scoring pass (the q_contamination lesson:
-    # an unpinned shared explode recomputes the scan per consumer)
-    b = pin(
-        dsir_bucket_stream(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    cb, tot = _dsir_census(b)
-    lw = cb.crossJoin(F.broadcast(tot)).select(
-        "bkt",
-        _dsir_lw_expr(F.col("ct"), F.col("cr"), F.col("nt"), F.col("nr")),
-    )
-    scored = (
-        b.join(F.broadcast(lw), "bkt")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum("lw_micro").alias("sum_lw_micro"),
-        )
-    )
+    scored = _dsir_scored(spark, sf_dir)
     avg = F.floor(
         F.col("sum_lw_micro").cast("double") / F.col("n_grams")
     ).cast("long")
@@ -878,3 +893,78 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             (avg > 0).alias("selected"),
         )
     )
+
+
+DSIR_SAMPLE_K = 64  # resample budget (documents drawn)
+
+
+def _dsir_resample_oracle() -> str:
+    from data_wrangler_spark.operators.dedup import _sql_md5_long
+
+    h = _sql_md5_long("CAST(doc_id AS VARCHAR)", 7)
+    u = f"(CAST(({h} >> 7) + 1 AS DOUBLE) / 18014398509481984.0)"
+    g = (
+        f"CAST(floor(CAST(CAST(-ln(CAST(CAST(-ln({u}) AS FLOAT) AS DOUBLE))"
+        f" AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT)"
+    )
+    return f"""
+    WITH {_dsir_scored_ctes()},
+    gum AS (SELECT doc_id, sum_lw_micro, {g} AS gumbel_micro FROM scored),
+    ranked AS (SELECT doc_id, sum_lw_micro, gumbel_micro,
+                      sum_lw_micro + gumbel_micro AS key_micro,
+                      ROW_NUMBER() OVER (
+                        ORDER BY sum_lw_micro + gumbel_micro DESC, doc_id)
+                        AS rk
+               FROM gum)
+    SELECT doc_id, sum_lw_micro, gumbel_micro, key_micro,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {DSIR_SAMPLE_K}
+    """
+
+
+@register(
+    "q_dsir_resample",
+    oracle=_dsir_resample_oracle(),
+    tags=("llm", "text", "selection"),
+)
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resampling half of DSIR (Xie et al. 2023 §3: sample
+    ∝ importance weight, WITHOUT replacement) — completing
+    q_dsir_select, whose threshold flag is the paper's scoring half.
+    Sampling ∝ exp(log w) without replacement IS Gumbel top-k
+    (Vieira 2014): draw g_i ~ Gumbel(0,1), take the top K by
+    log w_i + g_i. Here the Gumbel draw is DERANDOMIZED the way every
+    sampling op in this repo is (q_sample_hash's doctrine): u_i is a
+    seeded md5 of the doc_id — the top 53 bits of the 60-bit hash,
+    +1, over 2^54, so u ∈ (0, 1/2] is an EXACT double in both engines
+    and -ln(-ln(u)) never hits a pole. Each of the two transcendental
+    hops squeezes through float32 before the next (one squeeze per
+    ln — the composed ln∘ln would otherwise double any last-ulp libm
+    divergence instead of absorbing it); the floored micro result is
+    then pure integer arithmetic. Output: the K drawn docs with
+    their weight, noise, key, and rank.
+
+    Scale: the estimator frame is q_dsir_select's (one bounded bucket
+    census + one per-doc aggregate); the draw adds a per-row
+    expression and a global top-K — orderBy+limit, i.e. per-task
+    heaps of K rows merged on the driver, never a global sort; the
+    rank window then runs on K rows only. The whole op moves O(K)
+    rows beyond the scoring aggregate at any corpus size."""
+    from data_wrangler_spark.operators.dedup import _md5_long
+
+    scored = _dsir_scored(spark, sf_dir)
+    h = _md5_long(F.col("doc_id").cast("string"), seed=7)
+    u = (F.shiftright(h, 7) + 1).cast("double") / F.lit(float(1 << 54))
+    nl = (-F.log(u)).cast("float").cast("double")
+    g = F.floor((-F.log(nl)).cast("float").cast("double") * 1_000_000).cast(
+        "long"
+    )
+    keyed = scored.select(
+        "doc_id",
+        "sum_lw_micro",
+        g.alias("gumbel_micro"),
+        (F.col("sum_lw_micro") + g).alias("key_micro"),
+    )
+    top = keyed.orderBy(F.desc("key_micro"), "doc_id").limit(DSIR_SAMPLE_K)
+    w = Window.orderBy(F.desc("key_micro"), "doc_id")
+    return top.withColumn("rk", F.row_number().over(w).cast("long"))

@@ -178,3 +178,44 @@ def test_dsir_selects_target_style_regardless_of_label(spark, tmp_path):
     for r in got.values():
         assert r.avg_lw_micro == math.floor(r.sum_lw_micro / r.n_grams)
         assert r.selected == (r.avg_lw_micro > 0)
+
+def test_dsir_resample_is_gumbel_topk_of_select_scores(spark, sf_dir):
+    """The resampler must equal an independent pure-Python Gumbel
+    top-k over q_dsir_select's (oracle-verified) per-doc weights:
+    same seeded uniforms (hashlib md5), same double-squeezed
+    -ln(-ln(u)), same (key desc, doc_id) order."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from data_wrangler_spark.operators.llm_extras import DSIR_SAMPLE_K
+
+    weights = {
+        r.doc_id: r.sum_lw_micro
+        for r in REGISTRY["q_dsir_select"].run(spark, sf_dir).collect()
+    }
+
+    def gumbel_micro(doc_id):
+        h = int(hashlib.md5(f"{doc_id}#7".encode()).hexdigest()[:15], 16)
+        u = ((h >> 7) + 1) / float(1 << 54)
+        nl = float(np.float32(-math.log(u)))
+        return math.floor(float(np.float32(-math.log(nl))) * 1_000_000)
+
+    keyed = sorted(
+        ((w + gumbel_micro(d), d) for d, w in weights.items()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    expected = [
+        (d, weights[d], gumbel_micro(d), k, i + 1)
+        for i, (k, d) in enumerate(keyed[:DSIR_SAMPLE_K])
+    ]
+    got = [
+        (r.doc_id, r.sum_lw_micro, r.gumbel_micro, r.key_micro, r.rk)
+        for r in sorted(
+            REGISTRY["q_dsir_resample"].run(spark, sf_dir).collect(),
+            key=lambda r: r.rk,
+        )
+    ]
+    assert got == expected
+    assert len(got) == DSIR_SAMPLE_K
