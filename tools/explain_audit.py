@@ -128,6 +128,8 @@ AUDIT = [
     ("q_quality_repetition", "dup fractions scan-side; top-2-gram = one (doc,gram) agg + per-doc window"),
     ("q_text_entropy", "26 replace-length pairs in codegen: histogram + entropy with no exchange"),
     ("q_dedup_prefix_audit", "PPJoin candidate accounting: two gram-keyed partial aggs + per-doc window"),
+    ("q_dsir_select", "bounded bucket census + broadcast weight table; per-doc agg is the only data-sized shuffle"),
+    ("q_dsir_resample", "scan-side Gumbel key; global top-K via TakeOrderedAndProject, rank on K rows"),
 ]
 
 # Streaming operators: REGISTRY.run() returns the memory sink (its
@@ -139,6 +141,7 @@ STREAM_AUDIT = [
     ("q_stream_quarantine", "self-union of both gates; per-(doc,reason) dedup state"),
     ("q_stream_embed_gate", "expression centroid assign + stream-static cell join + per-pair state"),
     ("q_stream_pii_scrub", "stateless row-local scrub: no join, no agg, no state store"),
+    ("q_stream_dsir_gate", "stateless codegen scoring: weight-array literal in-plan, no join, no state store"),
 ]
 
 # Durable-sink resume ops replay their plan through _run_stream_to_dir
