@@ -1152,10 +1152,19 @@ def prefix_verified_pairs(spark: SparkSession, sh: DataFrame, t: float) -> DataF
         os.environ.get("SPARK_GRAFT_PREFIX_CAND_PER_DOC", PREFIX_CAND_PER_DOC)
     )
     if math.isfinite(bound):
+        # size() is 32-bit: the product must widen BEFORE multiplying
+        # or a >=46,341-posting bucket — precisely the saturating
+        # regime this guard refuses — overflows int and either throws
+        # (ANSI) or wraps negative and silently passes the guard
         cand_pairs = float(
             buckets.agg(
                 F.coalesce(
-                    F.sum(F.expr("size(ds) * (size(ds) - 1) / 2")),
+                    F.sum(
+                        F.expr(
+                            "cast(size(ds) as bigint)"
+                            " * (cast(size(ds) as bigint) - 1) / 2"
+                        )
+                    ),
                     F.lit(0.0),
                 ).cast("double")
             ).first()[0]

@@ -693,12 +693,17 @@ def _dsir_lw_expr(ct, cr, nt, nr):
     expression, used by the batch census, the unseen-bucket default
     (ct=cr=0), and the streaming gate's weight vector; a drifted copy
     would score stream docs with a different estimator than the batch
-    op the oracle replays."""
+    op the oracle replays. Each factor widens to double BEFORE the
+    product (mirrored in the oracles): a BIGINT product would
+    overflow 2^63 once gram totals reach ~3e9 × counts — reachable at
+    the corpus sizes this op targets — while the double product is
+    the identical single-rounded value whenever the integer product
+    fits, and merely rounds (never traps) beyond."""
     return (
         F.floor(
             F.log(
-                ((ct + 1) * (nr + DSIR_B)).cast("double")
-                / ((cr + 1) * (nt + DSIR_B)).cast("double")
+                ((ct + 1).cast("double") * (nr + DSIR_B).cast("double"))
+                / ((cr + 1).cast("double") * (nt + DSIR_B).cast("double"))
             )
             .cast("float")
             .cast("double")
@@ -751,9 +756,29 @@ def dsir_weight_vector(spark: SparkSession, sf_dir: str, fit_pred) -> list[int]:
     split carry the smoothing default (_dsir_lw_expr at ct=cr=0). All
     arithmetic runs ENGINE-SIDE (the same expression the batch op
     plans), so the collected ints are the ones the DuckDB oracle
-    recomputes; the collect is ≤ DSIR_B+1 rows by construction."""
-    b = dsir_bucket_stream(spark, sf_dir).filter(fit_pred)
-    cb, tot = _dsir_census(b)
+    recomputes. ONE corpus scan: the census collapses to ≤ DSIR_B
+    rows which are collected and re-lifted as a local frame, so the
+    totals, the seen weights, and the default all derive from that
+    bounded frame instead of re-scanning the gram stream per
+    consumer (the q_contamination lesson, collect-side form)."""
+    cb_rows = (
+        dsir_bucket_stream(spark, sf_dir)
+        .filter(fit_pred)
+        .groupBy("bkt")
+        .agg(
+            F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+            F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("cr"),
+        )
+        .collect()
+    )
+    if not cb_rows:
+        raise ValueError(
+            "dsir_weight_vector: the fit split is empty — no documents "
+            "match fit_pred (or none has >= 2 words), so no target/raw "
+            "distribution exists to weight against"
+        )
+    cb = spark.createDataFrame(cb_rows, "bkt long, ct long, cr long")
+    tot = cb.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
     seen = (
         cb.crossJoin(F.broadcast(tot))
         .select("bkt", _dsir_lw_expr(F.col("ct"), F.col("cr"), F.col("nt"), F.col("nr")))
@@ -794,8 +819,8 @@ def _dsir_scored_ctes() -> str:
             FROM cb),
     lw AS (SELECT cb.bkt,
                   CAST(floor(CAST(CAST(ln(
-                      CAST((cb.ct + 1) * (tot.nr + {DSIR_B}) AS DOUBLE)
-                    / CAST((cb.cr + 1) * (tot.nt + {DSIR_B}) AS DOUBLE)
+                      (CAST(cb.ct + 1 AS DOUBLE) * CAST(tot.nr + {DSIR_B} AS DOUBLE))
+                    / (CAST(cb.cr + 1 AS DOUBLE) * CAST(tot.nt + {DSIR_B} AS DOUBLE))
                   ) AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT) AS lw_micro
            FROM cb CROSS JOIN tot),
     scored AS (SELECT b.doc_id,
@@ -859,10 +884,12 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_mix_temperature draws BETWEEN sources, this scores WITHIN the
     corpus toward a style).
 
-    Exactness: bucket counts are exact integers; the smoothed ratio is
-    a division of two BIGINT products (each < 2^53 — counts × corpus
-    totals — so both doubles are exact and the quotient is one IEEE
-    op); ln runs once per BUCKET (≤ DSIR_B rows, never per gram) and
+    Exactness: bucket counts are exact integers; the smoothed ratio's
+    four factors each widen to double exactly (counts and corpus
+    totals < 2^53), and the two products + one quotient are three
+    IEEE ops identical in both engines (factor-wise, never a BIGINT
+    product — see _dsir_lw_expr on the 2^63 overflow this avoids);
+    ln runs once per BUCKET (≤ DSIR_B rows, never per gram) and
     squeezes through float32 (the q_entropy parity guard) before
     micro-flooring; per-doc totals are then order-free integer sums.
     Docs under 2 words have no features and drop in both engines.

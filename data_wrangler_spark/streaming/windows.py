@@ -1311,8 +1311,8 @@ def _stream_dsir_oracle() -> str:
             FROM cb),
     lw AS (SELECT cb.bkt,
                   CAST(floor(CAST(CAST(ln(
-                      CAST((cb.ct + 1) * (tot.nr + {DSIR_B}) AS DOUBLE)
-                    / CAST((cb.cr + 1) * (tot.nt + {DSIR_B}) AS DOUBLE)
+                      (CAST(cb.ct + 1 AS DOUBLE) * CAST(tot.nr + {DSIR_B} AS DOUBLE))
+                    / (CAST(cb.cr + 1 AS DOUBLE) * CAST(tot.nt + {DSIR_B} AS DOUBLE))
                   ) AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT) AS lw_micro
            FROM cb CROSS JOIN tot),
     dflt AS (SELECT CAST(floor(CAST(CAST(ln(

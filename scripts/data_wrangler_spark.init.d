@@ -38,7 +38,10 @@ READYFILE="$LOGDIR/server.url"
 PORT="${DW_PORT:-4400}"
 PY="${DW_PYTHON:-python3}"
 
-DIETIME="${DW_DIETIME:-10}"    # seconds to wait for the server to die on stop
+# 60 s: a SparkSession teardown (handler-thread joins + spark.stop())
+# routinely exceeds 10 s on a loaded box, and a short wait makes
+# `restart` (stop && start) abort with the service down
+DIETIME="${DW_DIETIME:-60}"    # seconds to wait for the server to die on stop
 STARTTIME="${DW_STARTTIME:-60}"  # seconds to wait for the ready-file on start
               # (a SparkSession boot is the long pole, not Express)
 

@@ -154,6 +154,7 @@ def main() -> None:
     load_before = [round(x, 2) for x in os.getloadavg()]
 
     from data_wrangler_spark import REGISTRY
+    from data_wrangler_spark.functions.distributed import release_pinned
     from data_wrangler_spark.session import get_spark
 
     con = duck_con(sf_dir)
@@ -197,6 +198,11 @@ def main() -> None:
         for _ in range(n):
             df.toArrow()
         s_total = time.perf_counter() - t0
+        # the warm engine legitimately holds its pinned frames DURING
+        # serving; release them before the next mode so ops that pin
+        # (q_contamination, q_kmeans_exact) don't accumulate resident
+        # copies that skew every later measurement
+        release_pinned()
 
         q = {
             "duckdb_amortized": round(d_total / n, 5),
@@ -212,9 +218,14 @@ def main() -> None:
         # re-plan + full re-execution, no stage reuse. The gap to
         # the serving mode is exactly the per-request constant the
         # weak labels were measuring (plan build + stage recompute).
+        # release INSIDE the timed loop: a fresh-plan server drops the
+        # previous request's cache as part of serving the next, so the
+        # unpersist is part of the per-request cost being measured
+        # (near-no-op for the seven pin-free queries)
         t0 = time.perf_counter()
         for _ in range(n_fresh):
             spec.run(spark, sf_dir).toArrow()
+            release_pinned()
         f_total = time.perf_counter() - t0
         fq = {
             "spark_amortized": round(f_total / n_fresh, 5),
@@ -243,9 +254,11 @@ def main() -> None:
                 if p["splice"](spec.oracle, b) == spec.oracle:
                     raise AssertionError(f"{name}: splice missed for {b}")
             spec.run(spark, sf_dir, **binds[0]).toArrow()
+            release_pinned()
             t0 = time.perf_counter()
             for b in binds:
                 spec.run(spark, sf_dir, **b).toArrow()
+                release_pinned()
             sp_total = time.perf_counter() - t0
 
             con.execute(p["splice"](spec.oracle, binds[0])).fetch_arrow_table()
