@@ -219,3 +219,34 @@ def test_dsir_resample_is_gumbel_topk_of_select_scores(spark, sf_dir):
     ]
     assert got == expected
     assert len(got) == DSIR_SAMPLE_K
+
+def test_dsir_lw_expr_survives_past_int64_products(spark):
+    """The smoothed-ratio factors widen to double BEFORE multiplying:
+    with counts x totals whose integer product exceeds 2^63 the
+    expression must return a finite weight, not an ANSI overflow."""
+    from data_wrangler_spark.operators.llm_extras import _dsir_lw_expr
+    from pyspark.sql import functions as F
+
+    row = spark.createDataFrame(
+        [(10_000_000, 3, 1_000_000_000_000, 2_000_000_000_000)],
+        "ct long, cr long, nt long, nr long",
+    )
+    got = row.select(
+        _dsir_lw_expr(F.col("ct"), F.col("cr"), F.col("nt"), F.col("nr"))
+    ).collect()[0]["lw_micro"]
+    # (ct+1)*(nr+B) ~ 2e19 > 2^63; weight ~ ln(1e7/4 * 2) ~ 15.4
+    assert isinstance(got, int) and 14_000_000 < got < 17_000_000
+
+
+def test_dsir_weight_vector_empty_fit_split_raises_clearly(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_wrangler_spark.operators.llm_extras import dsir_weight_vector
+
+    df = spark.createDataFrame(
+        [(1, "two words", "en", "s0", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    with pytest.raises(ValueError, match="fit split is empty"):
+        dsir_weight_vector(spark, str(tmp_path), F.lit(False))

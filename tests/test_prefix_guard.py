@@ -71,3 +71,19 @@ def test_driver_fixture_is_unaffected(spark, sf_dir):
     df = REGISTRY["q_dedup_jaccard_prefix"].run(spark, sf_dir)
     rows = df.collect()
     assert all(r.jaccard >= 0.6 for r in rows)
+
+
+def test_guard_pair_count_expression_survives_giant_bucket(spark):
+    """The per-bucket candidate count widens to BIGINT before the
+    product: a single >=46,341-posting bucket (the saturating regime
+    the guard refuses) must count exactly, not overflow int32."""
+    from pyspark.sql import functions as F
+
+    n = 50_000
+    row = spark.createDataFrame([(list(range(n)),)], "ds array<int>")
+    got = row.select(
+        F.expr(
+            "cast(size(ds) as bigint) * (cast(size(ds) as bigint) - 1) / 2"
+        ).cast("long").alias("cand")
+    ).collect()[0]["cand"]
+    assert got == n * (n - 1) // 2  # 1,249,975,000 > 2^31 - 1
