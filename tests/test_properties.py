@@ -223,3 +223,53 @@ def test_minhash_sig_sql_matches_python_model(shingles):
         f"SELECT {_sig_select_sql()} FROM (SELECT ? AS sh)", [shingles]
     ).fetchone()
     assert list(row) == want
+
+
+# ── DSIR cross-engine arithmetic contract ────────────────────────────
+# The operator oracles pin exact equality end-to-end; these pin the
+# FORMULA against an independent Python evaluation over random
+# operands. Tolerance is ±1 micro-unit: the float32 squeeze absorbs
+# last-ulp libm divergence except exactly at a float32 rounding
+# boundary, where the floored micro value can differ by one — the
+# documented limit of the squeeze idiom, made explicit here.
+
+_counts = st.integers(min_value=0, max_value=10**12)
+
+
+@given(_counts, _counts, _counts, _counts)
+@settings(max_examples=300)
+def test_dsir_weight_formula_matches_duckdb(ct, cr, et, er):
+    import numpy as np
+
+    from data_wrangler_spark.operators.llm_extras import DSIR_B
+
+    nt, nr = ct + et, cr + er
+    duck = duckdb.sql(
+        f"SELECT CAST(floor(CAST(CAST(ln("
+        f"(CAST({ct} + 1 AS DOUBLE) * CAST({nr} + {DSIR_B} AS DOUBLE))"
+        f" / (CAST({cr} + 1 AS DOUBLE) * CAST({nt} + {DSIR_B} AS DOUBLE))"
+        f") AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT)"
+    ).fetchone()[0]
+    ratio = (float(ct + 1) * float(nr + DSIR_B)) / (
+        float(cr + 1) * float(nt + DSIR_B)
+    )
+    py = math.floor(float(np.float32(math.log(ratio))) * 1_000_000)
+    assert abs(duck - py) <= 1
+
+
+@given(st.integers(min_value=0, max_value=(1 << 60) - 1))
+@settings(max_examples=300)
+def test_dsir_gumbel_formula_bounded_and_matches_duckdb(h):
+    import numpy as np
+
+    u = ((h >> 7) + 1) / float(1 << 54)
+    assert 0.0 < u <= 0.5  # never a pole at either end
+    duck = duckdb.sql(
+        f"SELECT CAST(floor(CAST(CAST(-ln(CAST(CAST(-ln("
+        f"CAST(({h} >> 7) + 1 AS DOUBLE) / 18014398509481984.0"
+        f") AS FLOAT) AS DOUBLE)) AS FLOAT) AS DOUBLE) * 1000000) AS BIGINT)"
+    ).fetchone()[0]
+    nl = float(np.float32(-math.log(u)))
+    py = math.floor(float(np.float32(-math.log(nl))) * 1_000_000)
+    assert abs(duck - py) <= 1
+    assert duck < 20_000_000  # Gumbel noise bounded: -ln(-ln(2^-54)) small
