@@ -46,6 +46,10 @@ GATE_QUERIES = (
     # wall + oracle parity are the probe's claim here
     "q_stream_pii_scrub",
     "q_stream_embed_resume",
+    # r15: the DSIR selection gate — stateless like pii_scrub (the
+    # weight vector is a plan literal; no join, no state store), so
+    # the probe's claim for it is wall + oracle parity + 0 ckpt bytes
+    "q_stream_dsir_gate",
 )
 
 
