@@ -1133,7 +1133,12 @@ def prefix_verified_pairs(spark: SparkSession, sh: DataFrame, t: float) -> DataF
     # the same containment bound the oracle's exact formulation obeys
     from pyspark import StorageLevel
 
-    buckets = pin(
+    # persisted now, pin()-tracked only AFTER the guard passes: a
+    # refused call must not leave a resident MEMORY_AND_DISK copy of
+    # the (largest-case, saturating) postings index parked until the
+    # caller's next release_pinned() — long-lived serving sessions
+    # would accumulate one per refusal
+    buckets = (
         pex.groupBy("tok")
         .agg(F.array_sort(F.collect_list(F.struct("n_sh", "doc_id"))).alias("ds"))
         .filter(F.size("ds") >= 2)
@@ -1172,6 +1177,7 @@ def prefix_verified_pairs(spark: SparkSession, sh: DataFrame, t: float) -> DataF
         n_docs = sh.count()
         per_doc = cand_pairs / n_docs if n_docs else 0.0
         if per_doc > bound:
+            buckets.unpersist()
             raise PrefixSaturationError(
                 f"exact prefix join refused: {cand_pairs:.3g} candidate "
                 f"pairs over {n_docs} docs = {per_doc:.1f} candidates/doc "
@@ -1185,6 +1191,10 @@ def prefix_verified_pairs(spark: SparkSession, sh: DataFrame, t: float) -> DataF
                 f"SPARK_GRAFT_PREFIX_CAND_PER_DOC for a verify stage "
                 f"that accepts the quadratic cost."
             )
+    # guard passed (or disabled) — NOW track the persist for the
+    # caller's bulk release; the pair-emission consumer below reuses
+    # the materialized copy
+    pin(buckets)
     # pair emission as TWO CHAINED GENERATORS (posexplode the anchor,
     # explode its tail slice): rows stream through codegen with O(k)
     # task memory per bucket — a single flatten(transform(...)) would

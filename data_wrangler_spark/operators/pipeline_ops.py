@@ -411,18 +411,18 @@ def min_label_components(
 
     from data_wrangler_spark.session import shuffle_width
 
-    edges = _orient(
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    ).localCheckpoint()
-
     # the per-alternation shuffles move an edge-sized keyspace; on a
     # foreign session with default 200 shuffle partitions each round
     # pays hundreds of near-empty tasks — clamp width to the node
     # count (shuffle_width only ever narrows, so the 100 TB path is
-    # unaffected)
+    # unaffected). The initial _orient distinct is itself a full
+    # shuffle, so it must materialize INSIDE the clamp too.
     n_nodes = nodes.count()
     rounds = 0
     with shuffle_width(spark, n_nodes):
+        edges = _orient(
+            pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        ).localCheckpoint()
         while rounds < STAR_ROUND_CAP:
             rounds += 1
             # large-star over the symmetric neighborhoods
@@ -447,12 +447,14 @@ def min_label_components(
                 .distinct()
                 .localCheckpoint()
             )
-            # converged when the alternation is a no-op (both frames
-            # are distinct high→low edge sets, so two anti-join
-            # counts decide multiset equality)
+            # converged when the alternation is a no-op: both frames
+            # are DISTINCT high→low edge sets, so equal cardinality
+            # plus an empty one-sided difference decides set equality
+            # with one subtract job instead of two (the counts are
+            # cheap scans of already-checkpointed frames)
             if (
-                small.subtract(edges).count() == 0
-                and edges.subtract(small).count() == 0
+                small.count() == edges.count()
+                and small.subtract(edges).count() == 0
             ):
                 edges = small
                 break

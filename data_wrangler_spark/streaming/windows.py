@@ -1372,7 +1372,7 @@ def q_stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is free at any scale; ingest cost is exactly O(new tokens) per
     micro-batch with no exchange at all."""
     from data_wrangler_spark.functions.text import bigrams_from_words, words
-    from data_wrangler_spark.operators.dedup import INC_EXIST_PCT
+    from data_wrangler_spark.operators.dedup import INC_EXIST_PCT, _md5_long
     from data_wrangler_spark.operators.llm_extras import (
         DSIR_B,
         DSIR_TARGET_LANG,
@@ -1399,9 +1399,10 @@ def q_stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def bucket_of(g):
-        return (
-            F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long") % DSIR_B
-        ).cast("int")
+        # same estimator expression as the batch side and the oracle:
+        # all three scoring paths go through _md5_long so the stream
+        # gate can never drift onto a different bucket function
+        return (_md5_long(g) % DSIR_B).cast("int")
 
     avg = F.floor(
         F.col("sum_lw_micro").cast("double") / F.col("n_grams")

@@ -73,6 +73,24 @@ def test_driver_fixture_is_unaffected(spark, sf_dir):
     assert all(r.jaccard >= 0.6 for r in rows)
 
 
+def test_refusal_leaves_no_pinned_postings_index(spark, saturating_sf_dir):
+    """ADVICE r16: a refused call must not park a MEMORY_AND_DISK copy
+    of the saturating postings index until the caller's next
+    release_pinned() — repeated refusals in a long-lived serving
+    session would accumulate resident copies. Only the caller-pinned
+    shingle frame may remain tracked; the buckets frame is unpersisted
+    in the raise path and pin()-tracked only after the guard passes."""
+    from data_wrangler_spark.functions import distributed as D
+
+    D.release_pinned()
+    with pytest.raises(PrefixSaturationError):
+        REGISTRY["q_dedup_jaccard_prefix"].run(spark, saturating_sf_dir)
+    assert len(D._PINNED) == 1  # sh only — never the postings buckets
+    assert "shingles" in D._PINNED[0].columns
+    assert D._PINNED[0].storageLevel.useMemory  # still cached (caller owns it)
+    D.release_pinned()
+
+
 def test_guard_pair_count_expression_survives_giant_bucket(spark):
     """The per-bucket candidate count widens to BIGINT before the
     product: a single >=46,341-posting bucket (the saturating regime
