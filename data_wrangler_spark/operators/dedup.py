@@ -1080,23 +1080,47 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_verified_pairs(spark, sh, t)
 
 
-def prefix_verified_pairs(spark: SparkSession, sh: DataFrame, t: float) -> DataFrame:
+def prefix_verified_pairs(
+    spark: SparkSession,
+    sh: DataFrame,
+    t: float,
+    bound: float | None = None,
+) -> DataFrame:
     """The PPJoin candidate+verify pipeline over a prepared
     (doc_id, shingles, n_sh) frame — factored so q_dedup_jaccard_prefix
     and the fused keeper (pipeline_ops.q_dedup_prefix_keep) share one
     implementation. `sh` should be persisted by the caller (it is
     scanned for the index build AND the verify join). Returns
-    (doc_a, doc_b, jaccard) with jaccard ≥ t, doc_a < doc_b."""
-    # tokens cross the wire as xxhash64 LONGS, never strings: the
+    (doc_a, doc_b, jaccard) with jaccard ≥ t, doc_a < doc_b.
+
+    ``bound``: explicit saturation-guard bound in candidates/doc; the
+    default (None) honors the SPARK_GRAFT_PREFIX_CAND_PER_DOC env
+    override. The auto-router (pipeline_ops.q_dedup_keep_auto) passes
+    the hard default so its routing decision can never be silently
+    changed by an environment opt-out the oracle cannot see."""
+    from pyspark.sql.types import LongType
+
+    # tokens cross the wire as 8-byte LONGS, never strings: the
     # candidate pipeline only needs a CONSISTENT global token order
     # and equality (any order makes the prefix filter lossless —
     # Bayardo et al. §3), and an 8-byte key shuffles ~4× less than
-    # the ~25-byte shingle text. A 64-bit collision merely merges two
-    # tokens' buckets — extra candidates that exact verification
-    # (string arrays, below) then rejects; it cannot lose a pair.
+    # the ~25-byte shingle text. Callers that already hashed their
+    # shingles to md5-derived 60-bit longs (the fused keepers) keep
+    # those AS the tokens — that makes the global (df, tok) prefix
+    # order, hence the saturation-guard aggregate, bit-replayable in
+    # DuckDB (q_dedup_keep_auto's routing oracle depends on this);
+    # string shingles are xxhash64'd as before. A 64-bit collision
+    # merely merges two tokens' buckets — extra candidates that exact
+    # verification then rejects; it cannot lose a pair.
+    elem = sh.schema["shingles"].dataType.elementType
+    tok = (
+        F.col("shingle")
+        if isinstance(elem, LongType)
+        else F.xxhash64("shingle")
+    )
     ex = sh.select(
         "doc_id", "n_sh", F.explode("shingles").alias("shingle")
-    ).select("doc_id", "n_sh", F.xxhash64("shingle").alias("tok"))
+    ).select("doc_id", "n_sh", tok.alias("tok"))
     # inverted index: document frequency AND postings in ONE exchange
     inv = ex.groupBy("tok").agg(
         F.count("*").alias("df"),
@@ -1153,30 +1177,37 @@ def prefix_verified_pairs(spark: SparkSession, sh: DataFrame, t: float) -> DataF
     import math
     import os
 
-    bound = float(
-        os.environ.get("SPARK_GRAFT_PREFIX_CAND_PER_DOC", PREFIX_CAND_PER_DOC)
-    )
+    if bound is None:
+        bound = float(
+            os.environ.get(
+                "SPARK_GRAFT_PREFIX_CAND_PER_DOC", PREFIX_CAND_PER_DOC
+            )
+        )
     if math.isfinite(bound):
         # size() is 32-bit: the product must widen BEFORE multiplying
         # or a >=46,341-posting bucket — precisely the saturating
         # regime this guard refuses — overflows int and either throws
-        # (ANSI) or wraps negative and silently passes the guard
-        cand_pairs = float(
+        # (ANSI) or wraps negative and silently passes the guard.
+        # The decision is ALL-INTEGER (Σ k(k−1) > 2·bound·n) so the
+        # auto-router's DuckDB oracle can replay it bit-for-bit —
+        # per_doc below is display-only.
+        cand2 = int(
             buckets.agg(
                 F.coalesce(
                     F.sum(
                         F.expr(
                             "cast(size(ds) as bigint)"
-                            " * (cast(size(ds) as bigint) - 1) / 2"
+                            " * (cast(size(ds) as bigint) - 1)"
                         )
                     ),
-                    F.lit(0.0),
-                ).cast("double")
+                    F.lit(0),
+                ).cast("long")
             ).first()[0]
         )
         n_docs = sh.count()
+        cand_pairs = cand2 / 2
         per_doc = cand_pairs / n_docs if n_docs else 0.0
-        if per_doc > bound:
+        if cand2 > 2 * bound * n_docs:
             buckets.unpersist()
             raise PrefixSaturationError(
                 f"exact prefix join refused: {cand_pairs:.3g} candidate "

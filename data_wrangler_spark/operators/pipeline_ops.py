@@ -1885,6 +1885,24 @@ def q_dedup_lsh_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pin(hs)
+    return _keeper_from_pairs(spark, d, lsh_verified_pairs(spark, d, hs))
+
+
+def lsh_verified_pairs(
+    spark: SparkSession, d: DataFrame, hs: DataFrame
+) -> DataFrame:
+    """The MinHash-LSH candidate+verify pipeline over raw documents
+    `d` (doc_id, text, …) and a prepared md5-long shingle-set frame
+    `hs` (doc_id, hs, n_hs; persisted by the caller) — factored so
+    q_dedup_lsh_keep and the saturation router (q_dedup_keep_auto)
+    share one implementation. Returns verified (doc_a, doc_b) with
+    exact integer-Jaccard ≥ 3/5."""
+    from data_wrangler_spark.operators.dedup import (
+        MAX_BUCKET,
+        _band_table,
+        _minhash_signatures,
+    )
+
     buckets = (
         _band_table(_minhash_signatures(d))
         .groupBy("band", "bucket")
@@ -1932,7 +1950,234 @@ def q_dedup_lsh_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
-    return _keeper_from_pairs(spark, d, pairs)
+    return pairs
+
+
+# ── q_dedup_keep_auto (VERDICT r15 #1): the saturation ROUTER ──────
+# The recorded policy "use the capped LSH family on dictionary-
+# saturating corpora" as ONE registered operator: pre-flight the
+# PPJoin saturation guard's own aggregate, run the exact prefix
+# keeper under the bound, and route to the MAX_BUCKET-capped LSH
+# keeper above it. Both branches exact-oracle; the router's oracle
+# replays the SAME all-integer decision from the SAME prefix-postings
+# aggregate (possible because the fused keepers feed md5-long tokens
+# to prefix_verified_pairs, so the (df, tok) prefix order is
+# engine-replayable — see prefix_verified_pairs).
+
+
+def _keep_auto_oracle(sweep: bool) -> str:
+    """DuckDB replay of the ENTIRE router: rebuild the prefix
+    postings over the md5-long tokens, take the identical integer
+    routing decision Σk(k−1) ≤ 2·CAP·n_docs, then evaluate ONLY the
+    routed branch — each branch's scan CTE is gated on the decision
+    scalar, so the un-routed branch's joins run over empty inputs
+    (linear scans, no quadratic work; critical at the f5 saturating
+    fixture where the exact branch would otherwise melt DuckDB too).
+    Branch bodies are the existing q_dedup_prefix_keep /
+    q_dedup_lsh_keep oracles verbatim; one shared recursive
+    components+keeper tail consumes whichever edge set is non-empty."""
+    from data_wrangler_spark.operators.dedup import (
+        MAX_BUCKET,
+        PREFIX_CAND_PER_DOC,
+        _band_union_sql,
+        _sig_select_sql,
+    )
+
+    cap = int(PREFIX_CAND_PER_DOC)
+    t = PREFIX_JACCARD_T
+    body = f"""
+    sh0 AS (
+      SELECT doc_id, {sql_shingles_of('w', 3)} AS sh
+      FROM (SELECT doc_id, {sql_words('text')} AS w FROM documents)),
+    hsd AS (
+      SELECT doc_id,
+             list_distinct(list_transform(sh, s -> {_sql_md5_long('s')})) AS hs
+      FROM sh0),
+    ex AS (SELECT doc_id, len(hs) AS n_sh, unnest(hs) AS h FROM hsd),
+    dfr AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY h),
+    rk AS (
+      SELECT e.doc_id, e.n_sh, e.h,
+             ROW_NUMBER() OVER (PARTITION BY e.doc_id
+                                ORDER BY f.df, e.h) AS r
+      FROM ex e JOIN dfr f USING (h)),
+    pfx AS (SELECT h FROM rk WHERE r <= n_sh - CEIL({t} * n_sh) + 1),
+    bks AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS k
+            FROM pfx GROUP BY h HAVING COUNT(*) >= 2),
+    stat AS (
+      SELECT COALESCE(SUM(k * (k - 1)), 0)
+               <= 2 * {cap} * (SELECT COUNT(*) FROM hsd) AS go_exact
+      FROM bks),
+    eex AS (SELECT doc_id, h FROM ex WHERE (SELECT go_exact FROM stat)),
+    einter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM eex a JOIN eex b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    epairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM einter i
+      JOIN hsd sa ON sa.doc_id = i.doc_a
+      JOIN hsd sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.n_inter AS DOUBLE)
+              / (len(sa.hs) + len(sb.hs) - i.n_inter) >= {t}),
+    lsh0 AS (SELECT doc_id, sh FROM sh0
+             WHERE NOT (SELECT go_exact FROM stat)),
+    sig AS (SELECT doc_id, {_sig_select_sql()} FROM lsh0),
+    bands AS (
+      {_band_union_sql('sig')}),
+    guarded AS (
+      SELECT band, bucket, doc_id FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bsize
+        FROM bands)
+      WHERE bsize <= {MAX_BUCKET}),
+    lcand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM guarded a
+      JOIN guarded b ON a.band = b.band AND a.bucket = b.bucket
+                    AND a.doc_id < b.doc_id),
+    lex AS (SELECT doc_id, h FROM ex
+            WHERE NOT (SELECT go_exact FROM stat)),
+    linter AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM lcand c
+      JOIN lex a ON a.doc_id = c.doc_a
+      JOIN lex b ON b.doc_id = c.doc_b AND b.h = a.h
+      GROUP BY 1, 2),
+    lpairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM linter i
+      JOIN hsd sa ON sa.doc_id = i.doc_a
+      JOIN hsd sb ON sb.doc_id = i.doc_b
+      WHERE {LSH_KEEP_T_DEN + LSH_KEEP_T_NUM} * i.n_inter
+              >= {LSH_KEEP_T_NUM} * (len(sa.hs) + len(sb.hs))),
+    allp AS (SELECT doc_a, doc_b FROM epairs
+             UNION ALL SELECT doc_a, doc_b FROM lpairs)"""
+    tail = f"""
+    comp AS (SELECT node AS doc_id, MIN(label) AS component
+             FROM reach GROUP BY node),
+    ranked AS (
+      SELECT c.doc_id, c.component, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rk
+      FROM comp c JOIN documents d USING (doc_id))
+    SELECT doc_id, component, n_chars, (rk = 1) AS keep,
+           CASE WHEN (SELECT go_exact FROM {{stat_src}}) THEN 'exact'
+                ELSE 'lsh' END AS route
+    FROM ranked
+    """
+    if sweep:
+        return f"""
+    CREATE OR REPLACE TEMP TABLE dka_stat AS
+    WITH {body}
+    SELECT go_exact FROM stat;
+    CREATE OR REPLACE TEMP TABLE dka_edges AS
+    WITH {body}
+    SELECT doc_a AS src, doc_b AS dst FROM allp
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM allp;
+    WITH RECURSIVE reach AS (
+      SELECT doc_id AS node, doc_id AS label FROM documents
+      UNION
+      SELECT e.dst AS node, r.label
+      FROM reach r JOIN dka_edges e ON e.src = r.node),
+    {tail.format(stat_src='dka_stat')}
+    """
+    return f"""
+    WITH RECURSIVE
+    {body},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM allp
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM allp),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS label FROM documents
+      UNION
+      SELECT e.dst AS node, r.label
+      FROM reach r JOIN edges e ON e.src = r.node),
+    {tail.format(stat_src='stat')}
+    """
+
+
+@register(
+    "q_dedup_keep_auto",
+    oracle=_keep_auto_oracle(sweep=False),
+    oracle_sweep=_keep_auto_oracle(sweep=True),
+    tags=("llm", "dedup", "pipeline"),
+)
+def q_dedup_keep_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Saturation-ROUTED dedup keeper (VERDICT r15 #1) — the recorded
+    "capped family on saturating corpora" policy as one operator:
+    run the exact PPJoin keeper (q_dedup_prefix_keep's path) under
+    the saturation guard's candidate bound, and when the guard
+    REFUSES (PrefixSaturationError — the corpus's shingle dictionary
+    saturates, so prefix rarity cannot prune and the exact join is
+    candidate-quadratic), fall back to the MAX_BUCKET-capped LSH
+    keeper (q_dedup_lsh_keep's path) whose per-bucket fan-out is
+    bounded BY POLICY regardless of corpus shape. The router does
+    not re-implement the decision: it calls prefix_verified_pairs
+    and catches the refusal, so the routing aggregate IS the
+    enforced guard's (dedup.py, the Σk(k−1) ≤ 2·CAP·n integer
+    comparison over the md5-long prefix postings), taken with the
+    HARD default bound — the env escape hatch deliberately does not
+    apply, or the oracle could not replay the decision.
+
+    Output: one row per doc (doc_id, component, n_chars, keep) plus
+    the route actually taken ('exact' | 'lsh') on every row, so the
+    decision itself is part of the hash-checked contract.
+
+    Scale: the pre-flight costs the prefix-postings index build that
+    the exact branch was about to consume anyway (the persisted
+    frame is reused on the accept path and unpersisted on the refuse
+    path); the LSH fallback touches the corpus only through the
+    banded signature exchange. Wall-clock on a saturating corpus is
+    therefore index-build + LSH — never any quadratic stage — which
+    is the whole point: at 100 TB this query is safe to run UNSEEN
+    on any corpus."""
+    from pyspark import StorageLevel
+
+    from data_wrangler_spark.operators.dedup import (
+        PREFIX_CAND_PER_DOC,
+        PrefixSaturationError,
+        prefix_verified_pairs,
+    )
+
+    t = PREFIX_JACCARD_T
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    hs = (
+        spread(d, "doc_id")
+        .select("doc_id", words("text").alias("w"))
+        .select("doc_id", shingles_from_words(F.col("w"), 3).alias("s"))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform("s", lambda x: _md5_long(x))
+            ).alias("shingles"),
+        )
+        .withColumn("n_sh", F.size("shingles"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pin(hs)
+    try:
+        pairs = prefix_verified_pairs(
+            spark, hs, t, bound=PREFIX_CAND_PER_DOC
+        ).select("doc_a", "doc_b")
+        route = "exact"
+    except PrefixSaturationError:
+        pairs = lsh_verified_pairs(
+            spark,
+            d,
+            hs.select(
+                "doc_id",
+                F.col("shingles").alias("hs"),
+                F.col("n_sh").alias("n_hs"),
+            ),
+        )
+        route = "lsh"
+    return _keeper_from_pairs(spark, d, pairs).withColumn(
+        "route", F.lit(route)
+    )
 
 
 # ── q_corpus_pipeline_incremental (VERDICT r8 #3) ──────────────────

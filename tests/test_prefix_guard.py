@@ -91,6 +91,65 @@ def test_refusal_leaves_no_pinned_postings_index(spark, saturating_sf_dir):
     D.release_pinned()
 
 
+def test_keep_auto_routes_exact_on_driver_fixture(spark, sf_dir):
+    """VERDICT r15 #1: under the candidate bound the router takes the
+    exact PPJoin branch and its keeper decisions coincide with
+    q_dedup_prefix_keep's."""
+    rows = REGISTRY["q_dedup_keep_auto"].run(spark, sf_dir).collect()
+    assert {r.route for r in rows} == {"exact"}
+    base = REGISTRY["q_dedup_prefix_keep"].run(spark, sf_dir).collect()
+    key = lambda r: (r.doc_id, r.component, r.n_chars, r.keep)  # noqa: E731
+    assert sorted(key(r) for r in rows) == sorted(key(r) for r in base)
+
+
+def test_keep_auto_routes_lsh_on_saturating_corpus(spark, saturating_sf_dir):
+    """On the dictionary-saturating corpus the guard refuses the exact
+    branch and the router falls back to the MAX_BUCKET-capped LSH
+    keeper — same rows as q_dedup_lsh_keep, no PrefixSaturationError
+    escapes, and the route is disclosed on every row."""
+    rows = REGISTRY["q_dedup_keep_auto"].run(spark, saturating_sf_dir).collect()
+    assert {r.route for r in rows} == {"lsh"}
+    base = REGISTRY["q_dedup_lsh_keep"].run(spark, saturating_sf_dir).collect()
+    key = lambda r: (r.doc_id, r.component, r.n_chars, r.keep)  # noqa: E731
+    assert sorted(key(r) for r in rows) == sorted(key(r) for r in base)
+
+
+def test_keep_auto_ignores_env_escape_hatch(
+    spark, saturating_sf_dir, monkeypatch
+):
+    """The router runs with the HARD default bound: the env opt-out
+    that admits the quadratic plan for verify stages must not flip the
+    route (the oracle replays the decision from a constant, so an env
+    dependence would be an invisible correctness fork)."""
+    monkeypatch.setenv("SPARK_GRAFT_PREFIX_CAND_PER_DOC", "inf")
+    df = REGISTRY["q_dedup_keep_auto"].run(spark, saturating_sf_dir)
+    assert df.select("route").distinct().collect()[0][0] == "lsh"
+
+
+def test_keep_auto_oracle_replays_lsh_route(spark, saturating_sf_dir):
+    """The DuckDB oracle takes the SAME decision from the SAME
+    integer aggregate on the saturating corpus (the driver only ever
+    sees the exact route at its fixtures — this pins the other arm):
+    full row-set equality, route column included."""
+    import duckdb
+
+    df = REGISTRY["q_dedup_keep_auto"].run(spark, saturating_sf_dir)
+    got = sorted(tuple(r) for r in df.collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{saturating_sf_dir}/documents.parquet/*.parquet')"
+    )
+    cols = [d[0] for d in con.execute(
+        "SELECT 1"
+    ).description]  # warm the connection
+    res = con.execute(REGISTRY["q_dedup_keep_auto"].oracle)
+    cols = [d[0] for d in res.description]
+    want = sorted(tuple(r) for r in res.fetchall())
+    assert cols == df.columns
+    assert got == want
+
+
 def test_guard_pair_count_expression_survives_giant_bucket(spark):
     """The per-bucket candidate count widens to BIGINT before the
     product: a single >=46,341-posting bucket (the saturating regime

@@ -97,6 +97,7 @@ AUDIT = [
     ("q_ann_recall", "ANN recall: exact top-k + 3 index probes joined on query id"),
     ("q_dedup_temporal", "debounce dedup: one LAG window shuffle on the dedup key"),
     ("q_dedup_lsh_keep", "LSH buckets (capped) -> integer-Jaccard verify -> keeper"),
+    ("q_dedup_keep_auto", "saturation router: guard aggregate -> exact PPJoin | capped LSH"),
     ("q_k_anonymity", "QI groupBy partial-aggregates map-side; re-agg on tiny frame"),
     ("q_contamination_incremental", "persisted eval-gram index; probe is one left-semi on grams"),
     ("q_mm_phash", "Arrow hash pass -> banded bucket join; payloads never shuffle"),
