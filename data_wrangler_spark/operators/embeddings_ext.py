@@ -196,6 +196,11 @@ def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 KM_K = 8        # clusters
 KM_ITER = 4     # update rounds
 KM_Q = 1 << 20  # quantization: float component ×2^20, floored
+# local-fit cutover: fit sets at or under this many vectors are
+# collected once and fit in driver numpy (≤ ~128 MB of int64
+# components at dim 64 — a bounded operand, like a broadcast side);
+# larger fit sets use the distributed per-iteration partials loop
+KM_FIT_LOCAL_MAX = 1 << 18
 
 
 def kmeans_cte_sql(k: int = KM_K, fit_where: str = "", suffix: str = "") -> str:
@@ -310,8 +315,13 @@ def q_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     — since r12 that query trains with THIS trainer, giving the
     whole IVF pipeline an exact oracle."""
     v_arr, cl_ids, cmat = kmeans_fit_mat(spark, sf_dir)
-    return kmeans_assign_mat(v_arr, cl_ids, cmat).select(
-        "vec_id", F.col("cl").cast("int").alias("cluster"), "dist"
+    # final assignment through the same codegen expression as the fit
+    # loop — no Arrow barrier on the output pass either
+    m = assign_min_struct_expr(cl_ids, cmat)
+    return v_arr.select("vec_id", m.alias("m")).select(
+        "vec_id",
+        F.col("m.cl").cast("int").alias("cluster"),
+        F.col("m.dist").alias("dist"),
     )
 
 
@@ -407,15 +417,16 @@ def quantize_xs(e: DataFrame) -> DataFrame:
     return e.select("vec_id", quantize_expr(F.col("embedding")).alias("xs"))
 
 
-def assign_cell_expr(cl_ids, cmat, xs_col: str = "xs"):
+def assign_min_struct_expr(cl_ids, cmat, xs_col: str = "xs"):
     """Nearest-centroid assignment as ONE codegen expression over a
-    quantized-components column — the streaming mirror of
-    kmeans_assign_mat (pinned equal by pytest), for plans where an
-    Arrow barrier is unwanted (a per-row gate in a Structured
-    Stream). The K×dim centroid matrix is rendered into the
-    expression as a SQL-PARSED literal (one parse, ~KB — per-element
-    F.lit construction would pay thousands of py4j calls, the
-    q_contamination_bloom lesson); distance is BIGINT
+    quantized-components column, returning the winning
+    struct(dist, cl) — THE single definition the streaming gate, the
+    fit loop's partial-aggregation pass, and the batch assignment all
+    derive from (a drifted copy would assign with a different
+    quantile of the same arithmetic). The K×dim centroid matrix is
+    rendered into the expression as a SQL-PARSED literal (one parse,
+    ~KB — per-element F.lit construction would pay thousands of py4j
+    calls, the q_contamination_bloom lesson); distance is BIGINT
     zip_with/aggregate, and the (dist, cl) tiebreak is array_min's
     lexicographic struct order — identical to the oracle's rank and
     to np.argmin's first-minimum over the cl-ascending matrix."""
@@ -430,8 +441,16 @@ def assign_cell_expr(cl_ids, cmat, xs_col: str = "xs"):
         f"array_min(transform(array({cens}), c -> named_struct("
         f"'dist', aggregate(zip_with({xs_col}, c.cs, "
         f"(x, cc) -> (x - cc) * (x - cc)), 0L, (a, v) -> a + v), "
-        f"'cl', c.cl))).cl"
+        f"'cl', c.cl)))"
     )
+
+
+def assign_cell_expr(cl_ids, cmat, xs_col: str = "xs"):
+    """Cluster id of the nearest centroid — assign_min_struct_expr's
+    `.cl` (see its docstring; pinned equal to kmeans_assign_mat by
+    pytest), for plans that only need the cell (the streaming gate's
+    per-row projection)."""
+    return assign_min_struct_expr(cl_ids, cmat, xs_col).getField("cl")
 
 
 def _trunc_div(s: int, n: int) -> int:
@@ -459,16 +478,40 @@ def kmeans_fit_mat(spark: SparkSession, sf_dir: str, k: int = KM_K, fit_filter=N
     centroids are FIT on — seeding and the iteration loop use only
     that subset — while the returned v_arr still covers the whole
     table, so callers can assign everything (or any split) against
-    the fitted centroids. None (the default) fits on everything."""
+    the fitted centroids. None (the default) fits on everything.
+
+    Small fit sets (≤ KM_FIT_LOCAL_MAX vectors) take a LOCAL fast
+    path: one limit-probe job pulls the whole fit set (a bounded
+    operand, like a broadcast side) and the seed + all KM_ITER
+    update rounds run in driver numpy — identical int64 arithmetic,
+    identical fixpoint (pinned by pytest against the distributed
+    loop), but 1 Spark job instead of 1 + KM_ITER. Above the bound
+    the distributed partials loop engages unchanged — that is the
+    100 TB path; the bound only removes the per-job Python-worker
+    latency that dominated wall at benchmark scale (VERDICT r15 #3:
+    the iteration constant was ~5 × job-floor, not compute)."""
+    v_arr = quantize_xs(load_table(spark, sf_dir, "embeddings")).cache()
+    v_fit = v_arr if fit_filter is None else v_arr.filter(fit_filter)
+    # local-path probe: ONE job that also materializes the cache; if
+    # the fit set fits the bound we already hold all of it
+    probe = v_fit.limit(KM_FIT_LOCAL_MAX + 1).collect()
+    if len(probe) <= KM_FIT_LOCAL_MAX:
+        cl_ids, cmat = _km_fit_local(probe, k)
+        return v_arr, cl_ids, cmat
+    del probe
+    cl_ids, cmat = _km_seed(v_fit, k)
+    # the iteration loop is shuffle-free (per-task partials collect
+    # into a driver-side int64 merge), so no shuffle sizing needed
+    cl_ids, cmat = _km_loop(spark, v_fit, cl_ids, cmat)
+    return v_arr, cl_ids, cmat
+
+
+def _km_seed(v_fit: DataFrame, k: int):
+    """Distributed seed: top-K fit vectors by the md5 seed key via
+    orderBy+limit (per-task heaps — no global sort), cl = 1..K in
+    key order."""
     from data_wrangler_spark.operators.dedup import _md5_long
 
-    e = load_table(spark, sf_dir, "embeddings")
-    v_arr = quantize_xs(e).cache()
-    v_fit = v_arr if fit_filter is None else v_arr.filter(fit_filter)
-    # top-K by the md5 seed key via orderBy+limit (per-task heaps);
-    # the K rows come back already in seed order, so cl = 1..K is
-    # assigned driver-side — one job that also materializes the
-    # v_arr cache, replacing the former window + join round trip
     seed_key = _md5_long(F.col("vec_id").cast("string"))
     seed_rows = (
         v_fit.select("vec_id", "xs", seed_key.alias("sk"))
@@ -478,11 +521,51 @@ def kmeans_fit_mat(spark: SparkSession, sf_dir: str, k: int = KM_K, fit_filter=N
     )
     cl_ids = np.arange(1, k + 1, dtype=np.int64)
     cmat = np.vstack([np.asarray(r["xs"], dtype=np.int64) for r in seed_rows])
+    return cl_ids, cmat
 
-    # the iteration loop is shuffle-free (per-task partials collect
-    # into a driver-side int64 merge), so no shuffle sizing needed
-    cl_ids, cmat = _km_loop(spark, v_fit, cl_ids, cmat)
-    return v_arr, cl_ids, cmat
+
+def _km_fit_local(rows, k: int):
+    """Driver-numpy mirror of (_km_seed + _km_loop) over a collected
+    fit set: the SAME md5 seed key (hashlib replay of _md5_long), the
+    same first-minimum argmin over the cl-ascending centroid matrix,
+    the same exact-int64 sums and truncating-division means, the same
+    empty-cluster drops — so both paths land on the identical
+    fixpoint (tests/test_embeddings_ext.py pins matrix equality).
+    Distances use the |x|²+|c|²−2x·c expansion (int64-exact: every
+    term < 2^47 at the 2^20 quantizer and dim 64) so memory is
+    O(n·K), not O(n·K·dim)."""
+    import hashlib
+
+    ids = np.array([int(r["vec_id"]) for r in rows], dtype=np.int64)
+    X = np.array([r["xs"] for r in rows], dtype=np.int64)
+    sk = np.array(
+        [
+            int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+            for i in ids
+        ],
+        dtype=np.int64,
+    )
+    order = np.lexsort((ids, sk))  # primary sk, secondary vec_id
+    cmat = X[order[:k]].copy()
+    cl_ids = np.arange(1, k + 1, dtype=np.int64)
+    x2 = (X * X).sum(axis=1)
+    for _ in range(KM_ITER):
+        c2 = (cmat * cmat).sum(axis=1)
+        dist = x2[:, None] + c2[None, :] - 2 * (X @ cmat.T)
+        a = dist.argmin(axis=1)  # first min = lowest cl
+        cnts = np.bincount(a, minlength=len(cl_ids))
+        sums = np.zeros((len(cl_ids), X.shape[1]), dtype=np.int64)
+        np.add.at(sums, a, X)
+        keep = cnts > 0
+        cl_ids = cl_ids[keep]
+        cnts, sums = cnts[keep], sums[keep]
+        q = sums // cnts[:, None]
+        neg = sums < 0
+        q[neg] = -((-sums[neg]) // np.repeat(
+            cnts[:, None], sums.shape[1], axis=1
+        )[neg])
+        cmat = q
+    return cl_ids, cmat
 
 
 def kmeans_fit_arr(spark: SparkSession, sf_dir: str, k: int = KM_K):
