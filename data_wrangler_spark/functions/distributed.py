@@ -68,21 +68,47 @@ def spread(df: DataFrame, *keys: str) -> DataFrame:
 # release_pinned() after materialization (bench.py, verify_local,
 # Engine.release_cache) so cached partitions don't accumulate across
 # many queries in one session.
-_PINNED: list[DataFrame] = []
+#
+# The pin list is PER-THREAD (r16): a threaded gateway serves
+# concurrent requests from distinct handler threads, and each
+# request's build-pin → materialize → release lifecycle must own a
+# disjoint pin set — with one process-global list, request A's
+# release would unpersist request B's still-needed frame mid-query.
+# Single-threaded harnesses (bench.py, verify_local) see the exact
+# old behavior: their thread's list is the only one.
+import threading as _threading
+
+_PIN_TL = _threading.local()
+
+
+def _pin_list() -> list[DataFrame]:
+    lst = getattr(_PIN_TL, "pinned", None)
+    if lst is None:
+        lst = []
+        _PIN_TL.pinned = lst
+    return lst
 
 
 def pin(df: DataFrame) -> DataFrame:
-    """Track an already-persisted frame for later bulk release."""
-    _PINNED.append(df)
+    """Track an already-persisted frame for later bulk release (by
+    the CURRENT thread — see the per-thread note above)."""
+    _pin_list().append(df)
     return df
 
 
+def pinned_frames() -> list[DataFrame]:
+    """The current thread's pinned frames (read-only snapshot)."""
+    return list(_pin_list())
+
+
 def release_pinned(blocking: bool = False) -> int:
-    """Unpersist every pinned frame; returns how many were released."""
+    """Unpersist every frame the current thread pinned; returns how
+    many were released."""
     n = 0
-    while _PINNED:
+    lst = _pin_list()
+    while lst:
         try:
-            _PINNED.pop().unpersist(blocking)
+            lst.pop().unpersist(blocking)
             n += 1
         except Exception:
             pass  # session already stopped — nothing to release

@@ -58,6 +58,7 @@ rollups (q_rollup_serve) or paged lists; bulk results belong in sinks
 
 from __future__ import annotations
 
+import contextlib
 import json
 import logging
 import re
@@ -741,21 +742,79 @@ class GatewayServer:
         limit = int(q["limit"]) if "limit" in q else None
         return _ok({"results": _rows_json(df, limit)})
 
+    # Registered queries verified free of scratch-directory writes
+    # (streaming staged inputs, persisted-index builds — those are
+    # single-writer check-then-write with no locking of their own and
+    # MUST stay serialized). Members serve CONCURRENTLY under the
+    # r16 per-thread pin list (functions/distributed.py): each
+    # request thread owns a disjoint build-pin → materialize →
+    # release lifecycle, so parallel binds of the template catalog —
+    # the real gateway workload BENCH_SERVING measures — never
+    # contend on a lock. Conservative default: anything NOT listed
+    # here keeps the serialized path.
+    _CONCURRENT_SAFE = frozenset(
+        {
+            "q_sort_paginate",
+            "q_agg_count_distinct",
+            "q_topk",
+            "q_join_multi",
+            "q_agg_groupby",
+            "q_text_fingerprint",
+            "q_filter_eq",
+            "q_inner_join",
+            "q_point_lookup",
+            "q_child_list",
+            "q_project_cols",
+        }
+    )
+
+    def _coerce_binds(self, spec, q: dict) -> dict:
+        """Query-string template binds for /run: every non-transport
+        parameter must name a declared builder parameter (the
+        registry's defaults are the declaration — the same
+        no-string-splicing contract as the /q template catalog), and
+        the value is coerced to the default's type so builders see
+        real ints/floats, never raw strings."""
+        binds: dict = {}
+        for k, v in q.items():
+            if k in ("token", "limit"):
+                continue
+            if k not in spec.defaults:
+                raise ValueError(f"unknown query parameter: {k}")
+            d = spec.defaults[k]
+            if isinstance(d, bool):
+                binds[k] = v.lower() in ("1", "true", "yes")
+            elif isinstance(d, int):
+                binds[k] = int(v)
+            elif isinstance(d, float):
+                binds[k] = float(v)
+            else:
+                binds[k] = v
+        return binds
+
     def _run_registered(self, qname: str, q: dict) -> tuple[int, object]:
         if qname not in self.engine.names():
             raise KeyError(qname)
-        # SERIALIZED: release_cache pops the process-global pin list,
-        # so releasing after one request while another request's
-        # two-phase window still depends on its pinned
-        # range-partitioned frame would silently corrupt results
-        # (functions/distributed.py documents why the persist is
-        # load-bearing). One /run at a time also serializes the
-        # operators' check-then-write scratch builds, which carry no
-        # locking of their own. /q, /dt and /db stay concurrent —
-        # they touch neither pins nor scratch.
-        with self._run_lock:
+        from data_wrangler_spark.registry import REGISTRY
+
+        spec = REGISTRY[qname]
+        binds = self._coerce_binds(spec, q)
+        # Pins are per-thread (r16), so concurrent requests can no
+        # longer corrupt each other's caches; what still REQUIRES
+        # serialization is the operators' check-then-write scratch
+        # builds (streaming staged inputs rmtree-and-rebuild). The
+        # explicit _CONCURRENT_SAFE set serves in parallel; all other
+        # names keep the one-at-a-time conservative default. /q, /dt
+        # and /db stay concurrent — they touch neither pins nor
+        # scratch.
+        ctx = (
+            contextlib.nullcontext()
+            if qname in self._CONCURRENT_SAFE
+            else self._run_lock
+        )
+        with ctx:
             try:
-                df = self.engine.run(qname)
+                df = self.engine.run(qname, **binds)
             except TypeError as exc:
                 if "required positional argument" in str(exc):
                     # invoked without a required parameter — client

@@ -85,9 +85,10 @@ def test_refusal_leaves_no_pinned_postings_index(spark, saturating_sf_dir):
     D.release_pinned()
     with pytest.raises(PrefixSaturationError):
         REGISTRY["q_dedup_jaccard_prefix"].run(spark, saturating_sf_dir)
-    assert len(D._PINNED) == 1  # sh only — never the postings buckets
-    assert "shingles" in D._PINNED[0].columns
-    assert D._PINNED[0].storageLevel.useMemory  # still cached (caller owns it)
+    pinned = D.pinned_frames()
+    assert len(pinned) == 1  # sh only — never the postings buckets
+    assert "shingles" in pinned[0].columns
+    assert pinned[0].storageLevel.useMemory  # still cached (caller owns it)
     D.release_pinned()
 
 

@@ -780,3 +780,47 @@ def test_gateway_concurrency_soak(spark, sf_dir):
             srv.sessions.drop(f"soak-{w}")
         srv.stop()
         up.shutdown()
+
+
+def test_run_route_accepts_template_binds(server):
+    """r16: /run takes query-string binds mapped onto the registry's
+    declared builder parameters (typed coercion, never splicing);
+    unknown names are refused."""
+    code, p = get(server, "/run/q_sort_paginate?page=2&perpage=5")
+    assert code == 200 and p["ok"]
+    assert len(p["results"]) == 5
+    code, p = get(server, "/run/q_sort_paginate?nosuch=1")
+    assert not p["ok"] and "unknown query parameter" in str(p["error"])
+
+
+def test_concurrent_varied_binds_are_isolated(server, spark, sf_dir):
+    """r16 (VERDICT r15 #2 precondition): 12 clients hammer
+    /run/q_sort_paginate with VARIED page binds concurrently — the
+    per-thread pin list means one request's release can never
+    unpersist another's range-partitioned frame mid-query, so every
+    response must equal the single-threaded run of the same bind."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from data_wrangler_spark.registry import REGISTRY
+
+    pages = [1, 2, 3, 4, 5, 6]
+    want = {}
+    for pg in pages:
+        rows = (
+            REGISTRY["q_sort_paginate"]
+            .run(spark, sf_dir, page=pg, perpage=10, sortby="c_acctbal")
+            .collect()
+        )
+        want[pg] = [r["c_custkey"] for r in rows]
+
+    def hit(i):
+        pg = pages[i % len(pages)]
+        code, p = get(
+            server, f"/run/q_sort_paginate?page={pg}&perpage=10&limit=1000"
+        )
+        assert code == 200 and p["ok"], p
+        return pg, [r["c_custkey"] for r in p["results"]]
+
+    with ThreadPoolExecutor(max_workers=12) as pool:
+        for pg, got in pool.map(hit, range(36)):
+            assert got == want[pg], f"page {pg} corrupted under concurrency"

@@ -63,6 +63,15 @@ WEAK = [
     # serving regime a real pipeline runs them in
     "q_contamination",
     "q_kmeans_exact",
+    # r16 additions (VERDICT r15 #6): the two stateless streaming
+    # gates — the engine's lowest-latency shapes (0 state bytes, pure
+    # codegen projection over each micro-batch). Fresh mode re-stages
+    # the input splits and re-runs the availableNow stream per
+    # request (the honest cold cost); serving mode re-reads the
+    # materialized memory sink — the long-lived-gate best case,
+    # disclosed as such. No template bind → no parameterized row.
+    "q_stream_dsir_gate",
+    "q_stream_pii_scrub",
 ]
 
 
