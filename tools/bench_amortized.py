@@ -74,6 +74,17 @@ WEAK = [
     "q_stream_pii_scrub",
 ]
 
+# Per-query request-count overrides: the two streaming gates' DuckDB
+# oracles replay the ENTIRE fit + scoring chain per request (the
+# exactness contract — ~60-100 s each at f50), so N=100 reps would
+# be hours of oracle time for no extra information. Their rows run
+# fewer reps, recorded per-row as n_requests so the asymmetry is
+# visible in the artifact, with the identical protocol otherwise.
+N_OVERRIDE = {
+    "q_stream_dsir_gate": 5,
+    "q_stream_pii_scrub": 10,
+}
+
 
 def _tumbling_sql(minutes: int) -> str:
     """The q_stream_tumbling oracle regenerated at a different window
@@ -181,6 +192,8 @@ def main() -> None:
     }
     for name in WEAK:
         spec = REGISTRY[name]
+        n_q = N_OVERRIDE.get(name, n)
+        n_fresh_q = max(1, n_q // 5)
 
         # DuckDB: one connection, one warmup, N repeated serves.
         # DuckDB re-plans and re-executes in full every request —
@@ -189,7 +202,7 @@ def main() -> None:
         # covers it.
         con.execute(spec.oracle).fetch_arrow_table()
         t0 = time.perf_counter()
-        for _ in range(n):
+        for _ in range(n_q):
             con.execute(spec.oracle).fetch_arrow_table()
         d_total = time.perf_counter() - t0
 
@@ -204,7 +217,7 @@ def main() -> None:
         df = spec.run(spark, sf_dir)
         df.toArrow()
         t0 = time.perf_counter()
-        for _ in range(n):
+        for _ in range(n_q):
             df.toArrow()
         s_total = time.perf_counter() - t0
         # the warm engine legitimately holds its pinned frames DURING
@@ -214,8 +227,9 @@ def main() -> None:
         release_pinned()
 
         q = {
-            "duckdb_amortized": round(d_total / n, 5),
-            "spark_amortized": round(s_total / n, 5),
+            "n_requests": n_q,
+            "duckdb_amortized": round(d_total / n_q, 5),
+            "spark_amortized": round(s_total / n_q, 5),
             "ratio_spark_over_duckdb": round(s_total / d_total, 2),
             "duckdb_total": round(d_total, 3),
             "spark_total": round(s_total, 3),
@@ -232,14 +246,15 @@ def main() -> None:
         # unpersist is part of the per-request cost being measured
         # (near-no-op for the seven pin-free queries)
         t0 = time.perf_counter()
-        for _ in range(n_fresh):
+        for _ in range(n_fresh_q):
             spec.run(spark, sf_dir).toArrow()
             release_pinned()
         f_total = time.perf_counter() - t0
         fq = {
-            "spark_amortized": round(f_total / n_fresh, 5),
+            "n_requests": n_fresh_q,
+            "spark_amortized": round(f_total / n_fresh_q, 5),
             "ratio_spark_over_duckdb": round(
-                (f_total / n_fresh) / (d_total / n), 2
+                (f_total / n_fresh_q) / (d_total / n_q), 2
             ),
             "spark_total": round(f_total, 3),
         }

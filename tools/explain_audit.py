@@ -130,6 +130,7 @@ AUDIT = [
     ("q_text_entropy", "26 replace-length pairs in codegen: histogram + entropy with no exchange"),
     ("q_dedup_prefix_audit", "PPJoin candidate accounting: two gram-keyed partial aggs + per-doc window"),
     ("q_dsir_select", "bounded bucket census + broadcast weight table; per-doc agg is the only data-sized shuffle"),
+    ("q_dsir_select_exemplar", "same DSIR plan shape with the exemplar-slice target predicate"),
     ("q_dsir_resample", "scan-side Gumbel key; global top-K via TakeOrderedAndProject, rank on K rows"),
 ]
 
