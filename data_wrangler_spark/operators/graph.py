@@ -199,13 +199,25 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pin(adj0)
-    n_nodes = adj0.count()  # materialize; also bounds the degree map
+    # ONE materializing job yields both plan-time scalars (guide §5:
+    # the driver does no data work — these are 2 longs): node count
+    # for the degree-map broadcast decision AND edge count for the
+    # adjacency broadcast decision. Previously two separate jobs
+    # (count + a later sum-collect) each paid a full pass over adj0.
+    n_nodes, n_edges_val = adj0.agg(
+        F.count(F.lit(1)), F.coalesce(F.sum(F.size("nbrs")), F.lit(0))
+    ).first()
     deg = (
         adj0.select(F.col("u").alias("node"), F.size("nbrs").alias("d"))
         .unionAll(adj0.select(F.explode("nbrs").alias("node"), F.lit(1).alias("d")))
         .groupBy("node")
         .agg(F.sum("d").alias("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # deg feeds THREE consumers (du broadcast, dv broadcast, the
+    # wedge aggregate) — uncached, each one re-exploded the whole
+    # adjacency and re-shuffled it (3 extra exchanges per run)
+    pin(deg)
     # measured-size broadcast decision, not a blind hint: the degree
     # map is 16 B/node — broadcast under ~64 MB, else shuffle join
     bcast_ok = n_nodes < 4_000_000
@@ -235,16 +247,21 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pin(adj)
-    adj.count()
     # edge stream re-derived map-side from adj: each row already
     # carries N⁺(lo), so closing needs only ONE join (on hi)
     estream = adj.select(F.col("nbrs").alias("nbrs_u"), F.explode("nbrs").alias("hi"))
     adj_v = adj.select(F.col("lo").alias("hi"), F.col("nbrs").alias("nbrs_v"))
     # adjacency bytes ≈ 8·|E| — its broadcast cutoff keys on the edge
-    # count (1-row scalar fetch off the cached adj0), not node count
-    n_edges_val = adj0.agg(F.sum(F.size("nbrs"))).collect()[0][0] or 0
+    # count (folded into the adj0 materializing job above), not nodes
     if n_edges_val < 8_000_000:
+        # the broadcast build is its own job and materializes the adj
+        # cache before estream reads it — no explicit count() needed
         adj_v = F.broadcast(adj_v)
+    else:
+        # shuffle-join fallback: both join sides read adj inside ONE
+        # job, so materialize the cache first to avoid a racing
+        # double-compute of the orientation
+        adj.count()
     # inner join: an endpoint with no out-neighbors closes nothing
     agg_t = (
         estream.join(adj_v, "hi")
