@@ -963,11 +963,13 @@ def q_dedup_prefix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two gram-keyed partial-agg shuffles and a per-doc window —
     the same shape as the pipeline's own index build, with payloads
     that never exceed (doc_id, tok, df) triples."""
+    from pyspark import StorageLevel
+
     t = PREFIX_JACCARD_T
     d = load_table(spark, sf_dir, "documents")
     from data_wrangler_spark.functions.text import words
 
-    sh = d.select("doc_id", words("text").alias("w")).select(
+    sh = spread(d, "doc_id").select("doc_id", words("text").alias("w")).select(
         "doc_id",
         F.array_distinct(shingles_from_words(F.col("w"), 3)).alias("s"),
     )
@@ -979,27 +981,60 @@ def q_dedup_prefix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode("s").alias("tok"),
         )
     )
-    dfs = ex.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
-    ranked = ex.join(dfs, "tok").withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("df", "tok")
-        ),
+    # Inverted index: df AND postings in ONE exchange — the
+    # prefix_verified_pairs shape applied to the audit itself. The
+    # previous form (separate df agg, then an ex⋈df join, then a
+    # whole-partition row_number window, with pex.count() and the
+    # final aggregate each re-executing the entire uncached chain)
+    # shuffled the exploded ~25-byte shingle STRINGS four times and
+    # measured 122 s at sf0.1 — 85× the pipeline's own index build
+    # over the same volume. Same (df asc, tok asc) prefix order
+    # (array_sort on the (df, tok) struct = the window's orderBy;
+    # per-doc tokens are distinct so the order is total), identical
+    # oracle.
+    inv = (
+        ex.groupBy("tok")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.collect_list(F.struct("doc_id", "n_sh")).alias("docs"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    pex = ranked.filter(
-        F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(t) * F.col("n_sh")) + 1
+    pin(inv)
+    n_tokens, max_df = inv.agg(
+        F.count(F.lit(1)).cast("long"), F.max("df").cast("long")
+    ).first()
+    n_docs = sh.count()
+    back = inv.select("tok", "df", F.explode("docs").alias("dn")).select(
+        F.col("dn.doc_id").alias("doc_id"),
+        F.col("dn.n_sh").alias("n_sh"),
+        "tok",
+        "df",
+    )
+    # per-doc rarity ranking array-side; keep the PPJoin prefix and
+    # re-explode only the prefix tokens (n_prefix_rows = Σ wd, so the
+    # former pex.count() job folds into the final aggregate)
+    pex = (
+        back.groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("ranked"),
+            F.first("n_sh").alias("n_sh"),
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(slice(ranked, 1, "
+                    f"cast(n_sh - ceil({t} * n_sh) + 1 as int)), x -> x.tok)"
+                )
+            ).alias("tok")
+        )
     )
     w = pex.groupBy("tok").agg(F.count("*").cast("long").alias("wd"))
-    n_docs = sh.count()
-    n_tokens, max_df = dfs.agg(
-        F.count("*").cast("long"), F.max("df").cast("long")
-    ).first()
-    n_prefix_rows = pex.count()
     return w.agg(
         F.lit(n_docs).cast("long").alias("n_docs"),
         F.lit(n_tokens).cast("long").alias("n_tokens"),
         F.lit(max_df).cast("long").alias("max_df"),
-        F.lit(n_prefix_rows).cast("long").alias("n_prefix_rows"),
+        F.coalesce(F.sum("wd"), F.lit(0)).cast("long").alias("n_prefix_rows"),
         F.count(F.when(F.col("wd") >= 2, 1)).cast("long").alias("n_buckets"),
         F.max("wd").cast("long").alias("max_bucket"),
         F.sum(F.expr("wd * (wd - 1) / 2")).cast("long").alias("cand_pairs"),
