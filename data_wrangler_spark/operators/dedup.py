@@ -421,31 +421,37 @@ def simhash_signatures(d: DataFrame) -> DataFrame:
     from data_wrangler_spark.functions.text import words
 
     # zero-word docs carry no signal: the oracle's per-word unnest
-    # drops them before the bit sums, while an unfiltered Spark side
-    # would give them simhash 0 and spurious bucket-0 band matches —
-    # same empty-input divergence class as _band_table's NULL-sig
-    # drop (ADVICE r11 #1), fixed with the same "no tokens → no
-    # signature" semantics
-    hashed = d.select(
-        "doc_id",
-        F.transform(words("text"), lambda w: _md5_long(w)).alias("wh"),
-    ).filter(F.size("wh") >= 1)
-
-    # Factory function keeps the inner lambda 2-arg (PySpark
-    # introspects Python arity; closure-default tricks break it).
-    def bitsum(i: int):
-        return F.aggregate(
-            F.col("wh"),
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
-        )
-
+    # drops them before the bit sums (explode does the same here),
+    # while an unfiltered Spark side would give them simhash 0 and
+    # spurious bucket-0 band matches — same empty-input divergence
+    # class as _band_table's NULL-sig drop (ADVICE r11 #1).
+    #
+    # Shape: explode tokens → ONE hash aggregate with 60 plain long
+    # sums (the oracle's own `bits` CTE). The previous form folded
+    # the per-doc hash ARRAY 60 times with aggregate() — higher-order
+    # functions run on the interpreted expression path, so every doc
+    # paid 60 interpreted array traversals: measured 6.4 s at sf0.1
+    # vs ~1 s for this codegen aggregate (OPTIMIZATION_r16.md). The
+    # exchange it introduces carries ≤ one 60-long partial row per
+    # doc per task (map-side partial aggregation), never the tokens.
+    toks = d.select("doc_id", F.explode(words("text")).alias("w")).select(
+        "doc_id", _md5_long(F.col("w")).alias("wh")
+    )
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.shiftright(F.col("wh"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+            .alias(f"s{i}")
+            for i in range(N_SIMHASH_BITS)
+        ]
+    )
     simhash_col = F.lit(0).cast("long")
     for i in range(N_SIMHASH_BITS):
         simhash_col = simhash_col.bitwiseOR(
-            F.when(bitsum(i) > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+            F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
         )
-    return hashed.select("doc_id", simhash_col.alias("simhash"))
+    return sums.select("doc_id", simhash_col.alias("simhash"))
 
 
 def _simhash_oracle() -> str:
@@ -505,13 +511,31 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.bucket")
-    a = banded.select("band", "bucket", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
-    b = banded.select("band", "bucket", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    # ONE exchange on (band,bucket) into collect_list replaces the
+    # banded self-join (which shuffled the band table twice and
+    # re-evaluated the signature aggregate on both branches — the
+    # q_dedup_minhash r15 treatment applied here). Singleton buckets
+    # die at the aggregate; pairs stream through chained generators
+    # (i<j over the doc_id-sorted list). A doc sits in exactly one
+    # bucket per band, so a pair co-occurs at most once per band and
+    # COUNT(*) equals the oracle's COUNT(DISTINCT band) exactly.
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pairs = buckets.select(F.posexplode("ds").alias("i", "a"), "ds").select(
+        "a", F.explode(F.expr("slice(ds, i + 2, size(ds) - i - 1)")).alias("b")
+    )
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
         .groupBy("doc_a", "doc_b", "sim_a", "sim_b")
-        .agg(F.countDistinct("band").alias("n_bands"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
     )
 
 
