@@ -423,6 +423,60 @@ def min_label_components(
         edges = _orient(
             pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         ).localCheckpoint()
+        # Driver-local fast path (the q_kmeans_exact KM_FIT_LOCAL_MAX
+        # pattern, applied to the keeper tail): below the bound the
+        # deduped edge list is a few MB of longs, and the distributed
+        # loop's cost is pure per-alternation job overhead (~6 tiny
+        # shuffles × O(log n) alternations for a keyspace that fits
+        # in one task). Min-label union-find on the collected edges
+        # reaches the IDENTICAL fixpoint — each node labeled by its
+        # component minimum — pinned equal to the distributed loop in
+        # tests/test_pipeline_ops.py. Above the bound (the 100 TB
+        # path) the star-contraction loop below runs unchanged; the
+        # bound is env-overridable and 0 disables the fast path.
+        import os as _os
+
+        local_max = int(
+            _os.environ.get("SPARK_GRAFT_STAR_LOCAL_MAX", str(1 << 20))
+        )
+        n_edges = edges.count()
+        if n_edges <= local_max:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for u, v in edges.collect():
+                if u not in parent:
+                    parent[u] = u
+                if v not in parent:
+                    parent[v] = v
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # union by MIN root: the root IS the component label
+                    if ru < rv:
+                        parent[rv] = ru
+                    else:
+                        parent[ru] = rv
+            rows = [(n, find(n)) for n in parent]
+            LAST_STAR_ROUNDS = 0
+            from pyspark.sql.types import StructField, StructType
+
+            dt = edges.schema["u"].dataType
+            mapping = spark.createDataFrame(
+                rows,
+                StructType(
+                    [StructField("node", dt), StructField("_lbl", dt)]
+                ),
+            )
+            return nodes.join(mapping, "node", "left").select(
+                "node", F.coalesce("_lbl", "node").alias("label")
+            )
         while rounds < STAR_ROUND_CAP:
             rounds += 1
             # large-star over the symmetric neighborhoods

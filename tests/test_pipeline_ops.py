@@ -736,13 +736,16 @@ def test_pii_scrub_every_class_planted_and_python_parity(spark, sf_dir):
     assert (got[5].e, got[5].p, got[5].i, got[5].c) == (1, 1, 1, 1)
 
 
-def test_star_contraction_on_long_chain(spark):
+def test_star_contraction_on_long_chain(spark, monkeypatch):
     """The r15 star-contraction rewrite (VERDICT r14 #5): a 400-node
     CHAIN — the adversarial shape for the old O(diameter) min-label
     loop, which needed 399 rounds (and failed loudly past its 64-round
     cap) — converges in ~log2(n) alternations with every node labeled
     by the component minimum. Also pins multi-component + isolated-
-    node behavior."""
+    node behavior. SPARK_GRAFT_STAR_LOCAL_MAX=0 forces the
+    DISTRIBUTED loop (r16: small edge sets take the driver-local
+    union-find fast path, pinned equal below)."""
+    monkeypatch.setenv("SPARK_GRAFT_STAR_LOCAL_MAX", "0")
     import math
 
     import data_wrangler_spark.operators.pipeline_ops as po
@@ -774,3 +777,16 @@ def test_star_contraction_on_long_chain(spark):
     # final no-op detection round, but anything near the old loop's
     # linear behavior fails
     assert po.LAST_STAR_ROUNDS <= int(math.log2(n)) + 4, po.LAST_STAR_ROUNDS
+    assert po.LAST_STAR_ROUNDS >= 1  # the distributed loop actually ran
+
+    # r16 fast-path parity pin (the KM_FIT_LOCAL_MAX pattern): the
+    # driver-local union-find must reach the IDENTICAL fixpoint the
+    # distributed star contraction just produced — same labels on the
+    # same adversarial fixture (chain + triangle + isolated node)
+    monkeypatch.setenv("SPARK_GRAFT_STAR_LOCAL_MAX", str(1 << 20))
+    local_labels = {
+        r.node: r.label
+        for r in min_label_components(spark, nodes, pairs).collect()
+    }
+    assert po.LAST_STAR_ROUNDS == 0  # the fast path engaged
+    assert local_labels == labels
