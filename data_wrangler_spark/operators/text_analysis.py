@@ -662,7 +662,20 @@ def bpe_merge_table(
             f"{len(symbols)}"
         )
     d = load_table(spark, sf_dir, "documents")
-    w = d.select(F.explode(words("text")).alias("word"))
+    # DICTIONARY-FIRST (r16 — the rewrite the scale note above always
+    # prescribed, now implemented): pair counts are a freq-weighted
+    # sum over DISTINCT words (Σ_words freq·pairs_in_word — adjacency
+    # never crosses word boundaries, so the counts are identical), so
+    # every round's pair-explode AND merge-replace run over the
+    # ~|vocab| dictionary instead of the full token stream. One
+    # token-stream shuffle up front builds the dictionary; measured
+    # at sf0.1 (K=8): 7.8 s → see OPTIMIZATION_r16.md.
+    w = pin(
+        d.select(F.explode(words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .persist()
+    )
 
     def pair_counts(wdf: DataFrame) -> DataFrame:
         grams = F.when(
@@ -673,9 +686,9 @@ def bpe_merge_table(
             ),
         ).otherwise(F.array().cast("array<string>"))
         return (
-            wdf.select(F.explode(grams).alias("pair"))
+            wdf.select("freq", F.explode(grams).alias("pair"))
             .groupBy("pair")
-            .agg(F.count("*").alias("cnt"))
+            .agg(F.sum("freq").alias("cnt"))
         )
 
     rows = []
@@ -700,15 +713,24 @@ def bpe_merge_table(
                 (s, r["pair"], r["cnt"], i, i == 1 and s < rounds)
             )
         if s < rounds:
-            w = pin(
-                w.select(
-                    F.replace(
-                        F.col("word"),
-                        F.lit(top[0]["pair"]),
-                        F.lit(symbols[s]),
-                    ).alias("word")
-                ).persist()
-            )
+            # replaced dict rows may collide on the same word string;
+            # pair_counts sums freq, so duplicate keys are harmless.
+            # localCheckpoint (not persist): the dictionary is tiny
+            # (~|vocab| rows) and the round loop is DEEP (K=64 in the
+            # depth pin) — persist-chaining nests K InMemoryRelations
+            # and the per-round plan/cache-lookup cost grows
+            # superlinearly in K (measured: K=32 over a persisted
+            # chain did not finish in 300 s; checkpointed it is
+            # seconds). The star-contraction loop uses the same
+            # truncation for the same reason.
+            w = w.select(
+                F.replace(
+                    F.col("word"),
+                    F.lit(top[0]["pair"]),
+                    F.lit(symbols[s]),
+                ).alias("word"),
+                "freq",
+            ).localCheckpoint()
 
     return spark.createDataFrame(
         rows, "stage int, pair string, cnt long, rnk int, chosen boolean"
@@ -962,7 +984,15 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumed by a Pandas-UDF encoder, but the per-doc plan shape
     (tiny rule state + scan-local apply) is this one."""
     d = load_table(spark, sf_dir, "documents")
-    w0 = d.select(F.explode(words("text")).alias("word"))
+    # dictionary-first rule learning (see bpe_merge_table r16 note):
+    # freq-weighted pair counts over distinct words are identical to
+    # token-stream counts, and each round then scans ~|vocab| rows
+    w0 = pin(
+        d.select(F.explode(words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .persist()
+    )
 
     def top_pair(wdf: DataFrame) -> str:
         grams = F.when(
@@ -977,9 +1007,9 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         # driver-resident state (the kmeans pattern — see
         # q_bpe_merges' scale note and measurement)
         top = (
-            wdf.select(F.explode(grams).alias("pair"))
+            wdf.select("freq", F.explode(grams).alias("pair"))
             .groupBy("pair")
-            .agg(F.count("*").alias("cnt"))
+            .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("pair"))
             .limit(1)
             .collect()
@@ -995,15 +1025,15 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in range(BPE_ROUNDS):
         mpair = top_pair(w)
         rules.append((mpair, BPE_SYMBOLS[s]))
-        # pin the merged corpus so rule s+1's pair count reads a
-        # cached table instead of replaying the whole replace chain
-        w = pin(
-            w.select(
-                F.replace(
-                    F.col("word"), F.lit(mpair), F.lit(BPE_SYMBOLS[s])
-                ).alias("word")
-            ).persist()
-        )
+        # truncate lineage per round (see bpe_merge_table: persist-
+        # chaining nests K InMemoryRelations and planning cost grows
+        # superlinearly in K; the checkpointed dictionary is tiny)
+        w = w.select(
+            F.replace(
+                F.col("word"), F.lit(mpair), F.lit(BPE_SYMBOLS[s])
+            ).alias("word"),
+            "freq",
+        ).localCheckpoint()
 
     def apply_rules(wd):
         e = wd
