@@ -598,16 +598,32 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     read. Degenerate constant vectors (hi == lo) are dropped
     identically in both engines."""
     e = load_table(spark, sf_dir, "embeddings")
-    v = to_double_array("embedding")
-    lo = F.array_min(v)
-    hi = F.array_max(v)
-    scale = (hi - lo) / F.lit(255.0)
-    codes = F.transform(v, lambda x: F.floor((x - lo) / scale + F.lit(0.5)).cast("long"))
+    # lo/hi/scale materialize as COLUMNS before the element lambdas
+    # reference them: inlined as expressions (the previous form) the
+    # array_min/array_max folds re-evaluate per ELEMENT inside the
+    # interpreted higher-order functions — O(d²) per vector instead
+    # of O(d) (measured 4.2 s → ~1 s at sf0.1, OPTIMIZATION_r16.md).
+    # CollapseProject leaves the split alone because each alias is a
+    # non-cheap expression with multiple uses. Same IEEE expression
+    # chain, computed once per row — byte-identical outputs.
+    base = e.select(
+        "vec_id", "label", to_double_array("embedding").alias("v")
+    ).select(
+        "vec_id",
+        "label",
+        "v",
+        F.array_min("v").alias("lo"),
+        F.array_max("v").alias("hi"),
+    ).withColumn("scale", (F.col("hi") - F.col("lo")) / F.lit(255.0))
+    lo, hi, scale = F.col("lo"), F.col("hi"), F.col("scale")
+    codes = F.transform(
+        "v", lambda x: F.floor((x - lo) / scale + F.lit(0.5)).cast("long")
+    )
     recon_err = F.zip_with(
-        v, codes, lambda x, c: F.abs(x - (lo + c.cast("double") * scale))
+        "v", codes, lambda x, c: F.abs(x - (lo + c.cast("double") * scale))
     )
     return (
-        e.filter(hi > lo)
+        base.filter(hi > lo)
         .select(
             "vec_id",
             "label",
