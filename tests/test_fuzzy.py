@@ -40,3 +40,69 @@ def test_fuzzy_topk_match_recovers_originals(spark, sf_dir):
     assert recovered == n_names
     # e-free names survive corruption verbatim and self-match at 0
     assert all(r.dist == 0 for r in rows if "e" not in r.best_match)
+
+
+def test_dedup_fuzzy_fastss_blocking_is_exact(spark, sf_dir):
+    """r16: q_dedup_fuzzy's FastSS deletion-neighborhood blocking must
+    be LOSSLESS for edit distance <= 1 — every brute-force qualifying
+    pair survives the candidate generation, and nothing extra leaks
+    through the bounded-levenshtein verify. Brute force is recomputed
+    here over the real fixture (within-nation pairs), so this is an
+    independent full-recall pin, not a plan check. The crafted cases
+    each edit class must cover: equal names, one substitution, one
+    insertion/deletion (length +-1), and a distance-2 near-miss that
+    shares a deletion variant but must be verified away."""
+    from data_wrangler_spark.catalog import load_table
+
+    rows = REGISTRY["q_dedup_fuzzy"].run(spark, sf_dir).collect()
+    got = {(r.cust_a, r.cust_b): r.edit_dist for r in rows}
+
+    import itertools
+
+    def lev(a, b, bound=1):
+        if abs(len(a) - len(b)) > bound:
+            return bound + 1
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            if min(cur) > bound:
+                return bound + 1
+            prev = cur
+        return prev[-1]
+
+    by_nation = {}
+    for r in load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    ).collect():
+        by_nation.setdefault(r.c_nationkey, []).append((r.c_custkey, r.c_name))
+    want = {}
+    for members in by_nation.values():
+        for (ka, na), (kb, nb) in itertools.combinations(sorted(members), 2):
+            d = lev(na, nb)
+            if d <= 1:
+                want[(ka, kb)] = d
+    assert got == want
+
+    # the crafted edit classes on a synthetic frame through the same
+    # candidate machinery: run the registered builder's logic via a
+    # temp parquet fixture would re-test the oracle; instead assert
+    # the deletion-variant lemma directly on adversarial strings
+    def variants(s):
+        return {s} | {s[:i] + s[i + 1 :] for i in range(len(s))}
+
+    for a, b, d in [
+        ("abc", "abc", 0),     # equal
+        ("abc", "axc", 1),     # substitution
+        ("abc", "abxc", 1),    # insertion
+        ("abcd", "abc", 1),    # deletion
+    ]:
+        assert variants(a) & variants(b), (a, b)
+        assert lev(a, b) == d
+    # distance-2 near-miss that SHARES a variant: candidate generated,
+    # verify must reject it (the reason the bounded levenshtein stays)
+    assert variants("ab") & variants("ba")
+    assert lev("ab", "ba") == 2
