@@ -489,9 +489,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: 60-bit signature = sign of the
     per-bit sum over md5_long(word) (+1/-1 TF weighting), bucketed by
     four 15-bit bands. Output: doc pairs sharing ≥1 band with their
-    signatures. One scan + one small-key shuffle; no explode (the
-    60 bit-sums are array ops on one row). md5-derived hashing makes
-    the full pipeline oracle-checked in DuckDB."""
+    signatures. One scan + two aggregates (token→doc bit-sums,
+    band-bucket candidate lists) — the r16 codegen form; see
+    simhash_signatures for why the zero-shuffle array-fold variant
+    lost. md5-derived hashing makes the full pipeline oracle-checked
+    in DuckDB."""
     sim = simhash_signatures(load_table(spark, sf_dir, "documents"))
     mask = (1 << SIMHASH_BAND_BITS) - 1
     banded = sim.select(

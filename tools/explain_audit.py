@@ -123,7 +123,7 @@ AUDIT = [
     ("q_dedup_spans", "span dedup: one exchange on the 16-byte span digest, min-struct keeper"),
     ("q_embed_index_rebuild", "manifest-resolved CURRENT index; day-2 probes the one rebuilt cell root"),
     ("q_pii_scrub", "regex count+redact as codegen string exprs; one scan, 5-long audit agg"),
-    ("q_bpe_merges", "K=8 merge loop: per-stage pinned corpus + TakeOrdered pair heap"),
+    ("q_bpe_merges", "K=8 merge loop: freq-weighted dictionary rounds (localCheckpoint-truncated) + TakeOrdered pair heap"),
     ("q_dedup_semantic", "MAX_CELL sub-split: broadcast K-row arity table; pairing joins on (cell, sub)"),
     ("q_embed_cell_audit", "the cap's accounting row: one partial-agg count over the assignment"),
     ("q_quality_repetition", "dup fractions scan-side; top-2-gram = one (doc,gram) agg + per-doc window"),
