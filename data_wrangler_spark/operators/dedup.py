@@ -314,12 +314,30 @@ def _minhash_oracle() -> str:
     """
 
 
-def _band_table(sigs: DataFrame, carry: tuple = ()) -> DataFrame:
+def _band_table(
+    sigs: DataFrame, carry: tuple = (), compact: bool = False
+) -> DataFrame:
     """signature frame → (doc_id, [carry...], band, bucket): each
     doc's sig is split into N_BANDS buckets of rows-per-band values
     (map-side explode, fan-out ×N_BANDS — never the corpus). `carry`
     names extra columns to pass through the explode (the streaming
     ingest gate carries the doc's shingle set to the verify join).
+
+    ``compact`` (guide §2.3 — shuffle fewer bytes) replaces the
+    ~40–70-byte `bucket` STRING with the rows-per-band raw minhash
+    LONGS as separate key columns k0..k{rows-1} (32 fixed bytes).
+    The string form is `concat_ws('|', cast(kᵢ as string)...)` over
+    values that are all non-NULL after the empty-sig filter below —
+    an INJECTIVE encoding (decimal digits never contain '|'), so
+    grouping or joining on (band, k0..k3) partitions the rows
+    IDENTICALLY to (band, bucket): same buckets, same candidate
+    pairs, bit-identical downstream output. No hash, no collisions,
+    no verify step — strictly narrower keys. (A 60-bit hash of the
+    string was considered and rejected: it needs the signature in
+    the payload for collision rejection anyway, totalling MORE bytes
+    than keying on the 4 longs directly.) The string form remains
+    the persisted-index schema (ensure_inc_index et al.) — an
+    on-disk format shared by batch and streaming probes.
 
     Docs with an EMPTY shingle set (< 3 words) are dropped here, on
     every consumer — index build, probe, and stream alike. Their
@@ -336,6 +354,26 @@ def _band_table(sigs: DataFrame, carry: tuple = ()) -> DataFrame:
     filter is a plain predicate, stream-safe."""
     rows = N_MINHASH // N_BANDS
     sigs = sigs.filter(F.element_at("sig", 1).isNotNull())
+    if compact:
+        key_cols = tuple(f"k{r}" for r in range(rows))
+        return sigs.select(
+            "doc_id",
+            *carry,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            *[
+                                F.element_at("sig", b * rows + r + 1).alias(f"k{r}")
+                                for r in range(rows)
+                            ],
+                        )
+                        for b in range(N_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc_id", *carry, "bb.band", *[f"bb.{k}" for k in key_cols])
     return sigs.select(
         "doc_id",
         *carry,
@@ -355,6 +393,11 @@ def _band_table(sigs: DataFrame, carry: tuple = ()) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", *carry, "bb.band", "bb.bucket")
+
+
+# the compact band-key column names (band + the rows-per-band raw
+# minhash longs) — the grouping key every compact consumer must use
+BAND_KEY = ("band",) + tuple(f"k{r}" for r in range(N_MINHASH // N_BANDS))
 
 
 @register("q_dedup_minhash", oracle=_minhash_oracle(), tags=("llm", "dedup"))
@@ -380,9 +423,13 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # construction). n_bands = COUNT(*): a doc sits in exactly one
     # bucket per band, so a pair can co-occur at most once per band —
     # COUNT(*) equals the oracle's COUNT(DISTINCT band) exactly.
+    # compact band keys (guide §2.3): the exchange is keyed on the 4
+    # raw minhash longs instead of the '|'-joined decimal string —
+    # injective encoding, identical grouping, ~half the key bytes
+    # (see _band_table).
     buckets = (
-        _band_table(sigs)
-        .groupBy("band", "bucket")
+        _band_table(sigs, compact=True)
+        .groupBy(*BAND_KEY)
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .filter((F.size("ds") >= 2) & (F.size("ds") <= MAX_BUCKET))
     )

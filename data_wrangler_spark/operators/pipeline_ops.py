@@ -1952,14 +1952,18 @@ def lsh_verified_pairs(
     share one implementation. Returns verified (doc_a, doc_b) with
     exact integer-Jaccard ≥ 3/5."""
     from data_wrangler_spark.operators.dedup import (
+        BAND_KEY,
         MAX_BUCKET,
         _band_table,
         _minhash_signatures,
     )
 
+    # compact band keys (guide §2.3): exchange keyed on the 4 raw
+    # minhash longs, not the '|'-joined string — injective, identical
+    # grouping (see dedup._band_table)
     buckets = (
-        _band_table(_minhash_signatures(d))
-        .groupBy("band", "bucket")
+        _band_table(_minhash_signatures(d), compact=True)
+        .groupBy(*BAND_KEY)
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .filter((F.size("ds") >= 2) & (F.size("ds") <= MAX_BUCKET))
     )
