@@ -72,7 +72,6 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_nodes = nodes.count()
 
     out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
 
     from data_wrangler_spark.session import shuffle_width
 
@@ -81,30 +80,54 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plans execute eagerly inside (localCheckpoint), so the narrowed
     # conf never leaks past the loop
     with shuffle_width(spark, n_nodes):
-        ranks = _pr_float_loop(edges, nodes, out_deg, ranks, n_nodes)
+        # deg rides ON the rank frame (ONE left join, before the loop)
+        # instead of being re-joined every iteration: the old loop paid
+        # a fresh BroadcastExchange of out_deg per iteration (broadcast
+        # reuse never crosses localCheckpoint job boundaries) plus a
+        # per-iteration left_anti shuffle join just to find the
+        # dangling mass. With deg as a column, dangling is a plain
+        # filter-aggregate of the checkpointed frame and the
+        # contribution join needs no degree side at all (guide §2.4 —
+        # remove shuffles outright). rank/deg is computed per NODE
+        # before the edge join rather than per edge — the same
+        # deterministic float/int division, identical per-edge values.
+        ranks = (
+            nodes.join(out_deg.withColumnRenamed("src", "node"), "node", "left")
+            .select("node", "deg", F.lit(1.0 / n_nodes).alias("rank"))
+            .localCheckpoint()
+        )
+        ranks = _pr_float_loop(edges, ranks, n_nodes)
 
     return ranks.select("node", F.col("rank").alias("pagerank"))
 
 
-def _pr_float_loop(edges, nodes, out_deg, ranks, n_nodes):
+def _pr_float_loop(edges, ranks, n_nodes):
     for it in range(PR_ITERATIONS):
         contribs = (
-            edges.join(F.broadcast(out_deg), "src")
-            .join(ranks.withColumnRenamed("node", "src"), "src")
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            edges.join(
+                ranks.filter(F.col("deg").isNotNull()).select(
+                    F.col("node").alias("src"),
+                    (F.col("rank") / F.col("deg")).alias("c"),
+                ),
+                "src",
+            )
+            .select(F.col("dst").alias("node"), "c")
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        # mass parked on dangling nodes (no out-edges) teleports uniformly
-        dangling = (
-            ranks.join(out_deg.withColumnRenamed("src", "node"), "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        # mass parked on dangling nodes (no out-edges ⇔ deg IS NULL)
+        # teleports uniformly — a filter-agg of the checkpointed rank
+        # RDD, no join
+        dangling = ranks.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
         ranks = (
-            nodes.join(contribs, "node", "left")
+            ranks.select("node", "deg")
+            .join(contribs, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "deg",
                 (
                     F.lit((1.0 - PR_DAMPING) / n_nodes)
                     + F.lit(PR_DAMPING)
@@ -368,14 +391,22 @@ def q_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = nodes.count()
     base = (15 * S) // (100 * n)
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    ranks = nodes.select("node", F.lit(S // n).cast("long").alias("r"))
 
     from data_wrangler_spark.session import shuffle_width
 
     # keyspace-sized shuffle width for the iteration loop (see
     # q_pagerank / session.shuffle_width)
     with shuffle_width(spark, n):
-        ranks = _pr_int_loop(edges, nodes, deg, ranks, base, n)
+        # deg carried on the rank frame — the q_pagerank restructure
+        # (see its loop comment); integer sums are order-independent,
+        # so the output stays bit-identical to the per-iteration-join
+        # form the oracle replays (interleaved A/B: EQUAL, 9.5→6.8 s)
+        ranks = (
+            nodes.join(deg.withColumnRenamed("src", "node"), "node", "left")
+            .select("node", "d", F.lit(S // n).cast("long").alias("r"))
+            .localCheckpoint()
+        )
+        ranks = _pr_int_loop(edges, ranks, base, n)
 
     return ranks.select(
         "node",
@@ -384,23 +415,29 @@ def q_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pr_int_loop(edges, nodes, deg, ranks, base, n):
+def _pr_int_loop(edges, ranks, base, n):
     for it in range(PR_ITERATIONS):
         inflow = (
-            edges.join(F.broadcast(deg), "src")
-            .join(ranks.withColumnRenamed("node", "src"), "src")
-            .select(F.col("dst").alias("node"), F.expr("r div d").alias("c"))
+            edges.join(
+                ranks.filter(F.col("d").isNotNull()).select(
+                    F.col("node").alias("src"), F.expr("r div d").alias("c")
+                ),
+                "src",
+            )
+            .select(F.col("dst").alias("node"), "c")
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        dang = ranks.join(
-            deg.withColumnRenamed("src", "node"), "node", "left_anti"
-        ).agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
+        dang = ranks.filter(F.col("d").isNull()).agg(
+            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm")
+        )
         ranks = (
-            nodes.join(inflow, "node", "left")
+            ranks.select("node", "d")
+            .join(inflow, "node", "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "node",
+                "d",
                 F.expr(
                     f"CAST({base} + (85 * (coalesce(inflow, 0) + (dm div {n})))"
                     " div 100 AS BIGINT)"
