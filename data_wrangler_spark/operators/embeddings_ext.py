@@ -492,13 +492,17 @@ def kmeans_fit_mat(spark: SparkSession, sf_dir: str, k: int = KM_K, fit_filter=N
     the iteration constant was ~5 × job-floor, not compute)."""
     v_arr = quantize_xs(load_table(spark, sf_dir, "embeddings")).cache()
     v_fit = v_arr if fit_filter is None else v_arr.filter(fit_filter)
-    # local-path probe: ONE job that also materializes the cache; if
-    # the fit set fits the bound we already hold all of it
-    probe = v_fit.limit(KM_FIT_LOCAL_MAX + 1).collect()
-    if len(probe) <= KM_FIT_LOCAL_MAX:
-        cl_ids, cmat = _km_fit_local(probe, k)
+    # route on a COUNT first (guide §5 — the driver does no data
+    # work): the old probe collected up to KM_FIT_LOCAL_MAX+1 full
+    # dim-64 int64 rows (~130 MB) to the driver even when the verdict
+    # was "too big — go distributed", a pure waste on exactly the
+    # 100 TB path. The limit+count job still materializes the cache
+    # but moves one long; the local route then collects from the
+    # warm cache (one extra tiny job on the SMALL-side path only).
+    n_probe = v_fit.limit(KM_FIT_LOCAL_MAX + 1).count()
+    if n_probe <= KM_FIT_LOCAL_MAX:
+        cl_ids, cmat = _km_fit_local(v_fit.collect(), k)
         return v_arr, cl_ids, cmat
-    del probe
     cl_ids, cmat = _km_seed(v_fit, k)
     # the iteration loop is shuffle-free (per-task partials collect
     # into a driver-side int64 merge), so no shuffle sizing needed
