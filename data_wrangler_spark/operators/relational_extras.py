@@ -607,45 +607,60 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (OPTIMIZATION_r16.md). At 100 TB the variant fan-out is
     # ×(len+1) on the NAME TABLE (a dimension), while the old plan
     # grew quadratically per nation block.
+    # keys only through the exchanges (guide §2.3 — shuffle metadata,
+    # not payloads): the variant explode and the candidate dedupe
+    # carry just (nation, variant, custkey); names re-attach to the
+    # ~39k candidate ids afterwards via two broadcast joins against
+    # the name table, so the big ×(len+1) fan-out exchange drops the
+    # ~25-byte name payload entirely and the candidate `distinct` is
+    # over 2 longs (VERDICT r16 #6). The deletion-variant transform is
+    # guarded for empty names (ADVICE r16 #4): sequence(1, 0) yields a
+    # DESCENDING [1, 0] — the unguarded form silently leaned on
+    # substr's negative-length behavior; TPC-H names are never empty,
+    # so the guard changes nothing on fixture data.
+    variants = F.when(
+        F.length("c_name") > 0,
+        F.array_distinct(
+            F.concat(
+                F.array(F.col("c_name")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("c_name")),
+                    lambda i: F.concat(
+                        F.col("c_name").substr(F.lit(1), i - 1),
+                        F.col("c_name").substr(i + 1, F.length("c_name")),
+                    ),
+                ),
+            )
+        ),
+    ).otherwise(F.array(F.col("c_name")))
     v = c.select(
         "c_nationkey",
         F.col("c_custkey").alias("cust"),
-        F.col("c_name").alias("name"),
-        F.explode(
-            F.array_distinct(
-                F.concat(
-                    F.array(F.col("c_name")),
-                    F.transform(
-                        F.sequence(F.lit(1), F.length("c_name")),
-                        lambda i: F.concat(
-                            F.col("c_name").substr(F.lit(1), i - 1),
-                            F.col("c_name").substr(i + 1, F.length("c_name")),
-                        ),
-                    ),
-                )
-            )
-        ).alias("v"),
+        F.explode(variants).alias("v"),
     )
     # one exchange on the (nation, variant) bucket key; singleton
     # buckets — the overwhelming majority — die at the aggregate, and
     # pairs are emitted array-side i<j (cust asc) like the LSH family
     buckets = (
         v.groupBy("c_nationkey", "v")
-        .agg(F.array_sort(F.collect_list(F.struct("cust", "name"))).alias("ds"))
+        .agg(F.array_sort(F.collect_list("cust")).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
-    pairs = buckets.select(F.posexplode("ds").alias("i", "a"), "ds").select(
-        "a", F.explode(F.expr("slice(ds, i + 2, size(ds) - i - 1)")).alias("b")
+    pairs = buckets.select(F.posexplode("ds").alias("i", "cust_a"), "ds").select(
+        "cust_a",
+        F.explode(F.expr("slice(ds, i + 2, size(ds) - i - 1)")).alias("cust_b"),
     )
-    # a pair can share several variants — dedupe before the verify
-    cand = pairs.select(
-        F.col("a.cust").alias("cust_a"),
-        F.col("b.cust").alias("cust_b"),
-        F.col("a.name").alias("name_a"),
-        F.col("b.name").alias("name_b"),
-    ).distinct()
+    # a pair can share several variants — dedupe on the two id longs
+    cand = pairs.distinct()
+    # no broadcast hint: the planner auto-broadcasts the name table at
+    # bench scale (well under the threshold) and keeps the shuffle-join
+    # fallback open when the dimension outgrows a broadcast at 100 TB
+    na = c.select(F.col("c_custkey").alias("cust_a"), F.col("c_name").alias("name_a"))
+    nb = c.select(F.col("c_custkey").alias("cust_b"), F.col("c_name").alias("name_b"))
     return (
-        cand.withColumn("edit_dist", F.levenshtein("name_a", "name_b", 1))
+        cand.join(na, "cust_a")
+        .join(nb, "cust_b")
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b", 1))
         .filter(F.col("edit_dist") >= 0)
         .select("cust_a", "cust_b", "name_a", "name_b", "edit_dist")
     )
