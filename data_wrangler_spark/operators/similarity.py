@@ -757,8 +757,19 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-corpus job — exactly like q_dedup_eval — run before
     committing index parameters."""
     from data_wrangler_spark.registry import REGISTRY
+    from data_wrangler_spark.functions.distributed import pin
 
-    exact = REGISTRY["q_sim_search"].run(spark, sf_dir).select("vec_id")
+    # the exact top-10 feeds all three recall joins; unpinned, the
+    # whole exact-search subtree re-executes once per family (no
+    # ReusedExchange fires across the union branches — checked in
+    # plans/r17/q_ann_recall_before.txt). 10 rows cached (guide §5).
+    exact = pin(
+        REGISTRY["q_sim_search"].run(spark, sf_dir).select("vec_id").persist()
+    )
+    # materialize the 10-row cache eagerly: left lazy, the three
+    # union branches race to build the same InMemoryRelation inside
+    # one job and duplicate the exact search anyway
+    exact.count()
     parts = []
     for fam, qname, config in _ANN_FAMILIES:
         res = REGISTRY[qname].run(spark, sf_dir).select("vec_id")
