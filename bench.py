@@ -121,7 +121,38 @@ def main() -> None:
         "load_at_gate_exit": round(load_exit, 2),
         "passed": load_exit <= gate_thresh,
     }
+    # Per-query load evidence (VERDICT r16 #5 — ADDITIONS only, the
+    # contract JSON line keeps every existing field): the r16 driver
+    # window passed the entry gate at 1.97 and then ran at load
+    # 3.7–5.3, manufacturing 10 phantom "regressions" on untouched
+    # code. Two additions make that failure mode mechanically visible:
+    # (a) the 1-min loadavg is sampled at the START of each query and
+    # stamped into a new `query_load` dict, so a PERF comparison can
+    # attribute any one query's delta to contention without narrative;
+    # (b) the gate re-checks BETWEEN queries against an EGREGIOUS bar
+    # (ncpu/2 by default) with one shared wait budget. The bar is
+    # deliberately high because the bench's own 32-core jobs push the
+    # 1-min loadavg to ~5–7 mid-run (r16/r17 artifacts both show
+    # after-load ≈ 6–7 on an otherwise idle box), so any bar a real
+    # contended window would trip (3–6) is also self-triggering —
+    # moderate contention is therefore ATTRIBUTED via query_load, not
+    # waited out; only a neighbor burst the bench cannot self-induce
+    # pauses the run. Total waited time is stamped (`regate_waited`).
+    regate_budget = float(
+        os.environ.get("SPARK_GRAFT_BENCH_REGATE_BUDGET", "120")
+    )
+    regate_bar = float(
+        os.environ.get(
+            "SPARK_GRAFT_BENCH_REGATE_BAR", str(max(2 * gate_thresh, (os.cpu_count() or 8) / 2))
+        )
+    )
+    regate_waited = 0.0
+    query_load: dict[str, float] = {}
     for name in names:
+        while os.getloadavg()[0] > regate_bar and regate_waited < regate_budget:
+            time.sleep(5)
+            regate_waited += 5
+        query_load[name] = round(os.getloadavg()[0], 2)
         try:
             REGISTRY[name].run(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -159,6 +190,12 @@ def main() -> None:
                     "gate": load_gate,
                 },
                 "run_spread": spread,
+                "query_load": query_load,
+                "regate": {
+                    "bar": regate_bar,
+                    "budget_sec": regate_budget,
+                    "waited_sec": round(regate_waited, 1),
+                },
             }
         )
     )

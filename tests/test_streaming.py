@@ -424,6 +424,29 @@ def test_stream_quarantine_equals_gate_union(spark, sf_dir):
     assert dup and contam, "both gates should fire on the fixture"
 
 
+def test_stream_quarantine_wide_trigger_same_output(
+    spark, sf_dir, monkeypatch
+):
+    """VERDICT r16 #8: the trigger width is env-parameterized. The
+    wide mode (both staged files in ONE micro-batch) must emit the
+    identical (doc, reason) set as the default 2-batch mode — both
+    gates are stateless per row and dropDuplicates is batch-boundary-
+    blind. The default stays 1 so the restart/resume proof keeps its
+    2-batch shape."""
+    from data_wrangler_spark.registry import REGISTRY
+
+    base = {
+        (r.doc_id, r.reason)
+        for r in REGISTRY["q_stream_quarantine"].run(spark, sf_dir).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_TRIGGER_FILES", "2")
+    wide = {
+        (r.doc_id, r.reason)
+        for r in REGISTRY["q_stream_quarantine"].run(spark, sf_dir).collect()
+    }
+    assert wide == base and base
+
+
 def test_ingest_gates_under_rocksdb_provider(spark, sf_dir):
     """The two ingest gates' dropDuplicates state must be provider-
     agnostic: identical emissions under the RocksDB store — the
