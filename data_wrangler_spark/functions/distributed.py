@@ -32,8 +32,28 @@ __all__ = [
     "ntile_from_position",
     "pin",
     "release_pinned",
+    "release_local_checkpoint",
     "spread",
 ]
+
+
+def release_local_checkpoint(df: DataFrame) -> bool:
+    """Free the cached RDD blocks behind a ``localCheckpoint()``-ed
+    frame (ADVICE r16 #3: checkpoint blocks live until session end,
+    so a K-round loop that checkpoints per round leaks K small cached
+    datasets in a long-lived session). The frame is UNUSABLE after
+    release — call this only once nothing references it (e.g. the
+    previous round of an iterative loop, after the next round's
+    checkpoint has materialized). Returns False (and leaves the
+    blocks alone) if the frame is not a plain local checkpoint."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if not plan.getClass().getName().endswith(".LogicalRDD"):
+            return False
+        plan.rdd().unpersist(False)
+        return True
+    except Exception:
+        return False  # non-JVM session / already released — best effort
 
 
 def spread(df: DataFrame, *keys: str) -> DataFrame:

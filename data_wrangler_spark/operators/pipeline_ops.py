@@ -440,30 +440,50 @@ def min_label_components(
             _os.environ.get("SPARK_GRAFT_STAR_LOCAL_MAX", str(1 << 20))
         )
         n_edges = edges.count()
-        if n_edges <= local_max:
-            parent: dict = {}
+        # `local_max and ...`: 0 truly disables the fast path (ADVICE
+        # r16 #1 — the old `n_edges <= local_max` still engaged it on
+        # an empty edge list because 0 <= 0)
+        if local_max and n_edges <= local_max:
+            import numpy as np
 
-            def find(x):
+            # Arrow transfer + index-based union-find (ADVICE r16 #2):
+            # collect() built ~n_edges Row objects (hundreds of MB of
+            # Python-object overhead at the 2^20 bound); toArrow moves
+            # two packed long columns (~16 B/edge) and the parent
+            # table is one int array. np.unique sorts ascending, so
+            # the smaller INDEX is always the smaller node id — union
+            # by min index IS union by min label, the same fixpoint
+            # the dict form reached (pinned vs the distributed loop in
+            # tests/test_pipeline_ops.py).
+            tbl = edges.toArrow()
+            eu = tbl.column("u").to_numpy(zero_copy_only=False)
+            ev = tbl.column("v").to_numpy(zero_copy_only=False)
+            node_ids, inv = np.unique(
+                np.concatenate([eu, ev]), return_inverse=True
+            )
+            iu, iv = inv[: len(eu)], inv[len(eu):]
+            parent = np.arange(len(node_ids), dtype=np.int64)
+
+            def find(x: int) -> int:
                 r = x
                 while parent[r] != r:
                     r = parent[r]
                 while parent[x] != r:  # path compression
-                    parent[x], x = r, parent[x]
+                    parent[x], x = r, int(parent[x])
                 return r
 
-            for u, v in edges.collect():
-                if u not in parent:
-                    parent[u] = u
-                if v not in parent:
-                    parent[v] = v
-                ru, rv = find(u), find(v)
-                if ru != rv:
+            for a, b in zip(iu.tolist(), iv.tolist()):
+                ra, rb = find(a), find(b)
+                if ra != rb:
                     # union by MIN root: the root IS the component label
-                    if ru < rv:
-                        parent[rv] = ru
+                    if ra < rb:
+                        parent[rb] = ra
                     else:
-                        parent[ru] = rv
-            rows = [(n, find(n)) for n in parent]
+                        parent[ra] = rb
+            rows = [
+                (int(node_ids[i]), int(node_ids[find(i)]))
+                for i in range(len(node_ids))
+            ]
             LAST_STAR_ROUNDS = 0
             from pyspark.sql.types import StructField, StructType
 

@@ -12,7 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from data_wrangler_spark.catalog import load_table
-from data_wrangler_spark.functions.distributed import pin
+from data_wrangler_spark.functions.distributed import (
+    pin,
+    release_local_checkpoint,
+)
 from data_wrangler_spark.functions.text import (
     TOKEN_REGEX,
     occurrence_count,
@@ -722,7 +725,12 @@ def bpe_merge_table(
             # superlinearly in K (measured: K=32 over a persisted
             # chain did not finish in 300 s; checkpointed it is
             # seconds). The star-contraction loop uses the same
-            # truncation for the same reason.
+            # truncation for the same reason. The PREVIOUS round's
+            # checkpoint blocks are released once the new round has
+            # materialized (ADVICE r16 #3: they otherwise live until
+            # session end — K leaked cached datasets per query in a
+            # long-lived serving session).
+            prev = w
             w = w.select(
                 F.replace(
                     F.col("word"),
@@ -731,7 +739,13 @@ def bpe_merge_table(
                 ).alias("word"),
                 "freq",
             ).localCheckpoint()
+            if s > 0:
+                # round 0's `w` is the caller's frame, not a checkpoint
+                release_local_checkpoint(prev)
 
+    # the final round's checkpoint: the output rows are already
+    # collected, nothing references it
+    release_local_checkpoint(w)
     return spark.createDataFrame(
         rows, "stage int, pair string, cnt long, rnk int, chosen boolean"
     )
@@ -1027,13 +1041,22 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         rules.append((mpair, BPE_SYMBOLS[s]))
         # truncate lineage per round (see bpe_merge_table: persist-
         # chaining nests K InMemoryRelations and planning cost grows
-        # superlinearly in K; the checkpointed dictionary is tiny)
+        # superlinearly in K; the checkpointed dictionary is tiny).
+        # Previous round's checkpoint blocks released after the new
+        # one materializes (ADVICE r16 #3) — round 0's `w` is the
+        # pinned w0, released by the harness, not here.
+        prev = w
         w = w.select(
             F.replace(
                 F.col("word"), F.lit(mpair), F.lit(BPE_SYMBOLS[s])
             ).alias("word"),
             "freq",
         ).localCheckpoint()
+        if s > 0:
+            release_local_checkpoint(prev)
+    # the last round's checkpoint: the rules are driver-resident and
+    # the encoding below reads the raw documents, not w
+    release_local_checkpoint(w)
 
     def apply_rules(wd):
         e = wd

@@ -290,6 +290,31 @@ def test_bpe_merges_pick_stage_maxima(spark, sf_dir):
     assert any(BPE_SYMBOLS[0] in r.pair for r in stages[1] + stages[2])
 
 
+def test_bpe_rounds_release_checkpoint_blocks(spark, sf_dir):
+    """ADVICE r16 #3: the K-round BPE loops localCheckpoint per round,
+    and checkpoint blocks live until session end unless released — a
+    long-lived serving session would leak K cached datasets per BPE
+    query. After the query materializes and the harness releases the
+    pinned dictionary, NO extra persistent RDDs may remain."""
+    from data_wrangler_spark.functions.distributed import release_pinned
+
+    sc = spark.sparkContext
+
+    def n_persistent() -> int:
+        return sc._jsc.sc().getPersistentRDDs().size()
+
+    release_pinned()
+    before = n_persistent()
+    for q in ("q_bpe_merges", "q_bpe_encode"):
+        REGISTRY[q].run(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        release_pinned()
+    assert n_persistent() - before == 0, (
+        f"BPE rounds leaked {n_persistent() - before} checkpointed RDDs"
+    )
+
+
 def test_jaccard_df_cap_drops_hot_shingle(spark, tmp_path):
     """A stop-shingle shared by > JACCARD_DF_CAP docs must not create
     pairs (nor count toward set sizes), while rare-shingle overlap
