@@ -458,10 +458,16 @@ def q_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.agg(
         F.count("*").alias("n_converted"),
-        F.percentile("ttc_sec", 0.5).alias("p50_sec"),
-        F.percentile("ttc_sec", 0.9).alias("p90_sec"),
+        # one percentile buffer for both points (bit-identical)
+        F.percentile("ttc_sec", F.array(F.lit(0.5), F.lit(0.9))).alias("_p"),
         F.min("ttc_sec").alias("min_sec"),
         F.max("ttc_sec").alias("max_sec"),
+    ).select(
+        "n_converted",
+        F.col("_p")[0].alias("p50_sec"),
+        F.col("_p")[1].alias("p90_sec"),
+        "min_sec",
+        "max_sec",
     )
 
 

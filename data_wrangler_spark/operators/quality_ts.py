@@ -208,9 +208,21 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     swap is percentile_approx for the quantile side — the clip and
     aggregate stages are unchanged."""
     li = load_table(spark, sf_dir, "lineitem")
-    q = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", 0.05).alias("p05"),
-        F.percentile("l_extendedprice", 0.95).alias("p95"),
+    # both band edges from ONE percentile buffer (array of
+    # percentages) instead of two independent sort-agg buffers each
+    # holding every group value — same interpolation, bit-identical
+    q = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile(
+                "l_extendedprice", F.array(F.lit(0.05), F.lit(0.95))
+            ).alias("_pq")
+        )
+        .select(
+            "l_returnflag",
+            F.col("_pq")[0].alias("p05"),
+            F.col("_pq")[1].alias("p95"),
+        )
     )
     clipped = F.least(F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95"))
     return (
@@ -1273,8 +1285,14 @@ def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_keys"),
         F.sum("cnt").alias("n_rows"),
         F.max("cnt").alias("max_group"),
-        F.percentile("cnt", 0.5).alias("p50_group"),
-        F.percentile("cnt", 0.99).alias("p99_group"),
+        # one percentile buffer for both points (bit-identical)
+        F.percentile("cnt", F.array(F.lit(0.5), F.lit(0.99))).alias("_pg"),
+    ).select(
+        "n_keys",
+        "n_rows",
+        "max_group",
+        F.col("_pg")[0].alias("p50_group"),
+        F.col("_pg")[1].alias("p99_group"),
     )
     hot = (
         counts.orderBy(F.desc("cnt"), F.asc("key"))

@@ -528,21 +528,38 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "s", F.length("s").cast("long").alias("n"))
     n = F.col("n")
 
-    def cnt(ch: str):
-        return n - F.length(F.replace(F.col("s"), F.lit(ch), F.lit("")))
-
-    terms = [
-        F.when(
-            cnt(ch) > 0,
-            (cnt(ch).cast("double") / n) * F.log2(cnt(ch).cast("double") / n),
-        ).otherwise(F.lit(0.0))
-        for ch in _ALPHABET
-    ]
+    # counts MATERIALIZED as columns in their own projection (the r16
+    # q_embed_quantize lesson, guide §1.2 per-task work): inlined,
+    # each character's length(replace(s, ch, '')) was evaluated THREE
+    # times per row — in the >0 guard and twice in the term — 78 full-
+    # string replaces per document instead of 26. CollapseProject
+    # cannot re-inline them (it refuses to duplicate non-cheap
+    # expressions), and the entropy terms below run the identical IEEE
+    # ops on the identical values, so output is bit-equal (A/B: zero
+    # differing rows, 2.8 s → 0.7 s at sf0.1).
+    counted = base.select(
+        "doc_id",
+        "n",
+        *[
+            (n - F.length(F.replace(F.col("s"), F.lit(ch), F.lit(""))))
+            .alias(f"c_{ch}")
+            for ch in _ALPHABET
+        ],
+    )
+    terms = []
+    for ch in _ALPHABET:
+        c = F.col(f"c_{ch}")
+        terms.append(
+            F.when(
+                c > 0,
+                (c.cast("double") / n) * F.log2(c.cast("double") / n),
+            ).otherwise(F.lit(0.0))
+        )
     total = terms[0]
     for t in terms[1:]:
         total = total + t
     ent = F.when(n > 0, round6(-total)).otherwise(F.lit(0.0))
-    return base.select(
+    return counted.select(
         "doc_id",
         n.alias("n_letters"),
         ent.alias("entropy_bits"),
