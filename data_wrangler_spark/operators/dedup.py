@@ -411,7 +411,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall against exact Jaccard."""
     d = load_table(spark, sf_dir, "documents")
     sigs = _minhash_signatures(d)
-    # One exchange on (band,bucket) into collect_list replaces the
+    # One exchange on the band key into collect_list replaces the
     # previous window-count guard + self-join: the window sorted and
     # evaluated TWICE (window results aren't reused across self-join
     # branches, only exchanges are) and the join shuffled the band

@@ -1927,9 +1927,10 @@ def q_dedup_lsh_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     then flow into min-label components and the per-component keeper
     window: ONE row per doc, pairs never materialize as output.
 
-    Scale: one (band,bucket) exchange for candidates (singleton
+    Scale: one band-key exchange for candidates — keyed on the 4 raw
+    minhash longs (r17 compact form, see dedup._band_table; singleton
     buckets die in the agg; pair emission is array-side, ≤ C(cap,2)
-    per bucket by construction), one sort-merge verify join against
+    per bucket by construction) — one sort-merge verify join against
     the cached hashed-set arrays (fixed-width repartition keeps the
     CPU-bound verify spread — AQE's byte-based coalescing would
     funnel it, see prefix_verified_pairs), O(log n) component
