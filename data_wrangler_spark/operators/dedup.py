@@ -399,6 +399,13 @@ def _band_table(
 # minhash longs) — the grouping key every compact consumer must use
 BAND_KEY = ("band",) + tuple(f"k{r}" for r in range(N_MINHASH // N_BANDS))
 
+# persisted band-index schema (fmt=l4, r17): the compact key columns
+# plus doc_id; `band` last because it is the partition column
+_BANDS_SCHEMA = (
+    ", ".join(f"{k} bigint" for k in BAND_KEY if k != "band")
+    + ", doc_id bigint, band int"
+)
+
 
 @register("q_dedup_minhash", oracle=_minhash_oracle(), tags=("llm", "dedup"))
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1398,9 +1405,14 @@ def _inc_index_path(sf_dir: str) -> str:
     serving stale bands behind a _SUCCESS marker (r10 review)."""
     from data_wrangler_spark.catalog import scratch_tag
 
+    # fmt=l4 (r17): bands persisted with the COMPACT key — the 4 raw
+    # minhash longs instead of the '|'-joined bucket string (see
+    # _band_table's injectivity note; probes join on the same 4
+    # longs, so the equi-join is value-identical). The fmt token in
+    # the cache key self-heals any pre-r17 string-format scratch.
     params = (
         f"mh={N_MINHASH},bands={N_BANDS},cap={MAX_BUCKET},"
-        f"exist={INC_EXIST_PCT},sh={SHINGLE_PB}"
+        f"exist={INC_EXIST_PCT},sh={SHINGLE_PB},fmt=l4"
     )
     return f"{_INC_SCRATCH}/{scratch_tag(sf_dir, 'documents', params)}"
 INC_EXIST_PCT = 8       # doc_id % 10 < 8 → already-ingested corpus
@@ -1436,11 +1448,11 @@ def _ensure_inc_built(spark: SparkSession, sf_dir: str) -> str:
                 d.filter(F.col("doc_id") % 10 < INC_EXIST_PCT)
             ).persist()
         )
-        bands_ex = _band_table(_signatures_from_shingles(shf))
+        bands_ex = _band_table(_signatures_from_shingles(shf), compact=True)
         guarded = bands_ex.withColumn(
-            "bsize", F.count("*").over(Window.partitionBy("band", "bucket"))
+            "bsize", F.count("*").over(Window.partitionBy(*BAND_KEY))
         ).filter(F.col("bsize") <= MAX_BUCKET)
-        guarded.select("band", "bucket", "doc_id").repartition(
+        guarded.select(*BAND_KEY, "doc_id").repartition(
             "band"
         ).write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands")
         shf.select(
@@ -1455,13 +1467,13 @@ def _ensure_inc_built(spark: SparkSession, sf_dir: str) -> str:
 
 
 def ensure_inc_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The guarded (band, bucket, doc_id) LSH index of the existing
+    """The guarded (band, k0..k3, doc_id) LSH index of the existing
     corpus, built if missing (shared by q_dedup_incremental and the
     streaming ingest gates — ONE index, two delivery modes)."""
     # explicit schema: an empty history (legal on a degenerate
     # fixture) writes a partition-less root that schema inference
     # cannot read — same hardening as q_dedup_index_compact's read
-    return spark.read.schema("bucket string, doc_id bigint, band int").parquet(
+    return spark.read.schema(_BANDS_SCHEMA).parquet(
         f"{_ensure_inc_built(spark, sf_dir)}/bands"
     )
 
@@ -1527,7 +1539,8 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets (same 16-hash/4-band family as q_dedup_minhash) are
     written once to scratch WITH the hot-bucket guard applied at
     build time. The remaining docs play today's batch: their bands
-    probe the stored index by (band, bucket) equi-join, candidates
+    probe the stored index by a band-key equi-join (the 4 raw
+    minhash longs, fmt=l4), candidates
     are verified by exact shingle Jaccard (integer micro-units), and
     pairs at ≥ 0.5 are reported as (doc_new, doc_old, n_bands,
     jac_micro). The oracle replays index build, probe, and verify
@@ -1549,7 +1562,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     exist = F.col("doc_id") % 10 < INC_EXIST_PCT
 
     index_g = ensure_inc_index(spark, sf_dir)
-    bands_new = _band_table(_minhash_signatures(d.filter(~exist)))
+    # compact band keys (r17): probe equi-join on the 4 raw minhash
+    # longs — value-identical to the bucket-string join (injective
+    # encoding, see _band_table) with ~half the key bytes in the
+    # probe exchange and on disk
+    bands_new = _band_table(_minhash_signatures(d.filter(~exist)), compact=True)
     # pin the candidate table: it feeds the id-set derivation twice
     # and the verify join once — unpinned, the whole signature+probe
     # pipeline would re-execute per consumer (measured 3× at sf0.1)
@@ -1557,7 +1574,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands_new.withColumnRenamed("doc_id", "doc_new")
         .join(
             index_g.withColumnRenamed("doc_id", "doc_old"),
-            ["band", "bucket"],
+            list(BAND_KEY),
         )
         .groupBy("doc_new", "doc_old")
         .agg(F.countDistinct("band").alias("n_bands"))
@@ -1627,7 +1644,7 @@ def _inc2day_path(sf_dir: str) -> str:
 
     params = (
         f"mh={N_MINHASH},bands={N_BANDS},cap={MAX_BUCKET},"
-        f"d1={INC2_DAY1},d2={INC2_DAY2}"
+        f"d1={INC2_DAY1},d2={INC2_DAY2},fmt=l4"
     )
     return f"{_INC_SCRATCH}2day/{scratch_tag(sf_dir, 'documents', params)}"
 
@@ -1668,13 +1685,13 @@ def _guarded_bands(d: DataFrame) -> DataFrame:
     across appends; q_dedup_index_compact is the maintenance op that
     re-guards across the union (the oracle replays the same
     per-batch semantics, so the hop is lossless)."""
-    bands = _band_table(_minhash_signatures(d))
+    bands = _band_table(_minhash_signatures(d), compact=True)
     return (
         bands.withColumn(
-            "bsize", F.count("*").over(Window.partitionBy("band", "bucket"))
+            "bsize", F.count("*").over(Window.partitionBy(*BAND_KEY))
         )
         .filter(F.col("bsize") <= MAX_BUCKET)
-        .select("band", "bucket", "doc_id")
+        .select(*BAND_KEY, "doc_id")
     )
 
 
@@ -1768,19 +1785,19 @@ def q_dedup_incremental_2day(spark: SparkSession, sf_dir: str) -> DataFrame:
     m10 = F.col("doc_id") % 10
     base = _ensure_inc2day_built(spark, sf_dir)
 
-    idx0 = spark.read.schema("bucket string, doc_id bigint, band int").parquet(f"{base}/day0")
+    idx0 = spark.read.schema(_BANDS_SCHEMA).parquet(f"{base}/day0")
     # the grown index = old roots ∪ the appended subdirectory (each
     # root is its own band-partitioned table; union, not multi-path —
     # Spark refuses mixed partition roots in one read)
     idx01 = idx0.unionByName(
-        spark.read.schema("bucket string, doc_id bigint, band int").parquet(f"{base}/day1")
+        spark.read.schema(_BANDS_SCHEMA).parquet(f"{base}/day1")
     )
 
     def probe(batch: DataFrame, idx: DataFrame, day: int) -> DataFrame:
         return (
-            _band_table(_minhash_signatures(batch))
+            _band_table(_minhash_signatures(batch), compact=True)
             .withColumnRenamed("doc_id", "doc_new")
-            .join(idx.withColumnRenamed("doc_id", "doc_old"), ["band", "bucket"])
+            .join(idx.withColumnRenamed("doc_id", "doc_old"), list(BAND_KEY))
             .groupBy("doc_new", "doc_old")
             .agg(F.countDistinct("band").alias("n_bands"))
             .select(
@@ -1893,7 +1910,7 @@ def q_dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop the re-guarded bucket exactly as the oracle replay does.
 
     Scale: compaction reads the accumulated subdirectories once,
-    shuffles (band, bucket) keys for the size count, and rewrites
+    shuffles compact band keys (fmt=l4 longs) for the size count, and rewrites
     band-partitioned files — halving file count per merged append
     (pinned in tests) and restoring the probe-cost bound the guard
     promises. Run it when appends accumulate, like any LSM-ish
@@ -1902,16 +1919,16 @@ def q_dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     base = _ensure_inc2day_built(spark, sf_dir)
-    u = spark.read.schema("bucket string, doc_id bigint, band int").parquet(f"{base}/day0").unionByName(
-        spark.read.schema("bucket string, doc_id bigint, band int").parquet(f"{base}/day1")
+    u = spark.read.schema(_BANDS_SCHEMA).parquet(f"{base}/day0").unionByName(
+        spark.read.schema(_BANDS_SCHEMA).parquet(f"{base}/day1")
     )
     if not _os.path.exists(f"{base}/compacted/_SUCCESS"):
         (
             u.withColumn(
-                "bsize", F.count("*").over(Window.partitionBy("band", "bucket"))
+                "bsize", F.count("*").over(Window.partitionBy(*BAND_KEY))
             )
             .filter(F.col("bsize") <= MAX_BUCKET)
-            .select("band", "bucket", "doc_id")
+            .select(*BAND_KEY, "doc_id")
             .repartition("band")
             .write.mode("overwrite")
             .partitionBy("band")
@@ -1920,7 +1937,7 @@ def q_dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explicit schema: a fully-re-guarded index compacts to ZERO rows
     # (no partition directories at all) and schema inference would
     # fail on the empty root — a legal outcome, not an error
-    comp = spark.read.schema("doc_id bigint, bucket string, band int").parquet(
+    comp = spark.read.schema(_BANDS_SCHEMA).parquet(
         f"{base}/compacted"
     )
 
@@ -1929,7 +1946,7 @@ def q_dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     after = comp.groupBy("band").agg(F.count("*").alias("n_rows_after"))
     reguarded = (
-        u.groupBy("band", "bucket")
+        u.groupBy(*BAND_KEY)
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") > MAX_BUCKET)
         .groupBy("band")

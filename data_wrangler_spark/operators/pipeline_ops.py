@@ -2403,7 +2403,7 @@ def q_corpus_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
 
     1. near-dedup vs HISTORY through the persisted LSH band index
        (q_dedup_incremental, composed via the registry — index built
-       once, probed by one (band, bucket) equi-join, candidates
+       once, probed by one band-key equi-join, candidates
        verified by exact integer Jaccard ≥ 0.5): a new doc matching
        history is dropped;
     2. exact dedup WITHIN the batch (md5 keeper rank — the cheap

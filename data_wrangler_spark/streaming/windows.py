@@ -911,7 +911,7 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream (two micro-batches, doc_id parity split); each doc is
     minhash-signed PER ROW by dedup.sig_expr (one expression tree —
     no persist barrier, batch-parity pinned by pytest), banded, and
-    a STREAM-STATIC equi-join probes the persisted (band, bucket)
+    a STREAM-STATIC equi-join probes the persisted band-key (fmt=l4)
     index built once by dedup.ensure_inc_index. Candidates verify by
     exact shingle Jaccard against the static history shingle sets,
     and stateful dropDuplicates emits each verified pair once.
@@ -923,7 +923,7 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     are both value-checked, and pytest pins the streamed pair set ≡
     the batch q_dedup_incremental's.
 
-    Scale: the static index side is (band, bucket, doc_id) — bytes
+    Scale: the static index side is (band, k0..k3, doc_id) — bytes
     per history doc, not text; band-partitioned so each probe prunes
     to its band. The verify side joins the candidate doc_olds'
     shingle sets read from the PERSISTED shingle table written
@@ -937,6 +937,7 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     now demonstrated under Structured Streaming delivery."""
     from data_wrangler_spark.functions.text import shingles_from_words, words
     from data_wrangler_spark.operators.dedup import (
+        BAND_KEY,
         INC_EXIST_PCT,
         INC_JAC_MICRO,
         _band_table,
@@ -988,8 +989,10 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size() is int32 — promote before the ×1e6 (ANSI overflow trap)
     ni = F.size(F.array_intersect("sa", "sb")).cast("long")
     stream = (
-        _band_table(sigs, carry=("sa",))
-        .join(index_g.withColumnRenamed("doc_id", "doc_old"), ["band", "bucket"])
+        # compact band keys (r17): the stream-static probe joins on
+        # the 4 raw minhash longs, matching the fmt=l4 index
+        _band_table(sigs, carry=("sa",), compact=True)
+        .join(index_g.withColumnRenamed("doc_id", "doc_old"), list(BAND_KEY))
         .join(shd_old, "doc_old")
         .withColumn("_ni", ni)
         .select(
@@ -1096,6 +1099,7 @@ def quarantine_gate_plan(
     the query a document arrives in (VERDICT r11 #2)."""
     from data_wrangler_spark.functions.text import shingles_from_words, words
     from data_wrangler_spark.operators.dedup import (
+        BAND_KEY,
         INC_JAC_MICRO,
         _band_table,
         ensure_inc_index,
@@ -1132,8 +1136,9 @@ def quarantine_gate_plan(
     )
     ni = F.size(F.array_intersect("sa", "sb")).cast("long")
     dup_flags = (
-        _band_table(sigs, carry=("sa",))
-        .join(index_g.withColumnRenamed("doc_id", "doc_old"), ["band", "bucket"])
+        # compact band keys (r17): probe on the 4 raw minhash longs
+        _band_table(sigs, carry=("sa",), compact=True)
+        .join(index_g.withColumnRenamed("doc_id", "doc_old"), list(BAND_KEY))
         .join(shd_old, "doc_old")
         .withColumn("_ni", ni)
         .filter(

@@ -908,8 +908,10 @@ def test_index_compaction_preserves_probes_and_reguards(spark, sf_dir, tmp_path)
     import duckdb
 
     from data_wrangler_spark.operators.dedup import (
+        BAND_KEY,
         INC2_DAY2,
         MAX_BUCKET,
+        _BANDS_SCHEMA,
         _band_table,
         _ensure_inc2day_built,
         _minhash_signatures,
@@ -926,14 +928,15 @@ def test_index_compaction_preserves_probes_and_reguards(spark, sf_dir, tmp_path)
     base = _inc2day_path(sf_dir)
     d = load_table(spark, sf_dir, "documents")
     d2_bands = _band_table(
-        _minhash_signatures(d.filter(F.col("doc_id") % 10 == INC2_DAY2))
+        _minhash_signatures(d.filter(F.col("doc_id") % 10 == INC2_DAY2)),
+        compact=True,
     )
 
     def probe(idx):
         return {
             (r.doc_id, r.doc_old)
             for r in d2_bands.join(
-                idx.withColumnRenamed("doc_id", "doc_old"), ["band", "bucket"]
+                idx.withColumnRenamed("doc_id", "doc_old"), list(BAND_KEY)
             ).collect()
         }
 
@@ -988,12 +991,13 @@ def test_index_compaction_preserves_probes_and_reguards(spark, sf_dir, tmp_path)
     syn_base = _ensure_inc2day_built(spark, sf)
     syn_d = load_table(spark, sf, "documents")
     syn_bands = _band_table(
-        _minhash_signatures(syn_d.filter(F.col("doc_id") % 10 == INC2_DAY2))
+        _minhash_signatures(syn_d.filter(F.col("doc_id") % 10 == INC2_DAY2)),
+        compact=True,
     )
-    comp = spark.read.schema("doc_id bigint, bucket string, band int").parquet(
+    comp = spark.read.schema(_BANDS_SCHEMA).parquet(
         f"{syn_base}/compacted"
     )
-    hits = syn_bands.join(comp, ["band", "bucket"]).count()
+    hits = syn_bands.join(comp, list(BAND_KEY)).count()
     assert hits == 0
 
 
